@@ -1,0 +1,60 @@
+"""Engine configuration.
+
+``DedupConfig`` parameterizes the whole dedup pipeline; the defaults are
+the *fixed* shingle/signature config the recall target (>=0.99 vs the
+brute-force oracle, BASELINE.json) is validated at.
+
+``SearchConfig`` mirrors analiticcl's ``SearchParameters``
+(src/types.rs:110-198; defaults src/types.rs:173-196) for the
+query-mode parity API.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Union
+
+from .functions.kernels import Weights
+
+# Distance threshold forms, src/types.rs:76-108:
+#   int            -> Absolute(x)        (capped at floor(len/2))
+#   float          -> Ratio(r)           (capped at MAX_*_DISTANCE = 12)
+#   (float, int)   -> RatioWithLimit
+DistanceThreshold = Union[int, float, tuple[float, int]]
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling / signatures (fixed config for the recall target) ---
+    shingle_n: int = 3                    # char n-grams, anagram-valued keys
+    num_perm: int = 128                   # MinHash permutations
+    bands: int = 32                       # LSH bands (rows = num_perm // bands)
+    phash_bands: int = 4                  # 16-bit bands over the 64-bit phash
+    # --- candidate generation safety valves -----------------------------
+    bucket_cap: int = 256                 # max ids per LSH bucket before salting
+    # --- verification ---------------------------------------------------
+    max_edit_distance: DistanceThreshold = (0.2, 12)   # RatioWithLimit
+    caption_score_threshold: float = 0.7  # analiticcl score on captions
+    psnr_db: float = 40.0                 # lossy-image dup cutoff (input_hint)
+    weights: Weights = field(default_factory=Weights)
+    # --- seeds ----------------------------------------------------------
+    seed: int = 0x5EED
+
+    @property
+    def band_rows(self) -> int:
+        assert self.num_perm % self.bands == 0
+        return self.num_perm // self.bands
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """Query-mode knobs, defaults per src/types.rs:173-196."""
+
+    max_anagram_distance: DistanceThreshold = 3
+    max_edit_distance: DistanceThreshold = 3
+    max_matches: int = 20
+    score_threshold: float = 0.25
+    cutoff_threshold: float = 2.0
+    freq_weight: float = 0.0
+    stop_at_exact_match: bool = False     # StopCriterion::StopAtExactMatch
+    weights: Weights = field(default_factory=Weights)

@@ -1,0 +1,247 @@
+"""Image codec + perceptual kernels, pure numpy/stdlib (no PIL/cv2 in
+this environment).
+
+- PNG encode/decode: minimal but spec-conformant subset (8-bit RGB /
+  grayscale, non-interlaced, all five filter types on decode, filter 0 on
+  encode). Deterministic bytes for identical pixels (fixed zlib level).
+- JPEG: no encoder available -> decode is STUBBED behind
+  ``NotImplementedError``; fixtures use PNG (decode-deterministic) plus a
+  deterministic "q<N>" quantization pseudo-codec to exercise the lossy
+  PSNR>=40dB path (FIXTURES.md §1) without a real JPEG codec. The Ray-side
+  plumbing (binary column in, pixels out, actor-pool decode) is real.
+- phash: 64-bit DCT perceptual hash (resize 32x32 grayscale -> DCT-II ->
+  top-left 8x8 minus DC -> median threshold), the standard pHash recipe.
+- psnr: peak signal-to-noise ratio over decoded uint8 pixels; the
+  north-rule dup criterion for lossy pairs is PSNR >= 40 dB
+  (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """uint8 array (h, w, 3) RGB or (h, w) grayscale -> PNG bytes.
+
+    Filter type 0 per scanline; zlib level 6 — fully deterministic."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        h, w = pixels.shape
+        color_type = 0
+        row_bytes = pixels.reshape(h, w)
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        h, w, _ = pixels.shape
+        color_type = 2
+        row_bytes = pixels.reshape(h, w * 3)
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    raw = np.concatenate(
+        [
+            np.zeros((h, 1), dtype=np.uint8),  # filter byte 0 per row
+            row_bytes,
+        ],
+        axis=1,
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters (types 0-4)."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            res = line
+        elif ftype == 2:  # Up
+            res = (line + prev) & 0xFF
+        else:
+            res = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = res[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) // 2
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                res[x] = (line[x] + pred) & 0xFF
+        out[y] = res.astype(np.uint8)
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 (h, w, 3) RGB or (h, w) grayscale array."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = b""
+    w = h = bit_depth = color_type = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if bit_depth != 8 or interlace != 0 or color_type not in (0, 2):
+                raise NotImplementedError(
+                    f"PNG subset: 8-bit RGB/gray non-interlaced only "
+                    f"(got depth={bit_depth} color={color_type} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    channels = 3 if color_type == 2 else 1
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    out = _unfilter(raw, h, stride, channels)
+    if channels == 3:
+        return out.reshape(h, w, 3)
+    return out.reshape(h, w)
+
+
+# --- deterministic lossy pseudo-codec ("q<bits>") ---------------------
+# Stands in for JPEG in fixtures: drops the low `q` bits of each sample
+# (round-to-nearest) then PNG-encodes. q=1..2 keeps PSNR >= 40 dB.
+
+def quantize_encode(pixels: np.ndarray, q: int) -> bytes:
+    step = 1 << q
+    px = np.asarray(pixels, dtype=np.int32)
+    quant = np.clip(((px + step // 2) // step) * step, 0, 255).astype(np.uint8)
+    return png_encode(quant)
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    """Dispatch by the corpus `fmt` column. 'png' and 'q<N>' are real;
+    'jpeg' is stubbed (no codec in this container)."""
+    if fmt == "png" or fmt.startswith("q"):
+        return png_decode(data)
+    if fmt in ("jpeg", "jpg"):
+        raise NotImplementedError(
+            "JPEG decode requires an image codec library not present in "
+            "this container; plug one in here (Pillow / turbojpeg)."
+        )
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
+# --- perceptual hash / PSNR ------------------------------------------
+
+def to_gray(pixels: np.ndarray) -> np.ndarray:
+    if pixels.ndim == 2:
+        return pixels.astype(np.float64)
+    return (
+        0.299 * pixels[..., 0] + 0.587 * pixels[..., 1] + 0.114 * pixels[..., 2]
+    ).astype(np.float64)
+
+
+def _resize_mean(gray: np.ndarray, size: int = 32) -> np.ndarray:
+    """Area-style resize via index binning (deterministic, codec-free)."""
+    h, w = gray.shape
+    if h == size and w == size:
+        return gray
+    ys = (np.arange(size + 1) * h // size).astype(int)
+    xs = (np.arange(size + 1) * w // size).astype(int)
+    out = np.empty((size, size), dtype=np.float64)
+    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
+    csum[1:, 1:] = gray.cumsum(0).cumsum(1)
+    for i in range(size):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(size):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            area = (y1 - y0) * (x1 - x0)
+            out[i, j] = (
+                csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
+            ) / area
+    return out
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        m[0] /= np.sqrt(2.0)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash; deterministic, pure numpy."""
+    g = _resize_mean(to_gray(pixels), 32)
+    m = _dct_matrix(32)
+    dct = m @ g @ m.T
+    block = dct[:8, :8].flatten()
+    vals = np.delete(block, 0)  # drop DC
+    med = np.median(vals)
+    bits = block > med
+    bits[0] = False
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    # to signed int64 for Arrow
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of XOR over int64 arrays."""
+    x = (np.asarray(a, dtype=np.int64) ^ np.asarray(b, dtype=np.int64)).astype(
+        np.uint64
+    )
+    # byte-wise popcount via lookup
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+    v = x.copy()
+    total = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(8):
+        total += lut[(v & np.uint64(0xFF)).astype(np.int64)]
+        v >>= np.uint64(8)
+    return total
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """PSNR in dB between two uint8 images; inf for identical."""
+    if a.shape != b.shape:
+        return 0.0
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
