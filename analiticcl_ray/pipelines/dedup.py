@@ -1,0 +1,160 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+The flagship pipeline (SURVEY.md §3.4):
+
+    read corpus (Lance/Parquet)
+      ├─ map_batches(CaptionSignatures)      actor pool, zero-copy Arrow
+      ├─ map_batches(phash_band_table)       stateless tasks
+      ├─ explode -> (band, image_id)         project-before-shuffle
+      ├─ union(substring winnow fingerprints)
+      ├─ groupby(band) -> candidate pairs    THE index (shuffle), salted
+      ├─ union(exact content-key pairs)
+      ├─ groupby(pair) -> dedup              canonical-pair dedup
+      ├─ attach captions -> CaptionVerifier  actor pool (exact DL kernel)
+      ├─ filter(caption_dup)
+      ├─ attach bytes (semi-join survivors) -> ImageVerifier (PSNR)
+      ├─ filter(image_dup) -> pairs table
+      └─ connected components -> clusters table
+
+Every stage streams; nothing materializes the corpus. The only
+materialized intermediates are edge-list-sized (verified pairs, CC
+labels).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import pyarrow as pa
+
+import ray.data
+
+from ..config import DedupConfig
+from ..stages.cc import cc_label_propagation, cc_union_find
+from ..stages.lsh import candidate_pairs, dedup_pairs, exact_dup_pairs, explode_band_rows
+from ..stages.signatures import CaptionSignatures, phash_band_table
+from ..stages.substring import SubstringFingerprints
+from ..stages.verify import CaptionVerifier, ImageVerifier, attach_pair_sides
+
+
+def dedup_pipeline(
+    corpus: "ray.data.Dataset",
+    cfg: Optional[DedupConfig] = None,
+    *,
+    signature_concurrency=(1, 8),
+    verify_concurrency=(1, 8),
+    verify_batch_size: int = 1024,
+    image_batch_size: int = 256,
+    cc_method: str = "auto",
+    cc_edge_threshold: int = 2_000_000,
+    attach_method: str = "broadcast",
+    with_substring_stage: bool = True,
+):
+    """Run the full dedup pipeline.
+
+    Returns (pairs_ds, clusters_ds, metrics): verified duplicate pairs
+    with score components, cluster assignments for all rows appearing in
+    a pair, and a stage-metrics dict.
+    """
+    cfg = cfg or DedupConfig()
+    metrics: dict = {"config": cfg.__dict__ | {"weights": cfg.weights.__dict__}}
+    t0 = time.perf_counter()
+
+    # --- signatures (binary column projected away before any shuffle) ---
+    slim = corpus.select_columns(["image_id", "caption", "phash", "bytes"])
+    sigs = slim.map_batches(
+        CaptionSignatures,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=signature_concurrency,
+    ).map_batches(
+        lambda b: phash_band_table(b, cfg.phash_bands), batch_format="pyarrow"
+    ).select_columns(["image_id", "content_key", "bands", "phash_bands"])
+
+    band_rows = explode_band_rows(sigs)
+    if with_substring_stage:
+        substr_rows = corpus.select_columns(["image_id", "caption"]).map_batches(
+            SubstringFingerprints,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=signature_concurrency,
+        )
+        band_rows = band_rows.union(substr_rows)
+
+    # --- candidate generation (the wide step) ---------------------------
+    cands = candidate_pairs(band_rows, cfg.bucket_cap)
+    exact = exact_dup_pairs(sigs, cfg.bucket_cap)
+    pairs = dedup_pairs(cands.union(exact)).materialize()
+    metrics["candidate_pairs"] = pairs.count()
+    metrics["capped_pairs"] = pairs.filter(expr="capped == True").count()
+    metrics["t_candidates_s"] = round(time.perf_counter() - t0, 3)
+
+    # --- caption verification ------------------------------------------
+    t1 = time.perf_counter()
+    with_captions = attach_pair_sides(
+        pairs, corpus, ["caption"], method=attach_method
+    )
+    cap_verified = with_captions.map_batches(
+        CaptionVerifier,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=verify_batch_size,
+        concurrency=verify_concurrency,
+    )
+    survivors = cap_verified.filter(
+        expr="caption_dup == True"
+    ).materialize()
+    metrics["caption_survivors"] = survivors.count()
+    metrics["t_caption_verify_s"] = round(time.perf_counter() - t1, 3)
+
+    # --- image verification (bytes fetched only for survivors) ---------
+    t2 = time.perf_counter()
+    needed_ids: set[str] = set()
+    for b in survivors.select_columns(["src_id", "dst_id"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        needed_ids.update(b["src_id"].to_pylist())
+        needed_ids.update(b["dst_id"].to_pylist())
+    with_bytes = attach_pair_sides(
+        survivors,
+        corpus,
+        ["bytes", "fmt"],
+        method=attach_method,
+        id_filter=needed_ids,
+    )
+    img_verified = with_bytes.map_batches(
+        ImageVerifier,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=image_batch_size,
+        concurrency=verify_concurrency,
+    )
+    dup_pairs_ds = (
+        img_verified.filter(expr="image_dup == True")
+        .select_columns(
+            ["src_id", "dst_id", "caption_score", "psnr_db", "capped"]
+        )
+        .materialize()
+    )
+    metrics["verified_pairs"] = dup_pairs_ds.count()
+    metrics["t_image_verify_s"] = round(time.perf_counter() - t2, 3)
+
+    # --- clustering -----------------------------------------------------
+    t3 = time.perf_counter()
+    if cc_method == "auto":
+        cc_method = (
+            "union_find" if metrics["verified_pairs"] <= cc_edge_threshold else "label_prop"
+        )
+    if cc_method == "union_find":
+        clusters = cc_union_find(dup_pairs_ds)
+    else:
+        clusters = cc_label_propagation(dup_pairs_ds)
+    clusters = clusters.materialize()
+    metrics["clustered_rows"] = clusters.count()
+    metrics["cc_method"] = cc_method
+    metrics["t_cc_s"] = round(time.perf_counter() - t3, 3)
+    metrics["t_total_s"] = round(time.perf_counter() - t0, 3)
+    return dup_pairs_ds, clusters, metrics

@@ -1,0 +1,275 @@
+"""Pair verification: exact kernels in stateful actor pools.
+
+The distributed form of analiticcl's find_variants inner loop
+(gather_instances src/lib.rs:1311-1402 + score_and_rank
+src/lib.rs:1405-1653): candidates produced by the banding shuffle are
+confirmed with the exact Damerau-Levenshtein caption kernel and the
+decoded-pixel PSNR image kernel (north rule).
+
+Two-phase, cheapest-first:
+1. ``CaptionVerifier`` needs only (caption, caption) per pair —
+   attached via a side-lookup of the slim columns — and prunes most
+   false candidates.
+2. ``ImageVerifier`` runs only on caption-surviving pairs; exact byte
+   equality short-circuits decode; decoded pixels are LRU-cached per
+   actor (the reference's per-model cache analog, src/cache.rs:1-28).
+
+Side-data attachment (SURVEY.md J-section): the corpus' slim columns
+(caption / fmt+bytes) are attached to pairs either by
+- ``broadcast``: one ``ray.put`` of an id->value dict, read once per
+  actor in ``__init__`` — zero shuffle, correct while the *referenced*
+  columns fit in the object store (captions at 1e12 rows do not — use
+  cogroup there; bytes for *surviving* pairs usually do), or
+- ``cogroup``: a hash-partitioned join expressed as
+  union(tagged corpus slim rows, tagged pair-side rows) ->
+  groupby(image_id) -> re-emit pair rows with the value attached —
+  the scale path; only the slim projection ever enters the shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import DedupConfig
+from ..functions.alphabet import Normalizer, simple_alphabet
+from ..functions.verify_kernel import caption_pair_score, image_pair_dup
+
+
+# --------------------------------------------------------------------
+# side-data attachment
+# --------------------------------------------------------------------
+
+def broadcast_lookup(corpus: "ray.data.Dataset", value_cols: list[str]):
+    """id -> tuple(value_cols) dict in the object store (ray.put once;
+    every actor reads the same shared copy, never re-shipped per batch)."""
+    lookup: dict[str, tuple] = {}
+    for batch in corpus.select_columns(["image_id", *value_cols]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids = batch["image_id"].to_pylist()
+        cols = [batch[c].to_pylist() for c in value_cols]
+        for i, iid in enumerate(ids):
+            lookup[iid] = tuple(col[i] for col in cols)
+    return ray.put(lookup)
+
+
+class _AttachFromBroadcast:
+    def __init__(self, lookup_ref, value_cols: list[str], prefixes=("src", "dst")):
+        self.lookup = ray.get(lookup_ref)
+        self.value_cols = value_cols
+        self.prefixes = prefixes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch
+        for pref in self.prefixes:
+            ids = batch[f"{pref}_id"].to_pylist()
+            vals = [self.lookup[i] for i in ids]
+            for ci, col in enumerate(self.value_cols):
+                out = out.append_column(
+                    f"{pref}_{col}",
+                    pa.array([v[ci] for v in vals]),
+                )
+        return out
+
+
+def attach_pair_sides(
+    pairs: "ray.data.Dataset",
+    corpus: "ray.data.Dataset",
+    value_cols: list[str],
+    method: str = "broadcast",
+    id_filter: Optional[Iterable[str]] = None,
+) -> "ray.data.Dataset":
+    """Attach corpus columns to both sides of a pairs dataset.
+
+    ``id_filter``: restrict the corpus scan to the ids actually
+    referenced (semi-join via broadcast id set) — essential when
+    attaching the binary column: only surviving pairs' bytes are pulled."""
+    src = corpus
+    if id_filter is not None:
+        idset = set(id_filter)
+        needed_ref = ray.put(idset)
+
+        def _semi(batch: pa.Table) -> pa.Table:
+            needed = ray.get(needed_ref)
+            mask = pa.array([i in needed for i in batch["image_id"].to_pylist()])
+            return batch.filter(mask)
+
+        src = corpus.map_batches(_semi, batch_format="pyarrow")
+
+    if method == "broadcast":
+        ref = broadcast_lookup(src, value_cols)
+        return pairs.map_batches(
+            _AttachFromBroadcast,
+            fn_constructor_args=(ref, value_cols),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    if method == "cogroup":
+        return _attach_cogroup(pairs, src, value_cols)
+    raise ValueError(method)
+
+
+def _attach_cogroup(
+    pairs: "ray.data.Dataset", corpus: "ray.data.Dataset", value_cols: list[str]
+) -> "ray.data.Dataset":
+    """Hash-partitioned attach: union(corpus slim rows, pair stubs) ->
+    groupby(image_id) -> emit pair stubs with values; then reassemble the
+    two sides by pair_key. Only slim columns cross the shuffle."""
+    import pyarrow.compute as pc
+
+    def _pair_stubs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        key = pc.binary_join_element_wise(
+            batch["src_id"].cast(pa.string()), batch["dst_id"].cast(pa.string()), "|"
+        )
+        tabs = []
+        for side_idx, side in enumerate(("src_id", "dst_id")):
+            t = pa.table(
+                {
+                    "image_id": batch[side],
+                    "pair_key": key,
+                    "side": pa.array(np.full(n, side_idx, dtype=np.int8)),
+                    "is_corpus": pa.array(np.zeros(n, dtype=bool)),
+                }
+            )
+            tabs.append(t)
+        return pa.concat_tables(tabs)
+
+    stubs = pairs.map_batches(_pair_stubs, batch_format="pyarrow")
+
+    def _corpus_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "pair_key": pa.array([""] * n, pa.string()),
+                "side": pa.array(np.full(n, -1, dtype=np.int8)),
+                "is_corpus": pa.array(np.ones(n, dtype=bool)),
+                **{c: batch[c] for c in value_cols},
+            }
+        )
+
+    slim = corpus.select_columns(["image_id", *value_cols]).map_batches(
+        _corpus_rows, batch_format="pyarrow"
+    )
+
+    def _attach(group: pd.DataFrame) -> pd.DataFrame:
+        corp = group[group["is_corpus"]]
+        if corp.empty:
+            return pd.DataFrame(
+                columns=["pair_key", "side", *value_cols]
+            )
+        vals = corp.iloc[0]
+        out = group[~group["is_corpus"]][["pair_key", "side"]].copy()
+        for c in value_cols:
+            out[c] = [vals[c]] * len(out)
+        return out
+
+    # stubs lack the value columns; give them matching null columns so the
+    # union schema lines up
+    def _with_nulls(batch: pa.Table) -> pa.Table:
+        out = batch
+        for c in value_cols:
+            out = out.append_column(c, pa.nulls(len(batch), slim.schema().field(c).type))
+        return out
+
+    stubs = stubs.map_batches(_with_nulls, batch_format="pyarrow")
+    attached = (
+        slim.union(stubs)
+        .groupby("image_id")
+        .map_groups(_attach, batch_format="pandas")
+    )
+
+    def _reassemble(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame()
+        row = {}
+        key = group["pair_key"].iloc[0]
+        src_id, dst_id = key.split("|", 1)
+        row["src_id"], row["dst_id"] = src_id, dst_id
+        for _, r in group.iterrows():
+            pref = "src" if r["side"] == 0 else "dst"
+            for c in value_cols:
+                row[f"{pref}_{c}"] = r[c]
+        return pd.DataFrame([row])
+
+    return attached.groupby("pair_key").map_groups(_reassemble, batch_format="pandas")
+
+
+# --------------------------------------------------------------------
+# verifier actors
+# --------------------------------------------------------------------
+
+class CaptionVerifier:
+    """Actor: computes the exact analiticcl caption score per pair.
+
+    Input batch needs src_caption / dst_caption; emits caption_score
+    (float64, -1.0 when above the DL cutoff) and caption_dup (bool)."""
+
+    def __init__(self, cfg: DedupConfig | None = None, alphabet=None):
+        self.cfg = cfg or DedupConfig()
+        self.norm = Normalizer(alphabet or simple_alphabet())
+        self._memo: dict[tuple[str, str], float] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        src_c = batch["src_caption"].to_pylist()
+        dst_c = batch["dst_caption"].to_pylist()
+        scores = np.empty(len(src_c), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(src_c, dst_c)):
+            key = (a, b) if a <= b else (b, a)
+            s = self._memo.get(key)
+            if s is None:
+                cs = caption_pair_score(
+                    self.norm.normalize(a), self.norm.normalize(b), a, b, cfg
+                )
+                s = -1.0 if cs is None else cs
+                if len(self._memo) > 1_000_000:
+                    self._memo.clear()
+                self._memo[key] = s
+            scores[i] = s
+        return batch.append_column(
+            "caption_score", pa.array(scores, pa.float64())
+        ).append_column(
+            "caption_dup",
+            pa.array(scores >= cfg.caption_score_threshold),
+        )
+
+
+class ImageVerifier:
+    """Actor: exact-bytes / decoded-pixel PSNR verdict per pair.
+
+    Input batch needs src_bytes/src_fmt/dst_bytes/dst_fmt; emits
+    psnr_db (inf for identical bytes) and image_dup. Decoded pixels are
+    cached per actor keyed by image_id (src/cache.rs analog)."""
+
+    def __init__(self, cfg: DedupConfig | None = None):
+        self.cfg = cfg or DedupConfig()
+        self.pixel_cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        sb = batch["src_bytes"].to_pylist()
+        db = batch["dst_bytes"].to_pylist()
+        sf = batch["src_fmt"].to_pylist()
+        dfmt = batch["dst_fmt"].to_pylist()
+        sid = batch["src_id"].to_pylist()
+        did = batch["dst_id"].to_pylist()
+        dup = np.empty(len(sb), dtype=bool)
+        vals = np.empty(len(sb), dtype=np.float64)
+        for i in range(len(sb)):
+            d, v = image_pair_dup(
+                sb[i], sf[i], db[i], dfmt[i], cfg, self.pixel_cache, sid[i], did[i]
+            )
+            dup[i] = d
+            vals[i] = v
+        return batch.append_column("psnr_db", pa.array(vals, pa.float64())).append_column(
+            "image_dup", pa.array(dup)
+        )

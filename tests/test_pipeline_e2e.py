@@ -1,0 +1,89 @@
+"""End-to-end pipeline tests: recall vs the brute-force oracle
+(BASELINE.json: dup-pair recall >= 0.99) and cluster-assignment parity."""
+
+from collections import defaultdict
+
+import pytest
+
+
+def _partitions(d: dict) -> set:
+    g = defaultdict(set)
+    for k, v in d.items():
+        g[v].add(k)
+    return {frozenset(v) for v in g.values() if len(v) > 1}
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(ray_session, small_corpus):
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.dedup import dedup_pipeline
+
+    ds = rd.from_arrow(small_corpus)
+    pairs_ds, clusters_ds, metrics = dedup_pipeline(ds)
+    got = set()
+    for b in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        got.update(zip(b["src_id"].to_pylist(), b["dst_id"].to_pylist()))
+    clusters = {r["image_id"]: r["cluster_id"] for r in clusters_ds.take_all()}
+    return got, clusters, metrics, pairs_ds
+
+
+def test_recall_against_oracle(pipeline_result, small_truth):
+    got, _, _, _ = pipeline_result
+    missed = small_truth - got
+    recall = (len(small_truth) - len(missed)) / max(1, len(small_truth))
+    assert recall >= 0.99, f"missed {sorted(missed)[:10]}"
+
+
+def test_no_false_pairs(pipeline_result, small_truth):
+    got, _, _, _ = pipeline_result
+    extra = got - small_truth
+    # verification is exact: any extra pair would be an oracle bug
+    assert not extra, f"extra {sorted(extra)[:10]}"
+
+
+def test_cluster_assignments_match_oracle(pipeline_result, small_corpus, small_truth):
+    from analiticcl_ray.pipelines.oracle import oracle_clusters
+
+    _, clusters, _, _ = pipeline_result
+    truth_clusters = oracle_clusters(small_corpus, small_truth)
+    assert _partitions(clusters) == _partitions(truth_clusters)
+
+
+def test_metrics_present(pipeline_result):
+    _, _, metrics, _ = pipeline_result
+    for key in (
+        "candidate_pairs",
+        "caption_survivors",
+        "verified_pairs",
+        "clustered_rows",
+        "cc_method",
+        "t_total_s",
+    ):
+        assert key in metrics
+
+
+def test_label_propagation_matches_union_find(ray_session, pipeline_result):
+    from analiticcl_ray.stages.cc import cc_label_propagation, cc_union_find
+
+    _, _, _, pairs_ds = pipeline_result
+    lp = {r["image_id"]: r["cluster_id"] for r in cc_label_propagation(pairs_ds).take_all()}
+    uf = {r["image_id"]: r["cluster_id"] for r in cc_union_find(pairs_ds).take_all()}
+    assert _partitions(lp) == _partitions(uf)
+    # representative is the min member id in both
+    assert lp == uf
+
+
+def test_pipeline_deterministic_pairs(ray_session, small_corpus, pipeline_result):
+    """Re-running the pipeline yields the identical pair set (seeded
+    hashing, no wall-clock anywhere) — retry/determinism requirement."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.dedup import dedup_pipeline
+
+    got1, _, _, _ = pipeline_result
+    pairs_ds, _, _ = dedup_pipeline(rd.from_arrow(small_corpus))
+    got2 = set()
+    for b in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        got2.update(zip(b["src_id"].to_pylist(), b["dst_id"].to_pylist()))
+    assert got1 == got2

@@ -1,0 +1,137 @@
+"""Unit tests for signature / LSH / substring stage internals (no Ray)."""
+
+import numpy as np
+import pyarrow as pa
+
+from analiticcl_ray.config import DedupConfig
+from analiticcl_ray.functions.alphabet import Normalizer, simple_alphabet
+from analiticcl_ray.stages.lsh import emit_bucket_pairs
+from analiticcl_ray.stages.signatures import (
+    CaptionSignatures,
+    hash_u64,
+    phash_band_table,
+    splitmix64,
+)
+from analiticcl_ray.stages.substring import winnow_fingerprints
+
+
+def _batch(rows):
+    return pa.table(
+        {
+            "image_id": pa.array([r[0] for r in rows], pa.string()),
+            "caption": pa.array([r[1] for r in rows], pa.string()),
+            "bytes": pa.array([r[2] for r in rows], pa.binary()),
+            "phash": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def test_splitmix64_deterministic():
+    x = np.arange(5, dtype=np.uint64)
+    assert np.array_equal(splitmix64(x), splitmix64(x.copy()))
+    assert len(np.unique(splitmix64(x))) == 5
+
+
+def test_hash_u64():
+    assert hash_u64(b"abc") == hash_u64(b"abc")
+    assert hash_u64(b"abc") != hash_u64(b"abd")
+    assert hash_u64(b"") == hash_u64(b"")
+
+
+def test_caption_signatures_identical_rows_share_all_bands():
+    sig = CaptionSignatures(DedupConfig())
+    b = _batch(
+        [
+            ("a", "the quick brown fox jumps over the dog", b"x", 1),
+            ("b", "the quick brown fox jumps over the dog", b"y", 2),
+            ("c", "a completely different caption wording here", b"z", 3),
+        ]
+    )
+    out = sig(b)
+    bands = out["bands"].to_pylist()
+    assert bands[0] == bands[1]
+    shared = len(set(bands[0]) & set(bands[2]))
+    assert shared <= 2  # unrelated captions share (almost) no bands
+
+
+def test_caption_signatures_near_dup_shares_bands():
+    sig = CaptionSignatures(DedupConfig())
+    cap = "the ancient lantern gleams near the quiet meadow in holland tonight"
+    b = _batch([("a", cap, b"x", 1), ("b", cap.replace("gleams", "gleems"), b"y", 2)])
+    out = sig(b)
+    bands = out["bands"].to_pylist()
+    assert len(set(bands[0]) & set(bands[1])) >= 1
+
+
+def test_content_key_exact_dup():
+    sig = CaptionSignatures(DedupConfig())
+    b = _batch([("a", "same cap", b"blob", 1), ("b", "same cap", b"blob", 2),
+                ("c", "same cap", b"other", 3)])
+    out = sig(b)["content_key"].to_pylist()
+    assert out[0] == out[1] != out[2]
+
+
+def test_phash_band_table_pigeonhole():
+    # hamming distance 3 with 4 bands -> at least one shared band key
+    a = 0b1111000011110000
+    bflip = a ^ 0b1  # 1 bit differs
+    t = phash_band_table(
+        pa.table({"phash": pa.array([a, bflip, ~a], pa.int64())}), 4
+    )
+    pb = t["phash_bands"].to_pylist()
+    assert len(set(pb[0]) & set(pb[1])) >= 3
+    assert len(set(pb[0]) & set(pb[2])) == 0
+
+
+def test_emit_bucket_pairs_small():
+    src, dst, capped = emit_bucket_pairs(["b", "a", "c"], cap=10)
+    assert not capped
+    assert set(zip(src, dst)) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(s < d for s, d in zip(src, dst))
+
+
+def test_emit_bucket_pairs_capped_keeps_connectivity():
+    ids = [f"id{i:03d}" for i in range(25)]
+    src, dst, capped = emit_bucket_pairs(ids, cap=10)
+    assert capped
+    # bounded: 3 chunks of <=10 -> <=3*45 + 2 chain links
+    assert len(src) <= 3 * 45 + 2
+    # connectivity: union-find over emitted pairs joins everything
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in ids}) == 1
+
+
+def test_emit_bucket_pairs_dedups_input():
+    src, dst, _ = emit_bucket_pairs(["a", "a", "b"], cap=10)
+    assert list(zip(src, dst)) == [("a", "b")]
+
+
+def test_winnowing_guarantee():
+    """Strings sharing a span >= kgram+window-1 chars share a fingerprint."""
+    nm = Normalizer(simple_alphabet())
+    span = "thisisaverylongsharedspanofcharacters"  # 37 chars > 16+8-1
+    a = nm.normalize("prefixone" + span + "tailone")
+    b = nm.normalize("completelyothr" + span + "xyz")
+    fa = winnow_fingerprints(a, 16, 8)
+    fb = winnow_fingerprints(b, 16, 8)
+    assert len(set(fa) & set(fb)) >= 1
+
+
+def test_winnowing_no_shared_span():
+    nm = Normalizer(simple_alphabet())
+    fa = winnow_fingerprints(nm.normalize("aaaabbbbccccddddeeeeffff"), 16, 8)
+    fb = winnow_fingerprints(nm.normalize("zzzzyyyyxxxxwwwwvvvvuuuu"), 16, 8)
+    assert len(set(fa) & set(fb)) == 0
+
+
+def test_winnowing_short_string():
+    nm = Normalizer(simple_alphabet())
+    assert len(winnow_fingerprints(nm.normalize("short"), 16, 8)) == 0
