@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship dedup pipeline over sf0.001.
+- ``queries()``: one callable per implemented operator (SURVEY.md §2 +
+  the training-data ops); each takes ``sf_dir`` and returns a Dataset /
+  DataFrame / Table.
+- ``oracle_sql()``: DuckDB-equivalent SQL for the SQL-expressible ones
+  (same column names; derived floats are single divisions of exact
+  integers so values hash identically). Probabilistic / kernel ops
+  (MinHash, SimHash, phash, find_variants, the image+caption corpus
+  pipeline) are rows-only checked here and exactly verified in
+  tests/ against the brute-force oracle instead.
 """
 
 from __future__ import annotations
@@ -19,26 +21,256 @@ from collections.abc import Callable
 from typing import Any
 
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+def _docs(sf_dir: str):
+    import ray.data as rd
 
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _corpus_rows_for(sf_dir: str) -> int:
+    # deterministic corpus size per scale tier
+    if "0.001" in sf_dir:
+        return 1000
+    if "0.01" in sf_dir:
+        return 2000
+    return 20000
+
+
+def _corpus_ds(sf_dir: str):
+    import ray.data as rd
+
+    from analiticcl_ray.sources.corpus import corpus_path
+
+    return rd.read_parquet(corpus_path(_corpus_rows_for(sf_dir)))
+
+
+def entry() -> Any:
+    """Flagship: full image+caption dedup on the sf0.001-scale corpus —
+    returns the verified pairs table."""
+    from analiticcl_ray.pipelines.dedup import dedup_pipeline
+
+    pairs, clusters, metrics = dedup_pipeline(_corpus_ds("/root/testdata/sf0.001"))
+    return pairs
+
+
+# ---------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data as rd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from analiticcl_ray.config import SearchConfig
+    from analiticcl_ray.pipelines import ann, events, text
+    from analiticcl_ray.pipelines.dedup import dedup_pipeline
+    from analiticcl_ray.pipelines.variants import Lexicon, find_variants_ds
 
+    def exact_dedup(sf_dir):
+        return text.exact_dedup(_docs(sf_dir))
+
+    def doc_stats(sf_dir):
+        return text.doc_stats(_docs(sf_dir))
+
+    def quality_filter(sf_dir):
+        return text.quality_filter(_docs(sf_dir))
+
+    def token_counts(sf_dir):
+        return text.token_counts(_docs(sf_dir))
+
+    def anagram_groups(sf_dir):
+        return text.anagram_groups(_docs(sf_dir))
+
+    def ngram_jaccard(sf_dir):
+        return text.ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.8)
+
+    def minhash_dedup(sf_dir):
+        return text.minhash_dedup_pairs(_docs(sf_dir), jaccard_threshold=0.8)
+
+    def simhash(sf_dir):
+        return text.simhash_fingerprints(_docs(sf_dir))
+
+    def fingerprints(sf_dir):
+        return text.doc_fingerprints(_docs(sf_dir)).select_columns(
+            ["doc_id", "n_fingerprints"]
+        )
+
+    def lang_id(sf_dir):
+        return text.lang_id(_docs(sf_dir))
+
+    def lang_distribution(sf_dir):
+        return text.lang_distribution(_docs(sf_dir))
+
+    def ann_topk(sf_dir):
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.cosine_topk(emb, query_ids=list(range(10)), k=5)
+
+    def ann_dup_pairs(sf_dir):
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.cosine_dup_pairs(emb, threshold=0.4)
+
+    def ann_lsh_topk(sf_dir):
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.lsh_bucketed_topk(emb, query_ids=list(range(10)), k=5)
+
+    def window_agg(sf_dir):
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        return events.tumbling_window_agg(ev, window_s=3600)
+
+    def sessions(sf_dir):
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        return events.sessionize(ev, gap_s=1800)
+
+    def find_variants(sf_dir):
+        # lexicon = corpus token counts; queries = fixed typo'd forms of
+        # frequent tokens (deterministic); reference find_variants scoring
+        tc = text.token_counts(_docs(sf_dir)).to_pandas()
+        tc = tc.sort_values(["cnt", "token"], ascending=[False, True]).head(200)
+        lex = Lexicon.from_rows(list(zip(tc["token"], tc["cnt"])))
+        qs = []
+        for t in tc["token"].head(30):
+            if len(t) >= 3:
+                qs.append({"input": t[0] + t[2] + t[1] + t[3:]})  # transposition
+        return find_variants_ds(
+            rd.from_items(qs), lex,
+            SearchConfig(score_threshold=0.5, cutoff_threshold=0.0),
+        )
+
+    def corpus_dedup_pairs(sf_dir):
+        pairs, _, _ = dedup_pipeline(_corpus_ds(sf_dir))
+        return pairs.select_columns(["src_id", "dst_id"])
+
+    def corpus_dedup_clusters(sf_dir):
+        _, clusters, _ = dedup_pipeline(_corpus_ds(sf_dir))
+        return clusters
+
+    return {
+        "exact_dedup": exact_dedup,
+        "doc_stats": doc_stats,
+        "quality_filter": quality_filter,
+        "token_counts": token_counts,
+        "anagram_groups": anagram_groups,
+        "ngram_jaccard": ngram_jaccard,
+        "minhash_dedup": minhash_dedup,
+        "simhash": simhash,
+        "fingerprints": fingerprints,
+        "lang_id": lang_id,
+        "lang_distribution": lang_distribution,
+        "ann_topk": ann_topk,
+        "ann_dup_pairs": ann_dup_pairs,
+        "ann_lsh_topk": ann_lsh_topk,
+        "window_agg": window_agg,
+        "sessions": sessions,
+        "find_variants": find_variants,
+        "corpus_dedup_pairs": corpus_dedup_pairs,
+        "corpus_dedup_clusters": corpus_dedup_clusters,
+    }
+
+
+# ---------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered on the same parquet)
+# ---------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": """
+            SELECT text, min(doc_id) AS rep_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "doc_stats": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct_tokens,
+                   length(text) AS n_chars_computed,
+                   length(text)::DOUBLE
+                     / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
+                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
+                     / len(regexp_split_to_array(trim(text), '\\s+')) AS distinct_ratio
+            FROM documents
+        """,
+        "quality_filter": """
+            WITH s AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                     len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
+                       / len(regexp_split_to_array(trim(text), '\\s+')) AS distinct_ratio
+              FROM documents)
+            SELECT doc_id, n_tokens, distinct_ratio
+            FROM s WHERE n_tokens >= 20 AND distinct_ratio >= 0.3
+        """,
+        "token_counts": """
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                  FROM documents)
+            GROUP BY token
+        """,
+        "anagram_groups": """
+            WITH words AS (
+              SELECT DISTINCT
+                     array_to_string(list_sort(string_split(word, '')), '') AS anakey,
+                     word
+              FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                    FROM documents)
+            )
+            SELECT anakey,
+                   count(*) AS n_words,
+                   string_agg(word, ',' ORDER BY word) AS words
+            FROM words GROUP BY anakey HAVING count(*) >= 1
+        """,
+        "ngram_jaccard": """
+            WITH seq AS (
+              -- constant bound (generate_series takes no subqueries);
+              -- documents are capped well below 4096 chars
+              SELECT i FROM generate_series(1, 4096) t(i)
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(text, i, 3) AS gram
+              FROM documents JOIN seq ON i <= length(text) - 2
+              WHERE length(text) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+              FROM grams g1 JOIN grams g2
+                ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+                       JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS "count()" FROM documents GROUP BY lang
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS cos
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) - 1 AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank < 5
+        """,
+        "ann_dup_pairs": """
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
+        """,
+        "window_agg": """
+            SELECT user_id,
+                   (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # minhash_dedup / simhash / fingerprints / lang_id / ann_lsh_topk /
+        # sessions / find_variants / corpus_* are rows-only here; exact
+        # semantics are pytest-verified against brute-force oracles.
+    }

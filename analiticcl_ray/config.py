@@ -26,10 +26,13 @@ DistanceThreshold = Union[int, float, tuple[float, int]]
 @dataclass(frozen=True)
 class DedupConfig:
     # --- shingling / signatures (fixed config for the recall target) ---
-    shingle_n: int = 3                    # char n-grams, anagram-valued keys
+    shingle_n: int = 4                    # char n-grams, anagram-valued keys
     num_perm: int = 128                   # MinHash permutations
     bands: int = 32                       # LSH bands (rows = num_perm // bands)
     phash_bands: int = 4                  # 16-bit bands over the 64-bit phash
+    winnow_kgram: int = 20                # substring-stage k-gram length
+    winnow_window: int = 8                # winnowing window (guarantee: spans
+                                          # >= kgram+window-1 chars share a key)
     # --- candidate generation safety valves -----------------------------
     bucket_cap: int = 256                 # max ids per LSH bucket before salting
     # --- verification ---------------------------------------------------

@@ -71,7 +71,11 @@ def dedup_pipeline(
         concurrency=signature_concurrency,
     ).map_batches(
         lambda b: phash_band_table(b, cfg.phash_bands), batch_format="pyarrow"
-    ).select_columns(["image_id", "content_key", "bands", "phash_bands"])
+    ).select_columns(["image_id", "content_key", "bands", "phash_bands"]).materialize()
+    # ^ materialized: consumed by 3 downstream passes (hot-key count, pair
+    #   emission, exact-dup) — without this the signature computation would
+    #   lazily re-execute per consumer. Slim columns only (ids + sketches);
+    #   the object store spills if needed.
 
     band_rows = explode_band_rows(sigs)
     if with_substring_stage:
@@ -83,17 +87,24 @@ def dedup_pipeline(
             concurrency=signature_concurrency,
         )
         band_rows = band_rows.union(substr_rows)
+    band_rows = band_rows.materialize()  # consumed twice (count + pairs)
 
     # --- candidate generation (the wide step) ---------------------------
-    cands = candidate_pairs(band_rows, cfg.bucket_cap)
+    bucket_stats: dict = {}
+    cands = candidate_pairs(band_rows, cfg.bucket_cap, stats=bucket_stats)
     exact = exact_dup_pairs(sigs, cfg.bucket_cap)
     pairs = dedup_pairs(cands.union(exact)).materialize()
+    metrics.update(bucket_stats)  # dropped degenerate buckets: no silent caps
     metrics["candidate_pairs"] = pairs.count()
     metrics["capped_pairs"] = pairs.filter(expr="capped == True").count()
     metrics["t_candidates_s"] = round(time.perf_counter() - t0, 3)
 
     # --- caption verification ------------------------------------------
     t1 = time.perf_counter()
+    # the pair-dedup aggregate coalesces into few blocks; spread the pairs
+    # so the verify actor pool actually runs wide
+    n_verify_blocks = max(4, min(128, metrics["candidate_pairs"] // max(verify_batch_size // 2, 1) + 1))
+    pairs = pairs.repartition(n_verify_blocks)
     with_captions = attach_pair_sides(
         pairs, corpus, ["caption"], method=attach_method
     )

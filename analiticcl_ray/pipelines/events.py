@@ -1,0 +1,85 @@
+"""Stream-shaped operations over the ``events`` table.
+
+Ray Data is a batch engine (like the reference — SURVEY.md §2.10: no
+windows/watermarks anywhere in analiticcl); stream semantics are
+expressed as partition-by-key + sort-within-group transforms
+(ray_guide.md "Streaming-shaped workloads"). Ordering assumption: each
+group is sorted by ``ts`` inside the transform itself, so input block
+order never matters.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def tumbling_window_agg(
+    events: "ray.data.Dataset", window_s: int = 3600
+) -> "ray.data.Dataset":
+    """Per (user, tumbling window): event count and value sum.
+    window_start = floor(epoch_seconds / window_s) * window_s as an
+    epoch integer (bit-identical to the SQL oracle's integer division)."""
+
+    def _win(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts", "value"]).to_pandas()
+        epoch = df["ts"].astype("int64") // 1_000_000  # us -> s
+        df["window_start"] = (epoch // window_s) * window_s
+        g = (
+            df.groupby(["user_id", "window_start"], sort=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = events.map_batches(_win, batch_format="pyarrow")
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        # sum rounded to 4 decimals: float summation order differs
+        # between engines in the last ulp; the rounded value is the
+        # comparable contract (exact aggregation is over ints only)
+        return pd.DataFrame(
+            {
+                "user_id": [int(group["user_id"].iloc[0])],
+                "window_start": [int(group["window_start"].iloc[0])],
+                "n_events": [int(group["n_events"].sum())],
+                "sum_value": [round(float(group["sum_value"].sum()), 4)],
+            }
+        )
+
+    return partial.groupby(["user_id", "window_start"]).map_groups(
+        _merge, batch_format="pandas"
+    )
+
+
+def sessionize(
+    events: "ray.data.Dataset", gap_s: int = 1800
+) -> "ray.data.Dataset":
+    """Session windows per user: a new session starts when the gap to
+    the previous event exceeds ``gap_s``. Group-sorted by ts."""
+
+    def _sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts").reset_index(drop=True)
+        epoch = g["ts"].astype("int64") // 1_000_000
+        new_session = (epoch.diff().fillna(gap_s + 1) > gap_s).cumsum()
+        out = (
+            g.assign(session=new_session, epoch=epoch)
+            .groupby("session")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("epoch", "min"),
+                session_end=("epoch", "max"),
+                n_events=("ts", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return events.select_columns(["user_id", "ts", "value"]).groupby(
+        "user_id"
+    ).map_groups(_sessions, batch_format="pandas")

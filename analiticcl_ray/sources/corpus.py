@@ -104,12 +104,15 @@ def _mutate_caption(rng: np.random.Generator, s: str, kind: str) -> str:
 
 
 def _base_pixels(rng: np.random.Generator, w: int = 32, h: int = 32) -> np.ndarray:
-    """Procedural RGB tile: gradient + band noise, per-image seed."""
+    """Procedural RGB tile: random low-frequency block texture + gradient
+    of random direction + noise — diverse low-frequency structure so the
+    perceptual-hash distribution resembles real photos (identical
+    gradients for every image would make phash bit-slices degenerate)."""
+    block = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(block, h // 4, 0), w // 4, 1).astype(np.int32)
     yy, xx = np.mgrid[0:h, 0:w]
-    r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
-    g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
-    b = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
-    img = np.stack([r, g, b], axis=-1).astype(np.int32)
+    gx, gy = rng.integers(-4, 5, size=2)
+    img += ((gx * xx + gy * yy)[:, :, None] % 97)
     img += rng.integers(-12, 13, size=img.shape)
     return np.clip(img, 0, 255).astype(np.uint8)
 

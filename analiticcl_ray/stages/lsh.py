@@ -8,14 +8,27 @@ or any phash bit-slice band become candidate pairs, later confirmed by
 the exact verify kernel. Recall vs the reference's guaranteed-complete
 neighborhood search is a measured target (>=0.99, BASELINE.json).
 
+Performance shape (this matters at 10^12 rows):
+- Nearly every band key is a singleton (unique caption -> unique band
+  hashes). Feeding all of them to ``groupby().map_groups`` costs a
+  Python/pandas invocation per singleton group. Instead we first run a
+  vectorized ``groupby(key).count()`` (hash/sort aggregate, no Python
+  per group), keep only keys with count >= 2 ("hot" keys), semi-join the
+  band rows against that hot set, and only then run the per-group pair
+  emission — Python touches only groups that can emit a pair.
+- The hot-key set rides to workers as one broadcast object (``ray.put``
+  once). At extreme scale, replace the broadcast with a Dataset.join
+  against the hot-key table (same shuffle count); the broadcast is
+  correct while hot keys ≈ duplicate rows × bands fit in the object
+  store, which holds by the dedup premise (dups ≪ corpus).
+
 Skew handling (north rule): a boilerplate caption puts thousands of ids
 into one band bucket -> O(n^2) pair blowup. Buckets larger than
 ``bucket_cap`` are *salted*: ids are sorted (determinism) and chunked;
 all pairs are emitted within a chunk plus a single chain link between
 consecutive chunks — connectivity for connected components is fully
-preserved (any two rows in the bucket stay linked through the chain)
-while the pair count drops from O(n^2) to O(n * cap). Capped bucket
-counts are reported in the stage metrics — no silent truncation.
+preserved while the pair count drops from O(n^2) to O(n * cap). Capped
+buckets are flagged in the output — no silent truncation.
 
 Scale note: only (band_key, image_id) ever enters this shuffle — the
 binary image column is projected away up front (project-before-shuffle,
@@ -24,20 +37,27 @@ SURVEY.md §4.2).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
+from ray.data.aggregate import Max
 
 
-def explode_band_rows(ds: "ray.data.Dataset", band_cols=("bands", "phash_bands")) -> "ray.data.Dataset":
-    """(image_id, bands[, phash_bands]) -> long table (band, image_id).
+def explode_band_rows(
+    ds: "ray.data.Dataset", band_cols=("bands", "phash_bands"), id_col: str = "image_id"
+) -> "ray.data.Dataset":
+    """(id, bands[, phash_bands]) -> long table (band, id).
 
     Stateless task stage; output is the ONLY thing the wide groupby sees."""
 
     def _explode(batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"]
+        ids = batch[id_col]
         parts_band = []
         parts_id = []
         for col in band_cols:
@@ -45,100 +65,216 @@ def explode_band_rows(ds: "ray.data.Dataset", band_cols=("bands", "phash_bands")
                 continue
             arr = batch[col].combine_chunks()
             width = arr.type.list_size
-            flat = arr.flatten()
-            parts_band.append(flat)
-            # repeat each id `width` times
+            parts_band.append(arr.flatten())
             idx = np.repeat(np.arange(len(batch), dtype=np.int64), width)
-            parts_id.append(ids.take(pa.array(idx)))
+            parts_id.append(ids.take(pa.array(idx)).combine_chunks())
         return pa.table(
             {
-                "band": pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts_band]),
-                "image_id": pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts_id]),
+                "band": pa.concat_arrays(
+                    [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts_band]
+                ),
+                id_col: pa.concat_arrays(
+                    [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts_id]
+                ),
             }
         )
 
     return ds.map_batches(_explode, batch_format="pyarrow")
 
 
-def emit_bucket_pairs(ids: list[str], cap: int) -> tuple[list[str], list[str], bool]:
+def emit_bucket_pairs(ids: list, cap: int) -> tuple[list, list, bool]:
     """Pairs for one bucket, with deterministic salting above ``cap``.
     Returns (src list, dst list, was_capped)."""
     ids = sorted(set(ids))
     n = len(ids)
     if n < 2:
         return [], [], False
-    src: list[str] = []
-    dst: list[str] = []
+    src: list = []
+    dst: list = []
     capped = n > cap
+    ids_arr = np.array(ids, dtype=object)
     for c0 in range(0, n, cap):
-        chunk = ids[c0 : c0 + cap]
-        for i in range(len(chunk)):
-            for j in range(i + 1, len(chunk)):
-                src.append(chunk[i])
-                dst.append(chunk[j])
+        chunk = ids_arr[c0 : c0 + cap]
+        iu, ju = np.triu_indices(len(chunk), 1)
+        src.extend(chunk[iu])
+        dst.extend(chunk[ju])
         if c0 + cap < n:  # chain link keeps the bucket connected
             src.append(chunk[0])
             dst.append(ids[c0 + cap])
     return src, dst, capped
 
 
-def candidate_pairs(
-    band_rows: "ray.data.Dataset", bucket_cap: int = 256
-) -> "ray.data.Dataset":
-    """groupby(band) -> canonical candidate pairs (src_id < dst_id).
-
-    The ``capped`` column marks pairs from salted buckets so the metrics
-    stage can count affected buckets (no silent caps)."""
-
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        src, dst, capped = emit_bucket_pairs(group["image_id"].tolist(), bucket_cap)
-        return pd.DataFrame(
-            {
-                "src_id": pd.Series(src, dtype="string[python]").astype(object),
-                "dst_id": pd.Series(dst, dtype="string[python]").astype(object),
-                "capped": pd.Series(np.full(len(src), capped), dtype=bool),
-            }
+def hot_keys(rows: "ray.data.Dataset", key_col: str) -> "ray.data.Dataset":
+    """Keys occurring >= 2 times — a vectorized aggregate, no Python
+    per group."""
+    return (
+        rows.groupby(key_col)
+        .count()
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["count()"], pa.scalar(2))),
+            batch_format="pyarrow",
         )
-
-    return band_rows.groupby("band").map_groups(_pairs, batch_format="pandas")
-
-
-def dedup_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Canonical-pair dedup after the union of candidate sources
-    (MinHash ∪ SimHash ∪ substring ∪ exact), the distributed analog of
-    the reference's BTreeSet/dedup_by_key (src/lib.rs:1149, 1530-1533).
-
-    Two-level: a *partial* per-batch dedup (cheap, shrinks the shuffle)
-    then the exact groupby."""
-
-    def _local(batch: pa.Table) -> pa.Table:
-        df = batch.select(["src_id", "dst_id", "capped"]).to_pandas()
-        df = df.sort_values("capped").drop_duplicates(["src_id", "dst_id"], keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    local = pairs.map_batches(_local, batch_format="pyarrow")
-    return local.groupby(["src_id", "dst_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
     )
 
 
-def exact_dup_pairs(ds: "ray.data.Dataset", bucket_cap: int = 256) -> "ray.data.Dataset":
-    """Exact content duplicates via content_key groupby (vocab-upsert
-    analog A3/D4, src/lib.rs:899-967): pairs linking identical
-    (caption, bytes) rows. Chain-linked above the cap like any bucket."""
+def cooccurrence_pairs(
+    rows: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    cap: int = 256,
+    id_dtype: str = "str",
+    drop_threshold: Optional[int] = None,
+    stats: Optional[dict] = None,
+) -> "ray.data.Dataset":
+    """(key, id) rows -> canonical candidate pairs (src < dst) for every
+    key shared by >= 2 ids, with salting above ``cap``.
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        src, dst, capped = emit_bucket_pairs(group["image_id"].tolist(), bucket_cap)
+    The hot-key prefilter (module docstring) keeps Python-level group
+    processing proportional to *duplicate* volume, not corpus volume.
+
+    ``drop_threshold`` (default 8*cap): a key shared by more ids than
+    this is a *degenerate* bucket — it carries no discriminative signal
+    (the stop-word-shingle analog of the reference's hard search-space
+    caps, src/lib.rs:42-46) and would still emit O(n*cap) pairs after
+    salting. Such keys are dropped entirely and counted in ``stats``
+    ("dropped_buckets"/"dropped_rows" — no silent caps); recall for true
+    duplicates is carried by their other, non-degenerate keys."""
+    if drop_threshold is None:
+        drop_threshold = 8 * cap
+    hot = hot_keys(rows, key_col)
+    hotset: set = set()
+    dropped_buckets = 0
+    dropped_rows = 0
+    for b in hot.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k, c in zip(b[key_col].to_pylist(), b["count()"].to_pylist()):
+            if c > drop_threshold:
+                dropped_buckets += 1
+                dropped_rows += c
+            else:
+                hotset.add(k)
+    if stats is not None:
+        stats["dropped_buckets"] = stats.get("dropped_buckets", 0) + dropped_buckets
+        stats["dropped_rows"] = stats.get("dropped_rows", 0) + dropped_rows
+    if not hotset:
+        empty_id = pa.string() if id_dtype == "str" else pa.int64()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([], empty_id),
+                    "dst_id": pa.array([], empty_id),
+                    "capped": pa.array([], pa.bool_()),
+                }
+            )
+        )
+    hot_ref = ray.put(hotset)
+
+    def _semi(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        mask = pa.array([k in hs for k in batch[key_col].to_pylist()])
+        out = batch.filter(mask)
+        # coarse co-grouping bucket: one map_groups invocation handles
+        # ~n_keys/1024 keys (vectorized inner groupby) instead of paying
+        # per-key Python overhead — same co-location guarantee (a bucket
+        # is a superset of each of its keys)
+        kv = out[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        bucket = (kv ^ (kv >> 17)) & 0x3FF
+        return out.append_column("cogroup", pa.array(bucket, pa.int64()))
+
+    id_pd_dtype = "object" if id_dtype == "str" else "int64"
+
+    def _pairs_many(group: pd.DataFrame) -> pd.DataFrame:
+        srcs: list = []
+        dsts: list = []
+        caps: list = []
+        for _, sub in group.groupby(key_col, sort=False):
+            src, dst, capped = emit_bucket_pairs(sub[id_col].tolist(), cap)
+            if src:
+                srcs.extend(src)
+                dsts.extend(dst)
+                caps.extend([capped] * len(src))
         return pd.DataFrame(
             {
-                "src_id": pd.Series(src, dtype="string[python]").astype(object),
-                "dst_id": pd.Series(dst, dtype="string[python]").astype(object),
-                "capped": pd.Series(np.full(len(src), capped), dtype=bool),
+                "src_id": pd.Series(srcs, dtype=id_pd_dtype),
+                "dst_id": pd.Series(dsts, dtype=id_pd_dtype),
+                "capped": pd.Series(caps, dtype=bool),
             }
         )
 
     return (
-        ds.select_columns(["content_key", "image_id"])
-        .groupby("content_key")
-        .map_groups(_pairs, batch_format="pandas")
+        rows.map_batches(_semi, batch_format="pyarrow")
+        .groupby("cogroup")
+        .map_groups(_pairs_many, batch_format="pandas")
+    )
+
+
+def candidate_pairs(
+    band_rows: "ray.data.Dataset", bucket_cap: int = 256, id_col: str = "image_id",
+    id_dtype: str = "str", stats: Optional[dict] = None,
+) -> "ray.data.Dataset":
+    """groupby(band) -> canonical candidate pairs (src_id < dst_id)."""
+    return cooccurrence_pairs(
+        band_rows, "band", id_col, bucket_cap, id_dtype, stats=stats
+    )
+
+
+def dedup_pairs(pairs: "ray.data.Dataset", id_dtype: str = "str") -> "ray.data.Dataset":
+    """Canonical-pair dedup after the union of candidate sources
+    (MinHash ∪ SimHash ∪ substring ∪ exact) — the distributed analog of
+    the reference's BTreeSet/dedup_by_key (src/lib.rs:1149, 1530-1533).
+
+    Implementation: per-batch local dedup (combiner) shrinks the
+    shuffle, then ONE vectorized groupby-aggregate on a composite key —
+    no per-group Python."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        df = batch.select(["src_id", "dst_id", "capped"]).to_pandas()
+        df = df.sort_values("capped").drop_duplicates(["src_id", "dst_id"], keep="first")
+        key = df["src_id"].astype(str) + "\x1f" + df["dst_id"].astype(str)
+        return pa.table(
+            {
+                "pair_key": pa.array(key.tolist(), pa.string()),
+                "capped_i": pa.array(df["capped"].astype(np.int64).tolist(), pa.int64()),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(_local, batch_format="pyarrow")
+        .groupby("pair_key")
+        .aggregate(Max("capped_i", alias_name="capped_i"))
+    )
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        keys = batch["pair_key"].to_pylist()
+        src = []
+        dst = []
+        for k in keys:
+            a, b = k.split("\x1f", 1)
+            src.append(a)
+            dst.append(b)
+        if id_dtype == "int":
+            src_arr = pa.array([int(x) for x in src], pa.int64())
+            dst_arr = pa.array([int(x) for x in dst], pa.int64())
+        else:
+            src_arr = pa.array(src, pa.string())
+            dst_arr = pa.array(dst, pa.string())
+        return pa.table(
+            {
+                "src_id": src_arr,
+                "dst_id": dst_arr,
+                "capped": pc.cast(
+                    pc.greater(batch["capped_i"], pa.scalar(0)), pa.bool_()
+                ),
+            }
+        )
+
+    return agg.map_batches(_decode, batch_format="pyarrow")
+
+
+def exact_dup_pairs(
+    ds: "ray.data.Dataset", bucket_cap: int = 256, id_col: str = "image_id"
+) -> "ray.data.Dataset":
+    """Exact content duplicates via content_key co-occurrence (vocab
+    upsert analog A3/D4, src/lib.rs:899-967)."""
+    return cooccurrence_pairs(
+        ds.select_columns(["content_key", id_col]), "content_key", id_col, bucket_cap
     )

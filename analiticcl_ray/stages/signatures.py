@@ -122,13 +122,15 @@ class CaptionSignatures:
             ],
             dtype=np.uint64,
         )
+        # int64 bit-views: Arrow-native (Ray's conversion path rejects
+        # uint64 values above int64 max); bit pattern preserved
         return (
             batch.append_column("norm_len", pa.array(norm_lens, pa.int32()))
-            .append_column("content_key", pa.array(content, pa.uint64()))
+            .append_column("content_key", pa.array(content.view(np.int64), pa.int64()))
             .append_column(
                 "bands",
                 pa.FixedSizeListArray.from_arrays(
-                    pa.array(bands.reshape(-1), pa.uint64()), cfg.bands
+                    pa.array(bands.reshape(-1).view(np.int64), pa.int64()), cfg.bands
                 ),
             )
         )
@@ -151,5 +153,7 @@ def phash_band_table(batch: pa.Table, phash_bands: int = 4) -> pa.Table:
             )
     return batch.append_column(
         "phash_bands",
-        pa.FixedSizeListArray.from_arrays(pa.array(out.reshape(-1), pa.uint64()), phash_bands),
+        pa.FixedSizeListArray.from_arrays(
+            pa.array(out.reshape(-1).view(np.int64), pa.int64()), phash_bands
+        ),
     )

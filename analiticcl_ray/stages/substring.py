@@ -64,13 +64,13 @@ class SubstringFingerprints:
         self,
         cfg: DedupConfig | None = None,
         alphabet=None,
-        kgram: int = 16,
-        window: int = 8,
+        kgram: int | None = None,
+        window: int | None = None,
     ):
         self.cfg = cfg or DedupConfig()
         self.norm = Normalizer(alphabet or simple_alphabet())
-        self.kgram = kgram
-        self.window = window
+        self.kgram = kgram if kgram is not None else self.cfg.winnow_kgram
+        self.window = window if window is not None else self.cfg.winnow_window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
@@ -89,7 +89,7 @@ class SubstringFingerprints:
         )
         return pa.table(
             {
-                "band": pa.array(bands, pa.uint64()),
+                "band": pa.array(bands.view(np.int64), pa.int64()),
                 "image_id": pa.array(out_id, pa.string()),
             }
         )

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "verified_pairs": ..., "pairs_per_sec": ...}
+
+Headline = the flagship image+caption dedup pipeline (BASELINE.md:
+verified pairs/sec). Secondary timings cover the documents/embeddings/
+events operators.
+
+--scaling: runs this script in two fresh processes (RAY_GRAFT_CPUS=8
+then 32) on the same input and reports both throughputs + scaling
+efficiency (the sandbox substitute for N vs 4N nodes per the driver
+instructions); appends the result to BENCH_SCALING.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_ROWS = int(os.environ.get("GRAFT_CORPUS_ROWS", "20000"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines import ann, events, text
+    from analiticcl_ray.pipelines.dedup import dedup_pipeline
+    from analiticcl_ray.sources.corpus import corpus_path
+
+    queries: dict[str, float] = {}
+
+    # ---- corpus dedup (headline) ----------------------------------
+    path = corpus_path(CORPUS_ROWS)  # generation cached; excluded from timing
+    # warm the page cache so we measure compute+shuffle, not first read;
+    # split the read into enough blocks to feed every core
+    n_blocks = NUM_CPUS * 4
+    rd.read_parquet(path, override_num_blocks=n_blocks).count()
+    t0 = time.perf_counter()
+    pairs, clusters, metrics = dedup_pipeline(
+        rd.read_parquet(path, override_num_blocks=n_blocks),
+        signature_concurrency=(1, max(2, NUM_CPUS // 2)),
+        verify_concurrency=(1, max(2, NUM_CPUS // 2)),
+    )
+    headline = time.perf_counter() - t0
+    queries["corpus_dedup"] = round(headline, 3)
+    verified = metrics["verified_pairs"]
+
+    # ---- documents / embeddings / events operators ----------------
+    def timed(name, fn):
+        t = time.perf_counter()
+        res = fn()
+        # consume
+        if hasattr(res, "count"):
+            res.count()
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    docs = lambda: rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    emb = lambda: rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ev = lambda: rd.read_parquet(f"{SF_DIR}/events.parquet")
+
+    timed("exact_dedup", lambda: text.exact_dedup(docs()))
+    timed("doc_stats", lambda: text.doc_stats(docs()))
+    timed("token_counts", lambda: text.token_counts(docs()))
+    timed("minhash_dedup", lambda: text.minhash_dedup_pairs(docs()))
+    timed("simhash", lambda: text.simhash_fingerprints(docs()))
+    timed("lang_id", lambda: text.lang_id(docs()))
+    timed("ann_topk", lambda: ann.cosine_topk(emb(), list(range(10)), 5))
+    timed("window_agg", lambda: events.tumbling_window_agg(ev()))
+
+    result = {
+        "metric": "end-to-end dedup wall time (corpus_dedup headline) + operator timings",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": CORPUS_ROWS,
+        "verified_pairs": verified,
+        "pairs_per_sec": round(verified / headline, 2) if headline > 0 else None,
+        "candidate_pairs": metrics["candidate_pairs"],
+        "stage_metrics": {
+            k: v for k, v in metrics.items() if k.startswith("t_") or isinstance(v, int)
+        },
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    # efficiency: speedup achieved / speedup available
+    eff = (t_lo / t_hi) / (hi / lo)
+    out = {
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "pairs_per_sec_8": r_lo["pairs_per_sec"],
+        "pairs_per_sec_32": r_hi["pairs_per_sec"],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "corpus_rows": r_lo["corpus_rows"],
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,78 @@
+"""Checkpoint/resume tests (SURVEY.md §5.2 item 5): interrupted runs
+resume from durable partitions and produce identical final outputs."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def job_dirs(ray_session, tmp_path_factory):
+    from analiticcl_ray.pipelines.runner import run_dedup_job
+    from analiticcl_ray.sources.corpus import corpus_path
+
+    out = str(tmp_path_factory.mktemp("dedup_job"))
+    src = corpus_path(300, seed=11)
+    lineage1 = run_dedup_job(src, out, n_shards=4)
+    return src, out, lineage1
+
+
+def _clusters(out):
+    import ray.data
+
+    rows = ray.data.read_parquet(os.path.join(out, "clusters")).take_all()
+    return sorted((r["image_id"], r["cluster_id"]) for r in rows)
+
+
+def test_job_completes_with_lineage(job_dirs):
+    src, out, lineage = job_dirs
+    assert os.path.exists(os.path.join(out, "lineage.json"))
+    stages = [s["stage"] for s in lineage["stages"]]
+    assert stages == ["signatures", "pairs", "verified", "clusters"]
+    assert all(
+        os.path.exists(os.path.join(out, "signatures", f"shard={k}", "_SUCCESS"))
+        for k in range(4)
+    )
+
+
+def test_resume_skips_completed_stages(job_dirs):
+    from analiticcl_ray.pipelines.runner import run_dedup_job
+
+    src, out, _ = job_dirs
+    before = _clusters(out)
+    lineage2 = run_dedup_job(src, out, n_shards=4)
+    assert lineage2["stages"][0]["resumed_shards"] == 4
+    assert all(s.get("resumed") for s in lineage2["stages"][1:])
+    assert _clusters(out) == before
+
+
+def test_resume_after_partial_failure(job_dirs):
+    """Simulate a crash mid-run: one signature shard and everything
+    downstream lost -> rerun recomputes only the missing pieces and the
+    final cluster table is identical."""
+    from analiticcl_ray.pipelines.runner import run_dedup_job
+
+    src, out, _ = job_dirs
+    before = _clusters(out)
+    shutil.rmtree(os.path.join(out, "signatures", "shard=2"))
+    shutil.rmtree(os.path.join(out, "verified"))
+    shutil.rmtree(os.path.join(out, "clusters"))
+    lineage3 = run_dedup_job(src, out, n_shards=4)
+    assert lineage3["stages"][0]["resumed_shards"] == 3  # 3 of 4 reused
+    assert lineage3["stages"][1].get("resumed")  # pairs manifest intact
+    assert not lineage3["stages"][2].get("resumed")  # verified recomputed
+    assert _clusters(out) == before
+
+
+def test_config_change_invalidates_checkpoints(job_dirs, tmp_path):
+    from analiticcl_ray.config import DedupConfig
+    from analiticcl_ray.pipelines.runner import run_dedup_job
+
+    src, out, _ = job_dirs
+    lineage = run_dedup_job(
+        src, out, cfg=DedupConfig(bucket_cap=64), n_shards=4
+    )
+    # different config hash -> wide stages recomputed, not resumed
+    assert not lineage["stages"][1].get("resumed")
