@@ -110,7 +110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ann_lsh_topk(sf_dir):
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-        return ann.lsh_bucketed_topk(emb, query_ids=list(range(10)), k=5)
+        # short codes + many tables: these embeddings are angularly
+        # uniform, so recall needs wide OR-construction
+        return ann.lsh_bucketed_topk(
+            emb, query_ids=list(range(10)), k=5, n_planes=4, n_tables=16
+        )
 
     def window_agg(sf_dir):
         ev = rd.read_parquet(f"{sf_dir}/events.parquet")

@@ -25,7 +25,8 @@ def tumbling_window_agg(
 
     def _win(batch: pa.Table) -> pa.Table:
         df = batch.select(["user_id", "ts", "value"]).to_pandas()
-        epoch = df["ts"].astype("int64") // 1_000_000  # us -> s
+        # unit-independent epoch seconds (pandas may carry ns or us)
+        epoch = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
         df["window_start"] = (epoch // window_s) * window_s
         g = (
             df.groupby(["user_id", "window_start"], sort=False)
@@ -62,7 +63,7 @@ def sessionize(
 
     def _sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("ts").reset_index(drop=True)
-        epoch = g["ts"].astype("int64") // 1_000_000
+        epoch = (g["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
         new_session = (epoch.diff().fillna(gap_s + 1) > gap_s).cumsum()
         out = (
             g.assign(session=new_session, epoch=epoch)

@@ -74,6 +74,26 @@ def test_label_propagation_matches_union_find(ray_session, pipeline_result):
     assert lp == uf
 
 
+def test_recall_other_seed(ray_session):
+    """Recall guard at a second seed (the fixed signature config must
+    not be tuned to one corpus instance)."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.dedup import dedup_pipeline
+    from analiticcl_ray.pipelines.oracle import oracle_pairs
+    from analiticcl_ray.sources.corpus import generate_corpus
+
+    tab = generate_corpus(500, 99)
+    truth = oracle_pairs(tab)
+    pairs_ds, _, _ = dedup_pipeline(rd.from_arrow(tab))
+    got = set()
+    for b in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        got.update(zip(b["src_id"].to_pylist(), b["dst_id"].to_pylist()))
+    missed = truth - got
+    assert (len(truth) - len(missed)) / max(1, len(truth)) >= 0.99
+    assert not (got - truth)
+
+
 def test_pipeline_deterministic_pairs(ray_session, small_corpus, pipeline_result):
     """Re-running the pipeline yields the identical pair set (seeded
     hashing, no wall-clock anywhere) — retry/determinism requirement."""
