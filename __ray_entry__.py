@@ -139,6 +139,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             SearchConfig(score_threshold=0.5, cutoff_threshold=0.0),
         )
 
+    def search_correct(sf_dir):
+        # running-text search mode (reference `analiticcl search`): correct
+        # each document line against the corpus token lexicon
+        from analiticcl_ray.pipelines.search import find_all_matches_ds
+
+        tc = text.token_counts(_docs(sf_dir)).to_pandas()
+        tc = tc.sort_values(["cnt", "token"], ascending=[False, True]).head(200)
+        lex = Lexicon.from_rows(list(zip(tc["token"], tc["cnt"])))
+        lines = _docs(sf_dir).limit(50).map_batches(
+            lambda b: {"line_id": b["doc_id"], "text": b["text"]},
+            batch_format="pandas",
+        )
+        return find_all_matches_ds(
+            lines, lex, SearchConfig(score_threshold=0.5, cutoff_threshold=0.0)
+        )
+
+    def learn_variants(sf_dir):
+        # learn mode (reference `analiticcl learn`): typo'd tokens learned
+        # as transparent variants of the lexicon references
+        from analiticcl_ray.pipelines.learn import learn_variants_ds
+
+        tc = text.token_counts(_docs(sf_dir)).to_pandas()
+        tc = tc.sort_values(["cnt", "token"], ascending=[False, True]).head(100)
+        lex = Lexicon.from_rows(list(zip(tc["token"], tc["cnt"])))
+        inputs = [
+            {"input": t[0] + t[2] + t[1] + t[3:]}
+            for t in tc["token"].head(30)
+            if len(t) >= 4
+        ]
+        _, reverse, _ = learn_variants_ds(
+            rd.from_items(inputs), lex,
+            SearchConfig(score_threshold=0.5, cutoff_threshold=0.0),
+            iterations=2,
+        )
+        return reverse
+
     def corpus_dedup_pairs(sf_dir):
         pairs, _, _ = dedup_pipeline(_corpus_ds(sf_dir))
         return pairs.select_columns(["src_id", "dst_id"])
@@ -165,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": window_agg,
         "sessions": sessions,
         "find_variants": find_variants,
+        "search_correct": search_correct,
+        "learn_variants": learn_variants,
         "corpus_dedup_pairs": corpus_dedup_pairs,
         "corpus_dedup_clusters": corpus_dedup_clusters,
     }

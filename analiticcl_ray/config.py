@@ -36,6 +36,18 @@ class DedupConfig:
                                           # probability; measured recall 1.0 vs
                                           # the oracle across seeds (tests)
     phash_bands: int = 4                  # 16-bit bands over the 64-bit phash
+    use_phash_bands: bool = True          # image-side candidates (needed for
+                                          # caption-drifted chains whose
+                                          # images stay near-identical)
+    phash_bucket_cap: int = 32            # phash slice buckets get a much
+    phash_drop_threshold: int = 32        # tighter degeneracy threshold than
+                                          # caption bands: true image-dup
+                                          # groups are small, while DCT sign
+                                          # slices cluster heavily across
+                                          # natural images (measured ~90% of
+                                          # false candidates without this);
+                                          # dropped buckets are still counted
+                                          # in metrics — no silent caps.
     winnow_kgram: int = 20                # substring-stage k-gram length
     winnow_window: int = 8                # winnowing window (guarantee: spans
                                           # >= kgram+window-1 chars share a key)

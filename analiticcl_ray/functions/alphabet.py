@@ -175,6 +175,70 @@ class Normalizer:
         return shingle_keys_from_norm(norm, self.unk_hash_index, self.unk_norm, n)
 
 
+# --- anagram-value algebra (src/anahash.rs:139-260) -------------------
+# AnaValues are arbitrary-precision Python ints: insert = multiply,
+# delete = divide when divisible, containment = divisibility, empty = 1.
+
+def anahash_empty() -> int:
+    return 1
+
+
+def anahash_character(seqnr: int) -> int:
+    """The prime assigned to alphabet class ``seqnr`` (src/anahash.rs:141-143)."""
+    return int(PRIMES[seqnr])
+
+
+def anahash_insert(value: int, char_value: int) -> int:
+    """src/anahash.rs:146-152."""
+    return value * char_value
+
+
+def anahash_delete(value: int, char_value: int) -> int | None:
+    """src/anahash.rs:156-162: None when the character isn't contained."""
+    if char_value != 0 and value % char_value == 0:
+        return value // char_value
+    return None
+
+
+def anahash_contains(value: int, other: int) -> bool:
+    """Sub-bag test via divisibility (src/anahash.rs:165-171)."""
+    if other == 0:
+        return False
+    return value % other == 0
+
+
+def anahash_char_count(value: int, alphabet_size: int) -> int:
+    """Total character count = total prime multiplicity
+    (src/anahash.rs:228-249 iterates; equivalent factor-count here)."""
+    count = 0
+    v = value
+    for i in range(alphabet_size + 1):
+        p = int(PRIMES[i])
+        while v % p == 0:
+            v //= p
+            count += 1
+        if v == 1:
+            break
+    return count
+
+
+def anahash_upper_bound(value: int, alphabet_size: int) -> tuple[int, int]:
+    """(highest alphabet index present, char count) —
+    src/anahash.rs alphabet_upper_bound."""
+    count = 0
+    highest = 0
+    v = value
+    for i in range(alphabet_size + 1):
+        p = int(PRIMES[i])
+        while v % p == 0:
+            v //= p
+            count += 1
+            highest = i
+        if v == 1:
+            break
+    return highest, count
+
+
 def shingle_keys_from_norm(
     norm: np.ndarray, unk_hash_index: int, unk_norm: int, n: int = 3
 ) -> np.ndarray:

@@ -69,15 +69,23 @@ def dedup_pipeline(
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=signature_concurrency,
-    ).map_batches(
-        lambda b: phash_band_table(b, cfg.phash_bands), batch_format="pyarrow"
-    ).select_columns(["image_id", "content_key", "bands", "phash_bands"]).materialize()
+    )
+    sig_cols = ["image_id", "content_key", "bands"]
+    if cfg.use_phash_bands:
+        sigs = sigs.map_batches(
+            lambda b: phash_band_table(b, cfg.phash_bands), batch_format="pyarrow"
+        )
+        sig_cols.append("phash_bands")
+    sigs = sigs.select_columns(sig_cols).materialize()
+    phash_rows = (
+        explode_band_rows(sigs, band_cols=("phash_bands",)) if cfg.use_phash_bands else None
+    )
     # ^ materialized: consumed by 3 downstream passes (hot-key count, pair
     #   emission, exact-dup) — without this the signature computation would
     #   lazily re-execute per consumer. Slim columns only (ids + sketches);
     #   the object store spills if needed.
 
-    band_rows = explode_band_rows(sigs)
+    band_rows = explode_band_rows(sigs, band_cols=("bands",))
     if with_substring_stage:
         substr_rows = corpus.select_columns(["image_id", "caption"]).map_batches(
             SubstringFingerprints,
@@ -87,26 +95,59 @@ def dedup_pipeline(
             concurrency=signature_concurrency,
         )
         band_rows = band_rows.union(substr_rows)
-    band_rows = band_rows.materialize()  # consumed twice (count + pairs)
+    # band_rows has a single consumer (the one-shuffle candidate stage),
+    # so no materialize barrier is needed
+
+    # exact content-key co-occurrence rides the SAME shuffle as the LSH
+    # bands: content keys are just one more key source (one sort fewer)
+    def _content_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"band": batch["content_key"], "image_id": batch["image_id"]}
+        )
+
+    band_rows = band_rows.union(
+        sigs.map_batches(_content_rows, batch_format="pyarrow")
+    )
 
     # --- candidate generation (the wide step) ---------------------------
     bucket_stats: dict = {}
-    cands = candidate_pairs(band_rows, cfg.bucket_cap, stats=bucket_stats)
-    exact = exact_dup_pairs(sigs, cfg.bucket_cap)
-    pairs = dedup_pairs(cands.union(exact)).materialize()
+    cands = candidate_pairs(
+        band_rows, cfg.bucket_cap, stats=None, keep_sentinels=True
+    )
+    if phash_rows is not None:
+        # image-side candidates: separate co-occurrence pass with the
+        # tight phash degeneracy threshold (see DedupConfig)
+        from ..stages.lsh import cooccurrence_pairs
+
+        cands = cands.union(
+            cooccurrence_pairs(
+                phash_rows,
+                "band",
+                "image_id",
+                cap=cfg.phash_bucket_cap,
+                drop_threshold=cfg.phash_drop_threshold,
+                keep_sentinels=True,
+            )
+        )
+    pairs = dedup_pairs(cands).materialize()
+    # sentinel tally + strip and both counts in one driver pass over the
+    # (edge-list-sized) materialized pairs
+    from ..stages.lsh import DROPPED_SENTINEL, tally_sentinels
+
+    tally_sentinels(pairs, bucket_stats)
     metrics.update(bucket_stats)  # dropped degenerate buckets: no silent caps
+    pairs = pairs.filter(expr=f"src_id != '{DROPPED_SENTINEL}'").materialize()
     metrics["candidate_pairs"] = pairs.count()
     metrics["capped_pairs"] = pairs.filter(expr="capped == True").count()
     metrics["t_candidates_s"] = round(time.perf_counter() - t0, 3)
 
     # --- caption verification ------------------------------------------
     t1 = time.perf_counter()
-    # the pair-dedup aggregate coalesces into few blocks; spread the pairs
-    # so the verify actor pool actually runs wide
-    n_verify_blocks = max(4, min(128, metrics["candidate_pairs"] // max(verify_batch_size // 2, 1) + 1))
-    pairs = pairs.repartition(n_verify_blocks)
+    # (pairs come out of the cogroup dedup in ~n_cogroups-spread blocks —
+    # already wide enough for the verify pool; no repartition barrier)
     with_captions = attach_pair_sides(
-        pairs, corpus, ["caption"], method=attach_method
+        pairs, corpus, ["caption"], method=attach_method,
+        concurrency=verify_concurrency,
     )
     cap_verified = with_captions.map_batches(
         CaptionVerifier,
@@ -135,6 +176,7 @@ def dedup_pipeline(
         ["bytes", "fmt"],
         method=attach_method,
         id_filter=needed_ids,
+        concurrency=verify_concurrency,
     )
     img_verified = with_bytes.map_batches(
         ImageVerifier,

@@ -98,8 +98,13 @@ def run_dedup_job(
     lineage: dict = {"config_hash": cfg_hash, "input": corpus_parquet, "stages": []}
 
     # ---- stage 1: per-shard signatures (resumable per partition) ----
-    pf = pq.ParquetFile(corpus_parquet)
-    n_rows = pf.metadata.num_rows
+    # shard = contiguous row range; input may be a single parquet file or
+    # a directory of part files (read as one logical table for slicing)
+    if os.path.isdir(corpus_parquet):
+        src_table = pq.read_table(corpus_parquet)
+    else:
+        src_table = pq.ParquetFile(corpus_parquet).read()
+    n_rows = src_table.num_rows
     shard_bounds = [
         (i * n_rows // n_shards, (i + 1) * n_rows // n_shards) for i in range(n_shards)
     ]
@@ -121,15 +126,19 @@ def run_dedup_job(
             continue
         shard_dir = os.path.join(sig_root, name)
         shutil.rmtree(shard_dir, ignore_errors=True)
-        # slice the input by row range (shard = contiguous row range of
-        # the source file; with a multi-file input this would be per file)
-        tbl = pf.read_row_groups(range(pf.num_row_groups)).slice(lo, hi - lo)
+        tbl = src_table.slice(lo, hi - lo)
         sds = ray.data.from_arrow(tbl)
         sds = sds.map_batches(
             CaptionSignatures, fn_constructor_args=(cfg,),
             batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
-        ).map_batches(lambda b: phash_band_table(b, cfg.phash_bands), batch_format="pyarrow")
-        sds.select_columns(["image_id", "content_key", "bands", "phash_bands"]).write_parquet(shard_dir)
+        )
+        sig_cols = ["image_id", "content_key", "bands"]
+        if cfg.use_phash_bands:
+            sds = sds.map_batches(
+                lambda b: phash_band_table(b, cfg.phash_bands), batch_format="pyarrow"
+            )
+            sig_cols.append("phash_bands")
+        sds.select_columns(sig_cols).write_parquet(shard_dir)
         with open(os.path.join(shard_dir, "_SUCCESS"), "w") as f:
             f.write(cfg_hash)
     lineage["stages"].append(
@@ -138,7 +147,8 @@ def run_dedup_job(
     )
 
     sigs = ray.data.read_parquet(sig_root).select_columns(
-        ["image_id", "content_key", "bands", "phash_bands"]
+        ["image_id", "content_key", "bands"]
+        + (["phash_bands"] if cfg.use_phash_bands else [])
     )
     corpus = ray.data.read_parquet(corpus_parquet)
 

@@ -1,0 +1,500 @@
+"""Search mode — running-text error detection/correction
+(``analiticcl search`` / ``find_all_matches``), as a Ray Data pipeline.
+
+Replicated semantics (citations into /root/reference):
+
+- ``find_boundaries``: alphabetic vs non-alphabetic runs; trailing dummy
+  boundary (src/search.rs:190-233).
+- ``classify_boundaries``: last + multi-char -> Hard; ``'``/``-``/``_``
+  -> Weak; else Normal (src/search.rs:238-258).
+- ``find_match_ngrams``: order-n spans between boundaries, empty/space
+  skipped, order check on the final span (src/search.rs:262-313).
+- ``redundant_match``: skip higher-order n-grams whose covered unigrams
+  already score 1.0 (src/search.rs:317-336).
+- ``find_all_matches``: hard-boundary batching; per-order segment
+  expansion; per-segment ``find_variants``; consolidation
+  (src/lib.rs:1790-1957). The distributed shape: one actor holds the
+  (small, broadcast) lexicon model; input *lines* stream through
+  ``map_batches`` — the Ray analog of the reference's rayon
+  ``par_iter_mut`` over segments (src/lib.rs:1883-1899), parallel over
+  lines instead of segments (better batch locality, same results since
+  lines are independent).
+- ``most_likely_sequence``: the reference builds a tropical-weight FST
+  over boundary states with per-variant transition cost
+  ``n + (1 - score)`` (src/lib.rs:2219-2220), OOV unigram cost ``n+1``
+  (:2237), epsilon failsafe cost 100 (:2265-2276), extracts the
+  ``max_seq`` shortest paths and rescores them with the LM/context rules
+  via a normalized weighted geometric mean (:2383-2425). We implement
+  the identical cost model as an n-best dynamic program over the
+  boundary-state DAG (the FST here is acyclic, so k-shortest-paths DP is
+  exact) and apply the identical rescoring formula. With no LM and no
+  context rules the reference shortcut reduces to "minimum variant
+  cost" (src/lib.rs:2400-2404) — bit-equal to our DP's best path.
+- bigram LM scoring: counts with the reference's transition smoothing
+  constant (src/search.rs:4), perplexity = -logprob/n
+  (src/lib.rs:2632-2674); BOS/EOS markers (src/vocab.rs:145-146).
+- ``remap_offsets_to_unicodepoints`` (src/search.rs:527-546).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import SearchConfig
+from .variants import Lexicon, VariantFinder
+
+TRANSITION_SMOOTHING_LOGPROB = -13.815510557964274  # src/search.rs:4
+BOS = "<bos>"
+EOS = "<eos>"
+
+
+# ---------------------------------------------------------------------
+# boundaries / ngrams
+# ---------------------------------------------------------------------
+
+@dataclass
+class Span:
+    text: str
+    begin: int
+    end: int
+    n: int = 0
+    variants: Optional[list[dict]] = None  # find_variants results
+    selected: Optional[int] = None
+
+
+def find_boundaries(text: str) -> list[Span]:
+    """src/search.rs:190-233 (offsets here are codepoint offsets — the
+    natural Python indexing; the reference uses UTF-8 bytes and offers
+    remapping, src/search.rs:527-546, so codepoints are its remapped
+    form)."""
+    boundaries: list[Span] = []
+    begin: Optional[int] = None
+    for i, c in enumerate(text):
+        if begin is not None:
+            if c.isalpha():
+                boundaries.append(Span(text[begin:i], begin, i))
+                begin = None
+        else:
+            if not c.isalpha():
+                begin = i
+    if begin is not None:
+        boundaries.append(Span(text[begin:], begin, len(text)))
+    else:
+        boundaries.append(Span("", len(text), len(text)))
+    return boundaries
+
+
+def classify_boundaries(boundaries: list[Span]) -> list[str]:
+    """src/search.rs:238-258."""
+    out = []
+    for i, b in enumerate(boundaries):
+        if i == len(boundaries) - 1:
+            out.append("hard")
+        elif len(b.text) > 1:
+            out.append("hard")
+        elif b.text in ("'", "-", "_"):
+            out.append("weak")
+        else:
+            out.append("normal")
+    return out
+
+
+def _internal_boundary_count(span: Span, boundaries: list[Span]) -> int:
+    """src/search.rs:103-121 (count of strictly-internal boundaries)."""
+    idx = [
+        i
+        for i, b in enumerate(boundaries)
+        if b.begin > span.begin and b.end < span.end
+    ]
+    if not idx:
+        return 0
+    begin = idx[0]
+    end = idx[-1] + 1 if len(idx) > 1 else 0
+    if begin >= end:
+        return 0
+    return end - begin
+
+
+def find_match_ngrams(
+    text: str,
+    boundaries: list[Span],
+    order: int,
+    begin: int,
+    end: Optional[int] = None,
+) -> list[Span]:
+    """src/search.rs:262-313."""
+    ngrams: list[Span] = []
+    end = end if end is not None else len(text)
+    i = 0
+    while i + order - 1 < len(boundaries):
+        boundary = boundaries[i + order - 1]
+        if boundary.begin > end:
+            break
+        matchtext = text[begin : boundary.begin]
+        if matchtext and matchtext != " ":
+            ngrams.append(Span(matchtext, begin, boundary.begin, n=order))
+        begin = boundaries[i].end
+        i += 1
+    if begin < end:
+        matchtext = text[begin:end]
+        if matchtext and matchtext != " ":
+            span = Span(matchtext, begin, end, n=order)
+            if _internal_boundary_count(span, boundaries) == order:
+                ngrams.append(span)
+    return ngrams
+
+
+def redundant_match(candidate: Span, matches: list[Span]) -> bool:
+    """src/search.rs:317-336."""
+    for ref in matches:
+        if ref.n == 1:
+            if ref.begin >= candidate.begin and ref.end <= candidate.end:
+                if ref.variants is not None:
+                    if not ref.variants or ref.variants[0]["dist_score"] < 1.0:
+                        return False
+                else:
+                    return False
+        else:
+            break
+    return True
+
+
+# ---------------------------------------------------------------------
+# bigram language model (T9)
+# ---------------------------------------------------------------------
+
+class BigramLM:
+    """Count-based bigram LM with the reference's constant transition
+    smoothing (src/lib.rs:2632-2674)."""
+
+    def __init__(self):
+        self.counts: dict[tuple, int] = {}
+
+    def add_ngram(self, ngram: tuple[str, ...], frequency: int = 1) -> None:
+        self.counts[ngram] = self.counts.get(ngram, 0) + frequency
+
+    def train_tokens(self, token_lists) -> None:
+        for toks in token_lists:
+            seq = [BOS, *toks, EOS]
+            for t in seq:
+                self.add_ngram((t,))
+            for a, b in zip(seq, seq[1:]):
+                self.add_ngram((a, b))
+
+    def score_tokens(self, tokens: list[Optional[str]]) -> tuple[float, float]:
+        """(logprob, perplexity); None entries = out of vocabulary.
+        Mirrors lm_score_tokens exactly."""
+        logprob = 0.0
+        n = 0
+        seq = tokens
+        for i in range(1, len(seq)):
+            a, b = seq[i - 1], seq[i]
+            if a is not None and b is not None:
+                priorcount = self.counts.get((a,), 1)
+                joint = self.counts.get((a, b))
+                if joint is not None:
+                    import math
+
+                    if priorcount < joint:
+                        logprob += math.log(joint)
+                    else:
+                        logprob += math.log(joint / priorcount)
+                else:
+                    logprob += TRANSITION_SMOOTHING_LOGPROB
+                n += 1
+            else:
+                n += 1
+                logprob += TRANSITION_SMOOTHING_LOGPROB
+        perplexity = -logprob / n if n else 0.0
+        return logprob, perplexity
+
+
+# ---------------------------------------------------------------------
+# consolidation: n-best DP over the boundary DAG
+# ---------------------------------------------------------------------
+
+def _nbest_paths(
+    matches: list[Span],
+    boundaries: list[Span],
+    begin_offset: int,
+    end_offset: int,
+    freq_weight: float,
+    max_seq: int,
+):
+    """k-shortest paths over the boundary-state DAG with the reference's
+    exact edge costs. Returns list of (cost, [(match_idx, variant_idx |
+    None)]) sorted by cost."""
+    # states: -1 = start, 0..len(boundaries)-1 = after boundary i
+    n_states = len(boundaries) + 1
+
+    def state_of_boundary(i: int) -> int:
+        return i + 1
+
+    finals = {
+        state_of_boundary(i)
+        for i, b in enumerate(boundaries)
+        if b.begin == end_offset or b.end == end_offset
+    }
+    edges: dict[int, list[tuple[int, float, tuple]]] = {s: [] for s in range(n_states)}
+    for mi, m in enumerate(matches):
+        prevb = None
+        nextb = None
+        for i, b in enumerate(boundaries):
+            if m.begin == b.end:
+                prevb = i
+            elif m.end == b.begin:
+                nextb = i
+        if nextb is None:
+            continue
+        prevstate = state_of_boundary(prevb) if prevb is not None else 0
+        nextstate = state_of_boundary(nextb)
+        if m.variants:
+            for vi, v in enumerate(m.variants):
+                score = v["dist_score"] if freq_weight == 0.0 else (
+                    (v["dist_score"] + freq_weight * v["freq_score"]) / (1.0 + freq_weight)
+                )
+                cost = m.n + (1.0 - score)  # src/lib.rs:2219-2220
+                edges[prevstate].append((nextstate, cost, (mi, vi)))
+        elif m.n == 1:
+            edges[prevstate].append((nextstate, m.n + 1.0, (mi, None)))  # OOV
+    # epsilon failsafe chain (src/lib.rs:2265-2276)
+    for i in range(len(boundaries)):
+        prevstate = 0 if i == 0 else state_of_boundary(i - 1)
+        edges[prevstate].append((state_of_boundary(i), 100.0, None))
+
+    # k-shortest via best-first search (DAG, non-negative costs)
+    results = []
+    heap: list[tuple[float, int, int, tuple]] = [(0.0, 0, 0, ())]
+    counter = 0
+    pops: dict[int, int] = {}
+    while heap and len(results) < max_seq:
+        cost, _, state, path = heapq.heappop(heap)
+        pops[state] = pops.get(state, 0) + 1
+        if pops[state] > max_seq:
+            continue
+        if state in finals:
+            results.append((cost, [p for p in path if p is not None]))
+            continue
+        for nxt, c, label in edges.get(state, ()):  # expand
+            counter += 1
+            heapq.heappush(heap, (cost + c, counter, nxt, path + (label,)))
+    return results
+
+
+def most_likely_sequence(
+    matches: list[Span],
+    boundaries: list[Span],
+    begin_offset: int,
+    end_offset: int,
+    cfg: SearchConfig,
+    finder: VariantFinder,
+    lm: Optional[BigramLM] = None,
+    max_seq: int = 250,
+    lm_weight: float = 1.0,
+    variantmodel_weight: float = 3.0,
+) -> list[Span]:
+    """Pick the best segmentation; reference rescoring formula
+    (src/lib.rs:2383-2425)."""
+    import math
+
+    have_symbols = any(m.variants for m in matches) or any(
+        m.n == 1 for m in matches
+    )
+    if not have_symbols:
+        return matches
+    paths = _nbest_paths(
+        matches, boundaries, begin_offset, end_offset, cfg.freq_weight, max_seq
+    )
+    if not paths:
+        return matches
+    if lm is None or lm_weight == 0.0:
+        # shortcut: min variant cost (src/lib.rs:2400-2404)
+        best_cost, best_path = paths[0]
+    else:
+        best_variant_cost = min(c for c, _ in paths)
+        scored = []
+        best_pp = None
+        infos = []
+        for cost, path in paths:
+            tokens: list[Optional[str]] = [BOS]
+            for mi, vi in path:
+                m = matches[mi]
+                if vi is None:
+                    tokens.append(None)  # OOV copied from input
+                else:
+                    text = finder.lex.texts[m.variants[vi]["vocab_id"]]
+                    tokens.extend(text.split(" "))
+            tokens.append(EOS)
+            _, pp = lm.score_tokens(tokens)
+            infos.append((cost, path, pp))
+            if best_pp is None or pp < best_pp:
+                best_pp = pp
+        best_score = None
+        best_path = paths[0][1]
+        best_cost = paths[0][0]
+        for cost, path, pp in infos:
+            # Rust's f64 ln(0) = -inf (no panic); mirror that so a
+            # perplexity-0 best path dominates instead of crashing
+            if pp == best_pp:
+                norm_lm = 0.0
+            elif pp <= 0:
+                norm_lm = float("inf")
+            elif best_pp <= 0:
+                norm_lm = float("-inf")
+            else:
+                norm_lm = math.log(best_pp / pp)
+            norm_var = math.log(best_variant_cost / cost)
+            score = (lm_weight * norm_lm + variantmodel_weight * norm_var) / (
+                lm_weight + variantmodel_weight
+            )
+            if best_score is None or score > best_score:
+                best_score = score
+                best_path = path
+                best_cost = cost
+
+    chosen: list[Span] = []
+    for mi, vi in best_path:
+        m = matches[mi]
+        m.selected = vi
+        chosen.append(m)
+    return chosen
+
+
+# ---------------------------------------------------------------------
+# find_all_matches
+# ---------------------------------------------------------------------
+
+def find_all_matches(
+    text: str,
+    finder: VariantFinder,
+    cfg: Optional[SearchConfig] = None,
+    max_ngram: int = 1,
+    lm: Optional[BigramLM] = None,
+    max_seq: int = 250,
+) -> list[Span]:
+    """src/lib.rs:1790-1957."""
+    cfg = cfg or SearchConfig()
+    if not text:
+        return []
+    boundaries = find_boundaries(text)
+    strengths = classify_boundaries(boundaries)
+    matches: list[Span] = []
+    begin = 0
+    begin_index = 0
+    for i, (strength, boundary) in enumerate(zip(strengths, boundaries)):
+        if strength == "hard" and boundary.begin != begin:
+            local_bounds = boundaries[begin_index : i + 1]
+            batch_matches: list[Span] = []
+            for order in range(1, max_ngram + 1):
+                segs = find_match_ngrams(text, local_bounds, order, begin, boundary.begin)
+                for seg in segs:
+                    if order == 1 or not redundant_match(seg, batch_matches):
+                        seg.variants = finder.find_variants(seg.text)
+                batch_matches.extend(segs)
+            if max_ngram > 1 or lm is not None:
+                matches.extend(
+                    most_likely_sequence(
+                        batch_matches, local_bounds, begin, boundary.begin,
+                        cfg, finder, lm, max_seq,
+                    )
+                )
+            else:
+                for m in batch_matches:
+                    m.selected = 0 if m.variants else None
+                matches.extend(batch_matches)
+            begin = boundary.end
+            begin_index = i + 1
+    return matches
+
+
+def match_output(m: Span, finder: VariantFinder) -> str:
+    """The corrected surface form for a match (reference match_to_str)."""
+    if m.selected is not None and m.variants:
+        return finder.lex.texts[m.variants[m.selected]["vocab_id"]]
+    return m.text
+
+
+class SearchActor:
+    """Actor-pool stage: lines stream in, corrected matches stream out."""
+
+    def __init__(
+        self,
+        lexicon_or_ref,
+        cfg: Optional[SearchConfig] = None,
+        max_ngram: int = 1,
+        lm_or_ref=None,
+        alphabet=None,
+    ):
+        lex = (
+            ray.get(lexicon_or_ref)
+            if isinstance(lexicon_or_ref, ray.ObjectRef)
+            else lexicon_or_ref
+        )
+        self.finder = VariantFinder(lex, cfg, alphabet)
+        self.cfg = cfg or SearchConfig()
+        self.max_ngram = max_ngram
+        self.lm = (
+            ray.get(lm_or_ref) if isinstance(lm_or_ref, ray.ObjectRef) else lm_or_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "line_id": [],
+            "match_text": [],
+            "begin": [],
+            "end": [],
+            "output": [],
+            "score": [],
+        }
+        for lid, line in zip(batch["line_id"].to_pylist(), batch["text"].to_pylist()):
+            for m in find_all_matches(
+                line, self.finder, self.cfg, self.max_ngram, self.lm
+            ):
+                out["line_id"].append(lid)
+                out["match_text"].append(m.text)
+                out["begin"].append(m.begin)
+                out["end"].append(m.end)
+                out["output"].append(match_output(m, self.finder))
+                out["score"].append(
+                    m.variants[m.selected]["dist_score"]
+                    if m.selected is not None and m.variants
+                    else None
+                )
+        return pa.table(
+            {
+                "line_id": pa.array(out["line_id"], pa.int64()),
+                "match_text": pa.array(out["match_text"], pa.string()),
+                "begin": pa.array(out["begin"], pa.int64()),
+                "end": pa.array(out["end"], pa.int64()),
+                "output": pa.array(out["output"], pa.string()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )
+
+
+def find_all_matches_ds(
+    lines: "ray.data.Dataset",
+    lexicon: Lexicon,
+    cfg: Optional[SearchConfig] = None,
+    max_ngram: int = 1,
+    lm: Optional[BigramLM] = None,
+    concurrency=(1, 8),
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Distributed search mode over a Dataset of (line_id, text)."""
+    lex_ref = ray.put(lexicon)
+    lm_ref = ray.put(lm) if lm is not None else None
+    return lines.map_batches(
+        SearchActor,
+        fn_constructor_args=(lex_ref, cfg, max_ngram, lm_ref),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -390,7 +390,11 @@ def minhash_dedup_pairs(
             id_dtype="int",
         ),
         id_dtype="int",
-    ).rename_columns(["a", "b", "capped"])
+    ).map_batches(
+        # rename via arrow (blocks may arrive as pandas from map_groups)
+        lambda t: t.rename_columns(["a", "b", "capped"]),
+        batch_format="pyarrow",
+    )
 
     # exact-verify survivors with a broadcast gram-set table
     gram_sets: dict[int, frozenset] = {}

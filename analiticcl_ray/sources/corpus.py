@@ -37,7 +37,7 @@ from ..image.codec import phash64, png_decode, png_encode, quantize_encode
 BOILERPLATE = "stock photo of a sunset"
 
 
-def _make_vocab(n_words: int = 600, seed: int = 1234) -> list[str]:
+def _make_vocab(n_words: int = 4000, seed: int = 1234) -> list[str]:
     """Deterministic synthetic vocabulary: syllable-composed pseudo-words
     plus the reference test words (huis, think, right, separate, ...), so
     captions are diverse (good bag-distance separation, realistic LSH
@@ -204,21 +204,29 @@ def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
     )
 
 
-def corpus_path(n_rows: int, seed: int = 42, root: str = "/tmp/analiticcl_ray") -> str:
-    """Materialize (once) and return the parquet path for a corpus size.
-
-    Written as a *directory* of row-group-friendly parquet so
-    ray.data.read_parquet parallelizes the read."""
+def corpus_path(
+    n_rows: int, seed: int = 42, root: str = "/tmp/analiticcl_ray",
+    n_files: int = 32,
+) -> str:
+    """Materialize (once) and return the parquet DIRECTORY for a corpus
+    size — many part files so the read parallelizes across cores (a
+    single-file read is one serial task in Ray Data)."""
     d = os.path.join(root, f"corpus_n{n_rows}_s{seed}")
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
         table = generate_corpus(n_rows, seed)
-        pq.write_table(
-            table,
-            os.path.join(d, "corpus.parquet"),
-            row_group_size=max(1024, n_rows // 32),
-        )
+        n_files = max(1, min(n_files, n_rows // 256 or 1))
+        step = (n_rows + n_files - 1) // n_files
+        for i in range(n_files):
+            part = table.slice(i * step, step)
+            if len(part) == 0:
+                break
+            pq.write_table(
+                part,
+                os.path.join(d, f"part-{i:04d}.parquet"),
+                row_group_size=max(512, step // 4),
+            )
         with open(marker, "w") as f:
             f.write("ok")
-    return os.path.join(d, "corpus.parquet")
+    return d

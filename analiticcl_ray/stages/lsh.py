@@ -117,6 +117,9 @@ def hot_keys(rows: "ray.data.Dataset", key_col: str) -> "ray.data.Dataset":
     )
 
 
+DROPPED_SENTINEL = "__DROPPED_BUCKET__"
+
+
 def cooccurrence_pairs(
     rows: "ray.data.Dataset",
     key_col: str,
@@ -125,73 +128,73 @@ def cooccurrence_pairs(
     id_dtype: str = "str",
     drop_threshold: Optional[int] = None,
     stats: Optional[dict] = None,
+    n_cogroups: int = 1024,
+    keep_sentinels: bool = False,
 ) -> "ray.data.Dataset":
     """(key, id) rows -> canonical candidate pairs (src < dst) for every
     key shared by >= 2 ids, with salting above ``cap``.
 
-    The hot-key prefilter (module docstring) keeps Python-level group
-    processing proportional to *duplicate* volume, not corpus volume.
+    ONE shuffle, keyed by a coarse integer co-group bucket (hash of the
+    key): every row of a key lands in the same bucket (superset
+    co-location), singleton keys are eliminated by a C-speed pandas
+    ``value_counts`` inside the group, and Python-level pair emission
+    touches only keys that can emit a pair. This replaces the earlier
+    two-pass design (count keys -> semi-join -> group again), halving
+    the shuffle count and avoiding a sort over wide key columns.
 
     ``drop_threshold`` (default 8*cap): a key shared by more ids than
-    this is a *degenerate* bucket — it carries no discriminative signal
-    (the stop-word-shingle analog of the reference's hard search-space
-    caps, src/lib.rs:42-46) and would still emit O(n*cap) pairs after
-    salting. Such keys are dropped entirely and counted in ``stats``
-    ("dropped_buckets"/"dropped_rows" — no silent caps); recall for true
-    duplicates is carried by their other, non-degenerate keys."""
+    this is a *degenerate* bucket — no discriminative signal (the
+    stop-word-shingle analog of the reference's hard search-space caps,
+    src/lib.rs:42-46) and would still emit O(n*cap) pairs after salting.
+    Such keys are dropped and *reported*: the group emits a sentinel row
+    (src_id = DROPPED_SENTINEL, dst_id = row count) which the caller
+    tallies into ``stats`` — no silent caps. Recall for true duplicates
+    is carried by their other, non-degenerate keys."""
     if drop_threshold is None:
         drop_threshold = 8 * cap
-    hot = hot_keys(rows, key_col)
-    hotset: set = set()
-    dropped_buckets = 0
-    dropped_rows = 0
-    for b in hot.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for k, c in zip(b[key_col].to_pylist(), b["count()"].to_pylist()):
-            if c > drop_threshold:
-                dropped_buckets += 1
-                dropped_rows += c
-            else:
-                hotset.add(k)
-    if stats is not None:
-        stats["dropped_buckets"] = stats.get("dropped_buckets", 0) + dropped_buckets
-        stats["dropped_rows"] = stats.get("dropped_rows", 0) + dropped_rows
-    if not hotset:
-        empty_id = pa.string() if id_dtype == "str" else pa.int64()
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "src_id": pa.array([], empty_id),
-                    "dst_id": pa.array([], empty_id),
-                    "capped": pa.array([], pa.bool_()),
-                }
-            )
-        )
-    hot_ref = ray.put(hotset)
 
-    def _semi(batch: pa.Table) -> pa.Table:
-        hs = ray.get(hot_ref)
-        mask = pa.array([k in hs for k in batch[key_col].to_pylist()])
-        out = batch.filter(mask)
-        # coarse co-grouping bucket: one map_groups invocation handles
-        # ~n_keys/1024 keys (vectorized inner groupby) instead of paying
-        # per-key Python overhead — same co-location guarantee (a bucket
-        # is a superset of each of its keys)
-        kv = out[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        bucket = (kv ^ (kv >> 17)) & 0x3FF
-        return out.append_column("cogroup", pa.array(bucket, pa.int64()))
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        kv = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        bucket = (kv ^ (kv >> 17)) % n_cogroups
+        return pa.table(
+            {
+                "cogroup": pa.array(bucket, pa.int64()),
+                key_col: batch[key_col],
+                id_col: batch[id_col],
+            }
+        )
 
     id_pd_dtype = "object" if id_dtype == "str" else "int64"
 
     def _pairs_many(group: pd.DataFrame) -> pd.DataFrame:
+        counts = group[key_col].value_counts()
+        hot = counts[counts >= 2]
         srcs: list = []
         dsts: list = []
         caps: list = []
-        for _, sub in group.groupby(key_col, sort=False):
-            src, dst, capped = emit_bucket_pairs(sub[id_col].tolist(), cap)
-            if src:
-                srcs.extend(src)
-                dsts.extend(dst)
-                caps.extend([capped] * len(src))
+        dropped_rows = 0
+        dropped_buckets = 0
+        if len(hot):
+            sub = group[group[key_col].isin(hot.index)]
+            for key, subg in sub.groupby(key_col, sort=False):
+                if len(subg) > drop_threshold:
+                    dropped_buckets += 1
+                    dropped_rows += len(subg)
+                    continue
+                src, dst, capped = emit_bucket_pairs(subg[id_col].tolist(), cap)
+                if src:
+                    srcs.extend(src)
+                    dsts.extend(dst)
+                    caps.extend([capped] * len(src))
+        if dropped_buckets:
+            # sentinel diagnostic row, typed to match the id column
+            if id_pd_dtype == "object":
+                srcs.append(DROPPED_SENTINEL)
+                dsts.append(f"{dropped_buckets}:{dropped_rows}")
+            else:
+                srcs.append(-1)
+                dsts.append(dropped_rows)
+            caps.append(True)
         return pd.DataFrame(
             {
                 "src_id": pd.Series(srcs, dtype=id_pd_dtype),
@@ -200,81 +203,106 @@ def cooccurrence_pairs(
             }
         )
 
-    return (
-        rows.map_batches(_semi, batch_format="pyarrow")
+    pairs = (
+        rows.map_batches(_bucketize, batch_format="pyarrow")
         .groupby("cogroup")
         .map_groups(_pairs_many, batch_format="pandas")
     )
+    if keep_sentinels:
+        # caller (dedup_pipeline) tallies + strips sentinels in its final
+        # pair pass — avoids an extra materialize barrier here
+        return pairs
+    keep_expr = (
+        f"src_id != '{DROPPED_SENTINEL}'" if id_dtype == "str" else "src_id != -1"
+    )
+    if stats is not None:
+        pairs = pairs.materialize()
+        tally_sentinels(pairs, stats, id_dtype)
+    return pairs.filter(expr=keep_expr)
+
+
+def tally_sentinels(
+    pairs: "ray.data.Dataset", stats: dict, id_dtype: str = "str"
+) -> None:
+    """Accumulate dropped-bucket diagnostics from sentinel rows."""
+    sentinel_expr = (
+        f"src_id == '{DROPPED_SENTINEL}'" if id_dtype == "str" else "src_id == -1"
+    )
+    db = dr = 0
+    for b in pairs.filter(expr=sentinel_expr).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        for v in b["dst_id"].to_pylist():
+            if id_dtype == "str":
+                x, y = str(v).split(":")
+                db += int(x)
+                dr += int(y)
+            else:
+                db += 1
+                dr += int(v)
+    stats["dropped_buckets"] = stats.get("dropped_buckets", 0) + db
+    stats["dropped_rows"] = stats.get("dropped_rows", 0) + dr
 
 
 def candidate_pairs(
     band_rows: "ray.data.Dataset", bucket_cap: int = 256, id_col: str = "image_id",
     id_dtype: str = "str", stats: Optional[dict] = None,
+    keep_sentinels: bool = False,
 ) -> "ray.data.Dataset":
     """groupby(band) -> canonical candidate pairs (src_id < dst_id)."""
     return cooccurrence_pairs(
-        band_rows, "band", id_col, bucket_cap, id_dtype, stats=stats
+        band_rows, "band", id_col, bucket_cap, id_dtype, stats=stats,
+        keep_sentinels=keep_sentinels,
     )
 
 
-def dedup_pairs(pairs: "ray.data.Dataset", id_dtype: str = "str") -> "ray.data.Dataset":
+def dedup_pairs(
+    pairs: "ray.data.Dataset", id_dtype: str = "str", n_cogroups: int = 1024
+) -> "ray.data.Dataset":
     """Canonical-pair dedup after the union of candidate sources
     (MinHash ∪ SimHash ∪ substring ∪ exact) — the distributed analog of
     the reference's BTreeSet/dedup_by_key (src/lib.rs:1149, 1530-1533).
 
     Implementation: per-batch local dedup (combiner) shrinks the
-    shuffle, then ONE vectorized groupby-aggregate on a composite key —
-    no per-group Python."""
-
+    shuffle, then ONE groupby on a small integer hash bucket of the pair
+    (both copies of a pair land in the same bucket) with a C-speed
+    pandas ``drop_duplicates`` inside each group — cheaper than a global
+    sort-aggregate over wide composite keys."""
     def _local(batch: pa.Table) -> pa.Table:
         df = batch.select(["src_id", "dst_id", "capped"]).to_pandas()
-        df = df.sort_values("capped").drop_duplicates(["src_id", "dst_id"], keep="first")
-        key = df["src_id"].astype(str) + "\x1f" + df["dst_id"].astype(str)
-        return pa.table(
-            {
-                "pair_key": pa.array(key.tolist(), pa.string()),
-                "capped_i": pa.array(df["capped"].astype(np.int64).tolist(), pa.int64()),
-            }
+        df = df.sort_values("capped").drop_duplicates(
+            ["src_id", "dst_id"], keep="first"
         )
+        # deterministic, process-stable, C-vectorized pair hash (pandas
+        # uses a fixed hash key; Python's hash() is salted per process
+        # and would scatter identical pairs across buckets)
+        h = pd.util.hash_pandas_object(
+            df["src_id"].astype(str) + "\x1f" + df["dst_id"].astype(str),
+            index=False,
+        ).to_numpy()
+        df["cogroup"] = (h % np.uint64(n_cogroups)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    agg = (
+    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values("capped").drop_duplicates(
+            ["src_id", "dst_id"], keep="first"
+        )
+        return out[["src_id", "dst_id", "capped"]]
+
+    return (
         pairs.map_batches(_local, batch_format="pyarrow")
-        .groupby("pair_key")
-        .aggregate(Max("capped_i", alias_name="capped_i"))
+        .groupby("cogroup")
+        .map_groups(_dedup, batch_format="pandas")
     )
-
-    def _decode(batch: pa.Table) -> pa.Table:
-        keys = batch["pair_key"].to_pylist()
-        src = []
-        dst = []
-        for k in keys:
-            a, b = k.split("\x1f", 1)
-            src.append(a)
-            dst.append(b)
-        if id_dtype == "int":
-            src_arr = pa.array([int(x) for x in src], pa.int64())
-            dst_arr = pa.array([int(x) for x in dst], pa.int64())
-        else:
-            src_arr = pa.array(src, pa.string())
-            dst_arr = pa.array(dst, pa.string())
-        return pa.table(
-            {
-                "src_id": src_arr,
-                "dst_id": dst_arr,
-                "capped": pc.cast(
-                    pc.greater(batch["capped_i"], pa.scalar(0)), pa.bool_()
-                ),
-            }
-        )
-
-    return agg.map_batches(_decode, batch_format="pyarrow")
 
 
 def exact_dup_pairs(
-    ds: "ray.data.Dataset", bucket_cap: int = 256, id_col: str = "image_id"
+    ds: "ray.data.Dataset", bucket_cap: int = 256, id_col: str = "image_id",
+    keep_sentinels: bool = False,
 ) -> "ray.data.Dataset":
     """Exact content duplicates via content_key co-occurrence (vocab
     upsert analog A3/D4, src/lib.rs:899-967)."""
     return cooccurrence_pairs(
-        ds.select_columns(["content_key", id_col]), "content_key", id_col, bucket_cap
+        ds.select_columns(["content_key", id_col]), "content_key", id_col,
+        bucket_cap, keep_sentinels=keep_sentinels,
     )

@@ -39,6 +39,7 @@ import ray.data
 
 from ..config import DedupConfig
 from ..functions.alphabet import Normalizer, simple_alphabet
+from ..functions.kernels import resolve_max_distance
 from ..functions.verify_kernel import caption_pair_score, image_pair_dup
 
 
@@ -85,6 +86,7 @@ def attach_pair_sides(
     value_cols: list[str],
     method: str = "broadcast",
     id_filter: Optional[Iterable[str]] = None,
+    concurrency=(2, 8),
 ) -> "ray.data.Dataset":
     """Attach corpus columns to both sides of a pairs dataset.
 
@@ -109,7 +111,7 @@ def attach_pair_sides(
             _AttachFromBroadcast,
             fn_constructor_args=(ref, value_cols),
             batch_format="pyarrow",
-            concurrency=(1, 8),
+            concurrency=concurrency,
         )
     if method == "cogroup":
         return _attach_cogroup(pairs, src, value_cols)
@@ -211,24 +213,67 @@ class CaptionVerifier:
     """Actor: computes the exact analiticcl caption score per pair.
 
     Input batch needs src_caption / dst_caption; emits caption_score
-    (float64, -1.0 when above the DL cutoff) and caption_dup (bool)."""
+    (float64, -1.0 when above the DL cutoff) and caption_dup (bool).
+
+    Before the O(len^2) DL kernel runs, every pair passes a *lossless*
+    vectorized prefilter — the same bounds the reference's anagram
+    neighborhood enforces (src/lib.rs:1143-1308 / src/distance.rs:108-130):
+    |len_a - len_b| <= max_edit and bag-L1/2 <= max_edit (one edit moves
+    the character multiset by at most 2). On candidate sets dominated by
+    LSH false positives this removes ~90%+ of DL calls without touching
+    recall."""
 
     def __init__(self, cfg: DedupConfig | None = None, alphabet=None):
         self.cfg = cfg or DedupConfig()
         self.norm = Normalizer(alphabet or simple_alphabet())
         self._memo: dict[tuple[str, str], float] = {}
+        self._norm_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._bag_width = self.norm.size + 2
+
+    def _norm_bag(self, caption: str) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._norm_cache.get(caption)
+        if hit is not None:
+            return hit
+        nm = self.norm.normalize(caption)
+        bag = np.zeros(self._bag_width, dtype=np.int32)
+        if len(nm):
+            np.add.at(bag, np.minimum(nm, self._bag_width - 1), 1)
+        if len(self._norm_cache) > 500_000:
+            self._norm_cache.clear()
+        self._norm_cache[caption] = (nm, bag)
+        return nm, bag
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         src_c = batch["src_caption"].to_pylist()
         dst_c = batch["dst_caption"].to_pylist()
-        scores = np.empty(len(src_c), dtype=np.float64)
-        for i, (a, b) in enumerate(zip(src_c, dst_c)):
+        n = len(src_c)
+        norms_a = [self._norm_bag(c) for c in src_c]
+        norms_b = [self._norm_bag(c) for c in dst_c]
+        lens_a = np.array([len(x[0]) for x in norms_a], dtype=np.int64)
+        lens_b = np.array([len(x[0]) for x in norms_b], dtype=np.int64)
+        bags_a = np.stack([x[1] for x in norms_a]) if n else np.zeros((0, 1))
+        bags_b = np.stack([x[1] for x in norms_b]) if n else np.zeros((0, 1))
+        l1 = np.abs(bags_a - bags_b).sum(axis=1)
+        longer = np.maximum(lens_a, lens_b)
+        cuts = np.array(
+            [resolve_max_distance(int(l), cfg.max_edit_distance) if l > 0 else 0
+             for l in longer],
+            dtype=np.int64,
+        )
+        plausible = (
+            (np.abs(lens_a - lens_b) <= cuts)
+            & ((l1 + 1) // 2 <= cuts)
+            & (longer > 0)
+        )
+        scores = np.full(n, -1.0, dtype=np.float64)
+        for i in np.where(plausible)[0]:
+            a, b = src_c[i], dst_c[i]
             key = (a, b) if a <= b else (b, a)
             s = self._memo.get(key)
             if s is None:
                 cs = caption_pair_score(
-                    self.norm.normalize(a), self.norm.normalize(b), a, b, cfg
+                    norms_a[i][0], norms_b[i][0], a, b, cfg
                 )
                 s = -1.0 if cs is None else cs
                 if len(self._memo) > 1_000_000:

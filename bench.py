@@ -59,8 +59,10 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     pairs, clusters, metrics = dedup_pipeline(
         rd.read_parquet(path, override_num_blocks=n_blocks),
-        signature_concurrency=(1, max(2, NUM_CPUS // 2)),
-        verify_concurrency=(1, max(2, NUM_CPUS // 2)),
+        signature_concurrency=(max(1, NUM_CPUS // 4), max(2, NUM_CPUS // 2)),
+        verify_concurrency=(max(2, NUM_CPUS // 4), max(2, NUM_CPUS - 4)),
+        verify_batch_size=4096,
+        image_batch_size=512,
     )
     headline = time.perf_counter() - t0
     queries["corpus_dedup"] = round(headline, 3)
@@ -78,6 +80,26 @@ def run_bench() -> dict:
     docs = lambda: rd.read_parquet(f"{SF_DIR}/documents.parquet")
     emb = lambda: rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
     ev = lambda: rd.read_parquet(f"{SF_DIR}/events.parquet")
+
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        result = {
+            "metric": "end-to-end dedup wall time (corpus_dedup headline)",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "corpus_rows": CORPUS_ROWS,
+            "verified_pairs": verified,
+            "pairs_per_sec": round(verified / headline, 2) if headline > 0 else None,
+            "stage_metrics": {
+                k: v
+                for k, v in metrics.items()
+                if k.startswith("t_") or isinstance(v, int)
+            },
+        }
+        ray.shutdown()
+        return result
 
     timed("exact_dedup", lambda: text.exact_dedup(docs()))
     timed("doc_stats", lambda: text.doc_stats(docs()))
@@ -109,7 +131,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -1,0 +1,133 @@
+"""Search-mode parity tests (tests/main.rs:1119-1481 style goldens) and
+anahash algebra goldens (tests/main.rs:29-153)."""
+
+import pytest
+
+from analiticcl_ray.config import SearchConfig
+from analiticcl_ray.functions.alphabet import (
+    Normalizer,
+    anahash_character,
+    anahash_contains,
+    anahash_delete,
+    anahash_empty,
+    anahash_insert,
+    anahash_upper_bound,
+    simple_alphabet,
+)
+from analiticcl_ray.pipelines.search import (
+    BigramLM,
+    classify_boundaries,
+    find_all_matches,
+    find_boundaries,
+    find_match_ngrams,
+    match_output,
+)
+from analiticcl_ray.pipelines.variants import Lexicon, VariantFinder
+
+CFG = SearchConfig(
+    max_anagram_distance=2, max_edit_distance=2, max_matches=10,
+    score_threshold=0.0, cutoff_threshold=0.0,
+)
+
+
+def test_anahash_algebra():
+    # tests/main.rs:29-153: insert = multiply, delete = divide-if-divisible,
+    # contains = divisibility, empty = 1
+    a = anahash_character(0)  # 'a' -> 2
+    b = anahash_character(1)  # 'b' -> 3
+    v = anahash_insert(anahash_empty(), a)
+    v = anahash_insert(v, b)
+    assert v == 6
+    assert anahash_contains(v, a)
+    assert anahash_delete(v, a) == 3
+    assert anahash_delete(3, a) is None
+    assert anahash_upper_bound(6, 27) == (1, 2)
+    # multiplicity: "aab" = 2*2*3
+    vv = anahash_insert(v, a)
+    assert vv == 12
+    assert anahash_delete(anahash_delete(vv, a), a) == 3
+
+
+def test_find_boundaries():
+    bs = find_boundaries("to be or")
+    assert [(b.text, b.begin, b.end) for b in bs] == [
+        (" ", 2, 3), (" ", 5, 6), ("", 8, 8),
+    ]
+    bs2 = find_boundaries("hello")
+    assert [(b.text, b.begin, b.end) for b in bs2] == [("", 5, 5)]
+
+
+def test_classify_boundaries():
+    bs = find_boundaries("a-b, c")
+    st = classify_boundaries(bs)
+    # "-" weak, ", " multichar hard, final dummy hard
+    assert st == ["weak", "hard", "hard"]
+
+
+def test_find_match_ngrams_orders():
+    text = "a b c"
+    bs = find_boundaries(text)
+    uni = find_match_ngrams(text, bs, 1, 0, None)
+    assert [m.text for m in uni] == ["a", "b", "c"]
+    bi = find_match_ngrams(text, bs, 2, 0, None)
+    assert [m.text for m in bi] == ["a b", "b c"]
+
+
+def test_find_all_matches_multi_lexicon_golden():
+    # tests/main.rs:1512-1572 semantics at max_ngram=1
+    lex = Lexicon.from_rows("salamander frog toad".split())
+    for w in "lizard snake".split():
+        lex.add(w, None, lexindex=1)
+    vf = VariantFinder(lex, CFG)
+    ms = find_all_matches("Salamander lizard frog snake toad", vf, CFG, max_ngram=1)
+    assert [m.text for m in ms] == ["Salamander", "lizard", "frog", "snake", "toad"]
+    assert [match_output(m, vf) for m in ms] == [
+        "salamander", "lizard", "frog", "snake", "toad",
+    ]
+    # provenance bits (in_lexicon, src/vocab.rs:77-89)
+    assert vf.lex.lexindex[ms[0].variants[0]["vocab_id"]] & 1
+    assert vf.lex.lexindex[ms[1].variants[0]["vocab_id"]] & 2
+
+
+def test_find_all_matches_correction_golden():
+    # "I tink you are rihgt" -> "i think you are right"
+    # (tests/main.rs:1119+ flavor; deletion + transposition variants)
+    lex = Lexicon.from_rows(["i", "think", "you", "are", "right", "tank", "rift"])
+    vf = VariantFinder(lex, CFG)
+    ms = find_all_matches("I tink you are rihgt", vf, CFG, max_ngram=1)
+    assert [match_output(m, vf) for m in ms] == ["i", "think", "you", "are", "right"]
+
+
+def test_find_all_matches_with_lm_consolidation():
+    lex = Lexicon.from_rows(["i", "think", "you", "are", "right", "tank", "rift"])
+    vf = VariantFinder(lex, CFG)
+    lm = BigramLM()
+    lm.train_tokens([["i", "think", "you", "are", "right"]] * 3)
+    ms = find_all_matches("I tink you are rihgt", vf, CFG, max_ngram=2, lm=lm)
+    assert [match_output(m, vf) for m in ms] == ["i", "think", "you", "are", "right"]
+
+
+def test_oov_words_copied():
+    lex = Lexicon.from_rows(["known"])
+    vf = VariantFinder(lex, CFG)
+    ms = find_all_matches("known zzzzqqqq", vf, CFG, max_ngram=1)
+    outs = [match_output(m, vf) for m in ms]
+    assert outs[0] == "known"
+    assert outs[1] == "zzzzqqqq"  # OOV copied from input
+
+
+def test_empty_input():
+    lex = Lexicon.from_rows(["a"])
+    vf = VariantFinder(lex, CFG)
+    assert find_all_matches("", vf, CFG) == []
+
+
+def test_lm_score_tokens():
+    lm = BigramLM()
+    lm.train_tokens([["a", "b"], ["a", "b"], ["a", "c"]])
+    lp_ab, pp_ab = lm.score_tokens(["<bos>", "a", "b", "<eos>"])
+    lp_ac, pp_ac = lm.score_tokens(["<bos>", "a", "c", "<eos>"])
+    assert pp_ab < pp_ac  # "a b" is twice as frequent
+    # OOV token falls back to the smoothing constant
+    lp_oov, _ = lm.score_tokens(["<bos>", None, "<eos>"])
+    assert lp_oov == pytest.approx(2 * -13.815510557964274)
