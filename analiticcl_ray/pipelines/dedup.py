@@ -1,24 +1,31 @@
 """End-to-end near-duplicate detection + clustering pipeline.
 
-The flagship pipeline (SURVEY.md §3.4):
+The flagship pipeline (SURVEY.md §3.4), shaped for minimum shuffle count
+and minimum serial fraction:
 
-    read corpus (Lance/Parquet)
-      ├─ map_batches(CaptionSignatures)      actor pool, zero-copy Arrow
-      ├─ map_batches(phash_band_table)       stateless tasks
+    read corpus parquet (multi-file -> parallel read)
+      ├─ map_batches(CaptionSignatures)      actor pool, zero-copy Arrow:
+      │      anagram 4-gram shingles -> MinHash band keys + content_key
+      │      (caption ^ bytes hash) + bytes_key (bytes hash)
+      ├─ map_batches(phash_band_table)       4×16-bit phash slices
       ├─ explode -> (band, image_id)         project-before-shuffle
-      ├─ union(substring winnow fingerprints)
-      ├─ groupby(band) -> candidate pairs    THE index (shuffle), salted
-      ├─ union(exact content-key pairs)
-      ├─ groupby(pair) -> dedup              canonical-pair dedup
-      ├─ attach captions -> CaptionVerifier  actor pool (exact DL kernel)
+      │      ∪ winnowing substring fingerprints
+      │      ∪ content keys (exact dup rides the same shuffle)
+      ├─ ONE cogroup shuffle -> salted pair emission (the index);
+      │      phash rows go through a second, tighter-thresholded pass
+      ├─ pair dedup (deterministic hash buckets, in-group drop_duplicates)
+      ├─ attach caption+bytes_key -> CaptionVerifier
+      │      (lossless bag/len prefilter, then the exact DL kernel)
       ├─ filter(caption_dup)
-      ├─ attach bytes (semi-join survivors) -> ImageVerifier (PSNR)
-      ├─ filter(image_dup) -> pairs table
+      ├─ bytes_equal short-circuit; bytes attached only for pairs that
+      │      need decoded-pixel PSNR (semi-join on surviving ids)
+      ├─ ImageVerifier (PSNR >= 40 dB) -> verified pairs table
       └─ connected components -> clusters table
 
-Every stage streams; nothing materializes the corpus. The only
-materialized intermediates are edge-list-sized (verified pairs, CC
-labels).
+Every stage streams; the corpus itself is never materialized. The only
+materialized intermediates are the slim signature table and
+edge-list-sized pair/label sets. Degenerate (stop-word-like) buckets and
+salted buckets are counted in the metrics — no silent caps.
 """
 
 from __future__ import annotations
@@ -70,7 +77,7 @@ def dedup_pipeline(
         batch_size=4096,
         concurrency=signature_concurrency,
     )
-    sig_cols = ["image_id", "content_key", "bands"]
+    sig_cols = ["image_id", "caption", "content_key", "bytes_key", "bands"]
     if cfg.use_phash_bands:
         sigs = sigs.map_batches(
             lambda b: phash_band_table(b, cfg.phash_bands), batch_format="pyarrow"
@@ -145,8 +152,10 @@ def dedup_pipeline(
     t1 = time.perf_counter()
     # (pairs come out of the cogroup dedup in ~n_cogroups-spread blocks —
     # already wide enough for the verify pool; no repartition barrier)
+    # captions + bytes_key attach from the (already materialized) slim
+    # signature table — no second corpus scan
     with_captions = attach_pair_sides(
-        pairs, corpus, ["caption"], method=attach_method,
+        pairs, sigs, ["caption", "bytes_key"], method=attach_method,
         concurrency=verify_concurrency,
     )
     cap_verified = with_captions.map_batches(
@@ -162,16 +171,32 @@ def dedup_pipeline(
     metrics["caption_survivors"] = survivors.count()
     metrics["t_caption_verify_s"] = round(time.perf_counter() - t1, 3)
 
-    # --- image verification (bytes fetched only for survivors) ---------
+    # --- image verification (bytes fetched only where needed) ----------
     t2 = time.perf_counter()
+    import pyarrow.compute as pc
+
+    # exact-image short-circuit: equal bytes hashes => identical bytes =>
+    # dup with PSNR inf; those pairs never touch the binary column
+    def _split_exact(batch: pa.Table) -> pa.Table:
+        eq = pc.equal(batch["src_bytes_key"], batch["dst_bytes_key"])
+        return batch.append_column("bytes_equal", eq)
+
+    flagged = survivors.map_batches(_split_exact, batch_format="pyarrow").materialize()
+    exact_dups = flagged.filter(expr="bytes_equal == True").map_batches(
+        lambda t: t.append_column(
+            "psnr_db", pa.array([float("inf")] * len(t), pa.float64())
+        ).select(["src_id", "dst_id", "caption_score", "psnr_db", "capped"]),
+        batch_format="pyarrow",
+    )
+    needs_pixels = flagged.filter(expr="bytes_equal == False")
     needed_ids: set[str] = set()
-    for b in survivors.select_columns(["src_id", "dst_id"]).iter_batches(
+    for b in needs_pixels.select_columns(["src_id", "dst_id"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
         needed_ids.update(b["src_id"].to_pylist())
         needed_ids.update(b["dst_id"].to_pylist())
     with_bytes = attach_pair_sides(
-        survivors,
+        needs_pixels,
         corpus,
         ["bytes", "fmt"],
         method=attach_method,
@@ -190,6 +215,7 @@ def dedup_pipeline(
         .select_columns(
             ["src_id", "dst_id", "caption_score", "psnr_db", "capped"]
         )
+        .union(exact_dups)
         .materialize()
     )
     metrics["verified_pairs"] = dup_pairs_ds.count()

@@ -115,18 +115,17 @@ class CaptionSignatures:
                 )
             )
         bands = self._minhash_bands(shingles)
-        content = np.array(
-            [
-                hash_u64(c.encode("utf-8")) ^ hash_u64(b, seed=1)
-                for c, b in zip(captions, blobs)
-            ],
-            dtype=np.uint64,
+        bytes_keys = np.array([hash_u64(b, seed=1) for b in blobs], dtype=np.uint64)
+        caption_keys = np.array(
+            [hash_u64(c.encode("utf-8")) for c in captions], dtype=np.uint64
         )
+        content = caption_keys ^ bytes_keys
         # int64 bit-views: Arrow-native (Ray's conversion path rejects
         # uint64 values above int64 max); bit pattern preserved
         return (
             batch.append_column("norm_len", pa.array(norm_lens, pa.int32()))
             .append_column("content_key", pa.array(content.view(np.int64), pa.int64()))
+            .append_column("bytes_key", pa.array(bytes_keys.view(np.int64), pa.int64()))
             .append_column(
                 "bands",
                 pa.FixedSizeListArray.from_arrays(

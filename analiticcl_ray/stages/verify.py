@@ -48,34 +48,49 @@ from ..functions.verify_kernel import caption_pair_score, image_pair_dup
 # --------------------------------------------------------------------
 
 def broadcast_lookup(corpus: "ray.data.Dataset", value_cols: list[str]):
-    """id -> tuple(value_cols) dict in the object store (ray.put once;
-    every actor reads the same shared copy, never re-shipped per batch)."""
-    lookup: dict[str, tuple] = {}
+    """Shared lookup table in the object store as ONE Arrow table
+    (``ray.put`` once). Arrow buffers are plasma-shared zero-copy across
+    all workers on a node — unlike a Python dict, which every actor
+    would re-deserialize into its own heap (measured: the dominant
+    non-scaling cost at 1M rows × 28 actors)."""
+    parts = []
     for batch in corpus.select_columns(["image_id", *value_cols]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
+        batch_size=65536, batch_format="pyarrow"
     ):
-        ids = batch["image_id"].to_pylist()
-        cols = [batch[c].to_pylist() for c in value_cols]
-        for i, iid in enumerate(ids):
-            lookup[iid] = tuple(col[i] for col in cols)
-    return ray.put(lookup)
+        parts.append(batch)
+    table = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"image_id": pa.array([], pa.string())})
+    )
+    return ray.put(table.combine_chunks())
 
 
 class _AttachFromBroadcast:
+    """Vectorized id -> values attach against the shared Arrow table:
+    ``pc.index_in`` (hash lookup in C) + ``take`` — no per-actor Python
+    dict, no per-row Python."""
+
     def __init__(self, lookup_ref, value_cols: list[str], prefixes=("src", "dst")):
-        self.lookup = ray.get(lookup_ref)
+        self.table = ray.get(lookup_ref)  # zero-copy view of shared buffers
+        self.ids = self.table["image_id"].combine_chunks()
         self.value_cols = value_cols
         self.prefixes = prefixes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         out = batch
         for pref in self.prefixes:
-            ids = batch[f"{pref}_id"].to_pylist()
-            vals = [self.lookup[i] for i in ids]
-            for ci, col in enumerate(self.value_cols):
+            idx = pc.index_in(batch[f"{pref}_id"], value_set=self.ids)
+            if pc.any(pc.is_null(idx)).as_py() and len(batch):
+                missing = batch[f"{pref}_id"].filter(pc.is_null(idx))
+                raise KeyError(
+                    f"attach: ids missing from lookup, e.g. {missing[0]}"
+                )
+            for col in self.value_cols:
                 out = out.append_column(
-                    f"{pref}_{col}",
-                    pa.array([v[ci] for v in vals]),
+                    f"{pref}_{col}", self.table[col].take(idx)
                 )
         return out
 
