@@ -16,14 +16,17 @@ Two-phase, cheapest-first:
 
 Side-data attachment (SURVEY.md J-section): the corpus' slim columns
 (caption / fmt+bytes) are attached to pairs either by
-- ``broadcast``: one ``ray.put`` of an id->value dict, read once per
-  actor in ``__init__`` — zero shuffle, correct while the *referenced*
-  columns fit in the object store (captions at 1e12 rows do not — use
-  cogroup there; bytes for *surviving* pairs usually do), or
-- ``cogroup``: a hash-partitioned join expressed as
-  union(tagged corpus slim rows, tagged pair-side rows) ->
-  groupby(image_id) -> re-emit pair rows with the value attached —
-  the scale path; only the slim projection ever enters the shuffle.
+- ``broadcast``: one ``ray.put`` of a single Arrow lookup table —
+  plasma-shared zero-copy across every worker on a node, attached per
+  batch with vectorized ``index_in``/``take``. Zero shuffle; correct
+  while the *referenced* slim columns fit in the object store (captions
+  at 1e12 rows do not — use cogroup there; bytes for *surviving* pairs
+  usually do), or
+- ``cogroup``: a two-stage bucket-hash join (pair-side stubs and corpus
+  rows co-bucketed by id hash, per-bucket pandas merge, then sides
+  rejoined by pair hash) — the 1e12-scale path; only the slim
+  projection ever enters a shuffle. Verified result-identical to
+  broadcast (tests/test_stages_ray.py).
 """
 
 from __future__ import annotations
@@ -134,90 +137,108 @@ def attach_pair_sides(
 
 
 def _attach_cogroup(
-    pairs: "ray.data.Dataset", corpus: "ray.data.Dataset", value_cols: list[str]
+    pairs: "ray.data.Dataset",
+    corpus: "ray.data.Dataset",
+    value_cols: list[str],
+    n_buckets: int = 512,
 ) -> "ray.data.Dataset":
-    """Hash-partitioned attach: union(corpus slim rows, pair stubs) ->
-    groupby(image_id) -> emit pair stubs with values; then reassemble the
-    two sides by pair_key. Only slim columns cross the shuffle."""
-    import pyarrow.compute as pc
+    """Hash-partitioned attach (the 1e12-scale path): two bucket-join
+    shuffles over pair-sized data, C-speed pandas merges inside each
+    bucket, and only the slim (id, value) projection of the corpus ever
+    enters a shuffle.
 
-    def _pair_stubs(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        key = pc.binary_join_element_wise(
-            batch["src_id"].cast(pa.string()), batch["dst_id"].cast(pa.string()), "|"
-        )
+    Stage A: pairs explode into per-side stub rows; stubs and corpus
+    rows land in the same integer bucket (deterministic pandas hash of
+    image_id) and a per-bucket ``pd.merge`` attaches the values.
+    Stage B: the two sides of each pair meet again in a bucket keyed by
+    the pair hash and merge back into one row."""
+    import pandas as pd
+
+    pair_schema = pairs.schema().base_schema
+    corpus_schema = corpus.schema().base_schema
+    pair_cols = list(pair_schema.names)
+    vtypes = {c: corpus_schema.field(c).type for c in value_cols}
+
+    def _stubs(batch: pa.Table) -> pa.Table:
         tabs = []
-        for side_idx, side in enumerate(("src_id", "dst_id")):
-            t = pa.table(
-                {
-                    "image_id": batch[side],
-                    "pair_key": key,
-                    "side": pa.array(np.full(n, side_idx, dtype=np.int8)),
-                    "is_corpus": pa.array(np.zeros(n, dtype=bool)),
-                }
-            )
-            tabs.append(t)
+        for side, idc in ((0, "src_id"), (1, "dst_id")):
+            cols = {
+                "image_id": batch[idc],
+                "side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+            }
+            for c in pair_cols:
+                cols[f"p_{c}"] = batch[c]
+            for c in value_cols:
+                cols[f"v_{c}"] = pa.nulls(len(batch), vtypes[c])
+            cols["is_corpus"] = pa.array(np.zeros(len(batch), dtype=bool))
+            tabs.append(pa.table(cols))
         return pa.concat_tables(tabs)
-
-    stubs = pairs.map_batches(_pair_stubs, batch_format="pyarrow")
 
     def _corpus_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        return pa.table(
-            {
-                "image_id": batch["image_id"],
-                "pair_key": pa.array([""] * n, pa.string()),
-                "side": pa.array(np.full(n, -1, dtype=np.int8)),
-                "is_corpus": pa.array(np.ones(n, dtype=bool)),
-                **{c: batch[c] for c in value_cols},
-            }
+        cols = {
+            "image_id": batch["image_id"],
+            "side": pa.array(np.full(n, -1, dtype=np.int8)),
+        }
+        for c in pair_cols:
+            cols[f"p_{c}"] = pa.nulls(n, pair_schema.field(c).type)
+        for c in value_cols:
+            cols[f"v_{c}"] = batch[c]
+        cols["is_corpus"] = pa.array(np.ones(n, dtype=bool))
+        return pa.table(cols)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pandas().astype(str)
+        h = pd.util.hash_pandas_object(ids, index=False).to_numpy()
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
         )
 
-    slim = corpus.select_columns(["image_id", *value_cols]).map_batches(
-        _corpus_rows, batch_format="pyarrow"
-    )
-
-    def _attach(group: pd.DataFrame) -> pd.DataFrame:
-        corp = group[group["is_corpus"]]
-        if corp.empty:
-            return pd.DataFrame(
-                columns=["pair_key", "side", *value_cols]
+    both = (
+        pairs.map_batches(_stubs, batch_format="pyarrow")
+        .union(
+            corpus.select_columns(["image_id", *value_cols]).map_batches(
+                _corpus_rows, batch_format="pyarrow"
             )
-        vals = corp.iloc[0]
-        out = group[~group["is_corpus"]][["pair_key", "side"]].copy()
-        for c in value_cols:
-            out[c] = [vals[c]] * len(out)
-        return out
-
-    # stubs lack the value columns; give them matching null columns so the
-    # union schema lines up
-    def _with_nulls(batch: pa.Table) -> pa.Table:
-        out = batch
-        for c in value_cols:
-            out = out.append_column(c, pa.nulls(len(batch), slim.schema().field(c).type))
-        return out
-
-    stubs = stubs.map_batches(_with_nulls, batch_format="pyarrow")
-    attached = (
-        slim.union(stubs)
-        .groupby("image_id")
-        .map_groups(_attach, batch_format="pandas")
+        )
+        .map_batches(_bucket, batch_format="pyarrow")
     )
+
+    vcols = [f"v_{c}" for c in value_cols]
+
+    def _merge_values(group: pd.DataFrame) -> pd.DataFrame:
+        corp = group[group["is_corpus"]][["image_id", *vcols]]
+        stubs = group[~group["is_corpus"]].drop(columns=vcols + ["is_corpus", "bucket"])
+        if stubs.empty:
+            return stubs.iloc[0:0]
+        return stubs.merge(corp, on="image_id", how="left")
+
+    attached = both.groupby("bucket").map_groups(_merge_values, batch_format="pandas")
+
+    def _pair_bucket(batch: pa.Table) -> pa.Table:
+        key = (
+            batch["p_src_id"].to_pandas().astype(str)
+            + "\x1f"
+            + batch["p_dst_id"].to_pandas().astype(str)
+        )
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        return batch.append_column(
+            "pbucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
 
     def _reassemble(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame()
-        row = {}
-        key = group["pair_key"].iloc[0]
-        src_id, dst_id = key.split("|", 1)
-        row["src_id"], row["dst_id"] = src_id, dst_id
-        for _, r in group.iterrows():
-            pref = "src" if r["side"] == 0 else "dst"
-            for c in value_cols:
-                row[f"{pref}_{c}"] = r[c]
-        return pd.DataFrame([row])
+        s0 = group[group["side"] == 0].drop(columns=["side", "pbucket", "image_id"])
+        s1 = group[group["side"] == 1][["p_src_id", "p_dst_id", *vcols]]
+        s0 = s0.rename(columns={f"v_{c}": f"src_{c}" for c in value_cols})
+        s1 = s1.rename(columns={f"v_{c}": f"dst_{c}" for c in value_cols})
+        out = s0.merge(s1, on=["p_src_id", "p_dst_id"], how="inner")
+        return out.rename(columns={f"p_{c}": c for c in pair_cols})
 
-    return attached.groupby("pair_key").map_groups(_reassemble, batch_format="pandas")
+    return (
+        attached.map_batches(_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(_reassemble, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------

@@ -1,0 +1,89 @@
+"""Side-data attach: broadcast (zero-copy Arrow) vs cogroup (bucket
+join) must be result-identical; full pipeline must work on either."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def attach_inputs(ray_session):
+    import ray.data as rd
+
+    from analiticcl_ray.sources.corpus import generate_corpus
+
+    tab = generate_corpus(200, 5)
+    corpus = rd.from_arrow(tab)
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array(["img00000000", "img00000002", "img00000005"]),
+                "dst_id": pa.array(["img00000001", "img00000003", "img00000007"]),
+                "capped": pa.array([False, True, False]),
+            }
+        )
+    )
+    return corpus, pairs
+
+
+def _keyed(rows, cols):
+    return {
+        (r["src_id"], r["dst_id"]): tuple(r[c] for c in cols) for r in rows
+    }
+
+
+def test_broadcast_equals_cogroup(attach_inputs):
+    from analiticcl_ray.stages.verify import attach_pair_sides
+
+    corpus, pairs = attach_inputs
+    cols = ["src_caption", "dst_caption", "capped"]
+    b = _keyed(
+        attach_pair_sides(pairs, corpus, ["caption"], method="broadcast").take_all(),
+        cols,
+    )
+    c = _keyed(
+        attach_pair_sides(pairs, corpus, ["caption"], method="cogroup").take_all(),
+        cols,
+    )
+    assert len(b) == 3
+    assert b == c
+
+
+def test_broadcast_missing_id_raises(attach_inputs):
+    import ray
+    import ray.data as rd
+
+    from analiticcl_ray.stages.verify import attach_pair_sides
+
+    corpus, _ = attach_inputs
+    bad = rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array(["img00000000"]),
+                "dst_id": pa.array(["does_not_exist"]),
+                "capped": pa.array([False]),
+            }
+        )
+    )
+    with pytest.raises((KeyError, ray.exceptions.RayTaskError, Exception)):
+        attach_pair_sides(bad, corpus, ["caption"], method="broadcast").take_all()
+
+
+def test_pipeline_with_cogroup_attach(ray_session):
+    """Full dedup pipeline through the scale-path join — same verified
+    pairs as the broadcast path."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.dedup import dedup_pipeline
+    from analiticcl_ray.sources.corpus import generate_corpus
+
+    tab = generate_corpus(300, 17)
+    p1, _, _ = dedup_pipeline(rd.from_arrow(tab), attach_method="broadcast")
+    p2, _, _ = dedup_pipeline(rd.from_arrow(tab), attach_method="cogroup")
+
+    def pset(ds):
+        out = set()
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            out.update(zip(b["src_id"].to_pylist(), b["dst_id"].to_pylist()))
+        return out
+
+    assert pset(p1) == pset(p2)
