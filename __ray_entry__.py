@@ -22,9 +22,9 @@ from typing import Any
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from analiticcl_ray.sources.storage import read_table
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_table(f"{sf_dir}/documents.parquet")
 
 
 def _corpus_rows_for(sf_dir: str) -> int:
@@ -37,11 +37,10 @@ def _corpus_rows_for(sf_dir: str) -> int:
 
 
 def _corpus_ds(sf_dir: str):
-    import ray.data as rd
-
     from analiticcl_ray.sources.corpus import corpus_path
+    from analiticcl_ray.sources.storage import read_table
 
-    return rd.read_parquet(corpus_path(_corpus_rows_for(sf_dir)))
+    return read_table(corpus_path(_corpus_rows_for(sf_dir)))
 
 
 def entry() -> Any:
@@ -97,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def lang_id(sf_dir):
         return text.lang_id(_docs(sf_dir))
 
+    def testinput(sf_dir):
+        return text.testinput(_docs(sf_dir))
+
     def lang_distribution(sf_dir):
         return text.lang_distribution(_docs(sf_dir))
 
@@ -107,6 +109,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_dup_pairs(sf_dir):
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
         return ann.cosine_dup_pairs(emb, threshold=0.4)
+
+    def ann_dup_pairs_lsh(sf_dir):
+        # sub-quadratic scale path; per-pair miss probability at this
+        # config ≈ 9e-8 (0.602^32), so it reproduces the exact oracle
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.cosine_dup_pairs_lsh(emb, threshold=0.4)
 
     def ann_lsh_topk(sf_dir):
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -155,6 +163,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lines, lex, SearchConfig(score_threshold=0.5, cutoff_threshold=0.0)
         )
 
+    def context_rules(sf_dir):
+        # search mode with a context-rule set: tag every occurrence of
+        # the corpus' most frequent token (deterministic; rows-only
+        # oracle — goldens vs the reference's tests/main.rs:1574-1728
+        # live in tests/test_contextrules.py)
+        from analiticcl_ray.functions.contextrules import ContextRuleSet
+        from analiticcl_ray.pipelines.search import find_all_matches_ds
+
+        tc = text.token_counts(_docs(sf_dir)).to_pandas()
+        tc = tc.sort_values(["cnt", "token"], ascending=[False, True]).head(200)
+        lex = Lexicon.from_rows(list(zip(tc["token"], tc["cnt"])))
+        rs = ContextRuleSet()
+        rs.add_contextrule(
+            str(tc["token"].iloc[0]), 1.0, ["frequent"], [], [], lex._encoder
+        )
+        lines = _docs(sf_dir).limit(50).map_batches(
+            lambda b: {"line_id": b["doc_id"], "text": b["text"]},
+            batch_format="pandas",
+        )
+        return find_all_matches_ds(
+            lines, lex, SearchConfig(score_threshold=0.5, cutoff_threshold=0.0),
+            context_rules=rs,
+        )
+
     def learn_variants(sf_dir):
         # learn mode (reference `analiticcl learn`): typo'd tokens learned
         # as transparent variants of the lexicon references
@@ -194,14 +226,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": simhash,
         "fingerprints": fingerprints,
         "lang_id": lang_id,
+        "testinput": testinput,
         "lang_distribution": lang_distribution,
         "ann_topk": ann_topk,
         "ann_dup_pairs": ann_dup_pairs,
+        "ann_dup_pairs_lsh": ann_dup_pairs_lsh,
         "ann_lsh_topk": ann_lsh_topk,
         "window_agg": window_agg,
         "sessions": sessions,
         "find_variants": find_variants,
         "search_correct": search_correct,
+        "context_rules": context_rules,
         "learn_variants": learn_variants,
         "corpus_dedup_pairs": corpus_dedup_pairs,
         "corpus_dedup_clusters": corpus_dedup_clusters,
@@ -213,52 +248,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "exact_dedup": """
-            SELECT text, min(doc_id) AS rep_id, count(*) AS n_dups
-            FROM documents GROUP BY text
-        """,
-        "doc_stats": """
-            SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct_tokens,
-                   length(text) AS n_chars_computed,
-                   length(text)::DOUBLE
-                     / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
-                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
-                     / len(regexp_split_to_array(trim(text), '\\s+')) AS distinct_ratio
-            FROM documents
-        """,
-        "quality_filter": """
-            WITH s AS (
-              SELECT doc_id,
-                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-                     len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
-                       / len(regexp_split_to_array(trim(text), '\\s+')) AS distinct_ratio
-              FROM documents)
-            SELECT doc_id, n_tokens, distinct_ratio
-            FROM s WHERE n_tokens >= 20 AND distinct_ratio >= 0.3
-        """,
-        "token_counts": """
-            SELECT token, count(*) AS cnt
-            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
-                  FROM documents)
-            GROUP BY token
-        """,
-        "anagram_groups": """
-            WITH words AS (
-              SELECT DISTINCT
-                     array_to_string(list_sort(string_split(word, '')), '') AS anakey,
-                     word
-              FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-                    FROM documents)
-            )
-            SELECT anakey,
-                   count(*) AS n_words,
-                   string_agg(word, ',' ORDER BY word) AS words
-            FROM words GROUP BY anakey HAVING count(*) >= 1
-        """,
-        "ngram_jaccard": """
+    # token splitting is guarded for empty/whitespace-only documents
+    # (ADVICE r1): DuckDB's regexp_split_to_array('', ...) returns ['']
+    # (1 token) while the engine counts 0 — the CASE aligns the oracle
+    # with the engine's (correct) zero-token semantics.
+    _NTOK = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    _NDIS = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) END"
+    )
+    ngram_jaccard_sql = """
             WITH seq AS (
               -- constant bound (generate_series takes no subqueries);
               -- documents are capped well below 4096 chars
@@ -280,9 +282,67 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.a = sa.doc_id
                        JOIN sizes sb ON inter.b = sb.doc_id
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+        """
+    return {
+        "exact_dedup": """
+            SELECT text, min(doc_id) AS rep_id, count(*) AS n_dups
+            FROM documents GROUP BY text
         """,
+        "doc_stats": f"""
+            SELECT doc_id,
+                   {_NTOK} AS n_tokens,
+                   {_NDIS} AS n_distinct_tokens,
+                   length(text) AS n_chars_computed,
+                   CASE WHEN {_NTOK} = 0 THEN 0.0
+                        ELSE length(text)::DOUBLE / {_NTOK} END AS avg_token_len,
+                   CASE WHEN {_NTOK} = 0 THEN 0.0
+                        ELSE {_NDIS}::DOUBLE / {_NTOK} END AS distinct_ratio
+            FROM documents
+        """,
+        "quality_filter": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     {_NTOK} AS n_tokens,
+                     CASE WHEN {_NTOK} = 0 THEN 0.0
+                          ELSE {_NDIS}::DOUBLE / {_NTOK} END AS distinct_ratio
+              FROM documents)
+            SELECT doc_id, n_tokens, distinct_ratio
+            FROM s WHERE n_tokens >= 20 AND distinct_ratio >= 0.3
+        """,
+        "token_counts": """
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                  FROM documents WHERE trim(text) <> '')
+            GROUP BY token
+        """,
+        "anagram_groups": """
+            WITH words AS (
+              SELECT DISTINCT
+                     array_to_string(list_sort(string_split(word, '')), '') AS anakey,
+                     word
+              FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                    FROM documents WHERE trim(text) <> '')
+            )
+            SELECT anakey,
+                   count(*) AS n_words,
+                   string_agg(word, ',' ORDER BY word) AS words
+            FROM words GROUP BY anakey HAVING count(*) >= 1
+        """,
+        "ngram_jaccard": ngram_jaccard_sql,
+        # minhash_dedup banding (32 bands × r=4) gives P[candidate |
+        # J>=0.8] ≈ 1-5e-8; after exact-Jaccard verification its output
+        # is identical to ngram_jaccard's — same oracle (VERDICT r1 §1).
+        "minhash_dedup": ngram_jaccard_sql,
         "lang_distribution": """
             SELECT lang, count(*) AS "count()" FROM documents GROUP BY lang
+        """,
+        "testinput": """
+            SELECT doc_id,
+                   length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
+                                         '[a-zA-Z.,]', '', 'g')) > 0 AS has_unk,
+                   length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
+                                         '[a-zA-Z.,]', '', 'g')) AS n_unk
+            FROM documents
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -305,6 +365,11 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
         """,
+        "ann_dup_pairs_lsh": """
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
+        """,
         "window_agg": """
             SELECT user_id,
                    (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start,
@@ -312,7 +377,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        # minhash_dedup / simhash / fingerprints / lang_id / ann_lsh_topk /
-        # sessions / find_variants / corpus_* are rows-only here; exact
-        # semantics are pytest-verified against brute-force oracles.
+        "sessions": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 1000000 AS sec, value
+              FROM events
+            ),
+            marked AS (
+              SELECT user_id, sec, value,
+                     CASE WHEN lag(sec) OVER w IS NULL
+                               OR sec - lag(sec) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+            ),
+            sess AS (
+              SELECT user_id, sec, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id,
+                   min(sec) AS session_start,
+                   max(sec) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        # simhash / fingerprints / lang_id / ann_lsh_topk / find_variants
+        # / search_correct / learn_variants / corpus_* are rows-only
+        # here; exact semantics are pytest-verified against brute-force
+        # oracles.
     }

@@ -55,7 +55,7 @@ def dedup_pipeline(
     image_batch_size: int = 256,
     cc_method: str = "auto",
     cc_edge_threshold: int = 2_000_000,
-    attach_method: str = "broadcast",
+    attach_method: str = "auto",
     with_substring_stage: bool = True,
 ):
     """Run the full dedup pipeline.
@@ -77,7 +77,7 @@ def dedup_pipeline(
         batch_size=4096,
         concurrency=signature_concurrency,
     )
-    sig_cols = ["image_id", "caption", "content_key", "bytes_key", "bands"]
+    sig_cols = ["image_id", "caption", "content_key", "bytes_key", "bytes_key2", "bands"]
     if cfg.use_phash_bands:
         sigs = sigs.map_batches(
             lambda b: phash_band_table(b, cfg.phash_bands), batch_format="pyarrow"
@@ -137,13 +137,14 @@ def dedup_pipeline(
             )
         )
     pairs = dedup_pairs(cands).materialize()
-    # sentinel tally + strip and both counts in one driver pass over the
-    # (edge-list-sized) materialized pairs
-    from ..stages.lsh import DROPPED_SENTINEL, tally_sentinels
+    # sentinel tally + strip over the (edge-list-sized) materialized
+    # pairs; sentinel rows are globally unique (one per dropped bucket,
+    # cogroup id encoded in src_id) so the post-dedup tally is exact
+    from ..stages.lsh import strip_sentinels, tally_sentinels
 
     tally_sentinels(pairs, bucket_stats)
     metrics.update(bucket_stats)  # dropped degenerate buckets: no silent caps
-    pairs = pairs.filter(expr=f"src_id != '{DROPPED_SENTINEL}'").materialize()
+    pairs = strip_sentinels(pairs).materialize()
     metrics["candidate_pairs"] = pairs.count()
     metrics["capped_pairs"] = pairs.filter(expr="capped == True").count()
     metrics["t_candidates_s"] = round(time.perf_counter() - t0, 3)
@@ -155,7 +156,7 @@ def dedup_pipeline(
     # captions + bytes_key attach from the (already materialized) slim
     # signature table — no second corpus scan
     with_captions = attach_pair_sides(
-        pairs, sigs, ["caption", "bytes_key"], method=attach_method,
+        pairs, sigs, ["caption", "bytes_key", "bytes_key2"], method=attach_method,
         concurrency=verify_concurrency,
     )
     cap_verified = with_captions.map_batches(
@@ -175,10 +176,14 @@ def dedup_pipeline(
     t2 = time.perf_counter()
     import pyarrow.compute as pc
 
-    # exact-image short-circuit: equal bytes hashes => identical bytes =>
-    # dup with PSNR inf; those pairs never touch the binary column
+    # exact-image short-circuit: equal 128-bit content hashes (two
+    # independent 64-bit keys, ADVICE r1) => identical bytes => dup with
+    # PSNR inf; those pairs never touch the binary column
     def _split_exact(batch: pa.Table) -> pa.Table:
-        eq = pc.equal(batch["src_bytes_key"], batch["dst_bytes_key"])
+        eq = pc.and_(
+            pc.equal(batch["src_bytes_key"], batch["dst_bytes_key"]),
+            pc.equal(batch["src_bytes_key2"], batch["dst_bytes_key2"]),
+        )
         return batch.append_column("bytes_equal", eq)
 
     flagged = survivors.map_batches(_split_exact, batch_format="pyarrow").materialize()

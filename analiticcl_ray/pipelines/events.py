@@ -33,7 +33,7 @@ def tumbling_window_agg(
             .agg(n_events=("value", "size"), sum_value=("value", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partial = events.map_batches(_win, batch_format="pyarrow")
 
@@ -59,7 +59,10 @@ def sessionize(
     events: "ray.data.Dataset", gap_s: int = 1800
 ) -> "ray.data.Dataset":
     """Session windows per user: a new session starts when the gap to
-    the previous event exceeds ``gap_s``. Group-sorted by ts."""
+    the previous event exceeds ``gap_s``. Group-sorted by ts.
+    ``sum_value`` is rounded to 4 decimals (same contract as
+    tumbling_window_agg: float summation order differs between engines
+    in the last ulp) so the op is DuckDB-oracle-checkable."""
 
     def _sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("ts").reset_index(drop=True)
@@ -79,6 +82,7 @@ def sessionize(
         )
         out["user_id"] = out["user_id"].astype("int64")
         out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].astype(float).round(4)
         return out
 
     return events.select_columns(["user_id", "ts", "value"]).groupby(

@@ -67,6 +67,8 @@ class Span:
     n: int = 0
     variants: Optional[list[dict]] = None  # find_variants results
     selected: Optional[int] = None
+    tag: list = field(default_factory=list)     # context-rule tag indices
+    seqnr: list = field(default_factory=list)   # position within each tag span
 
 
 def find_boundaries(text: str) -> list[Span]:
@@ -299,9 +301,12 @@ def most_likely_sequence(
     max_seq: int = 250,
     lm_weight: float = 1.0,
     variantmodel_weight: float = 3.0,
+    context_rules=None,
+    contextrules_weight: float = 1.0,
 ) -> list[Span]:
     """Pick the best segmentation; reference rescoring formula
-    (src/lib.rs:2383-2425)."""
+    (src/lib.rs:2383-2425) incl. the context-rule score and tag
+    assignment (src/lib.rs:2346-2366, 2485-2492)."""
     import math
 
     have_symbols = any(m.variants for m in matches) or any(
@@ -314,35 +319,60 @@ def most_likely_sequence(
     )
     if not paths:
         return matches
-    if lm is None or lm_weight == 0.0:
+    have_lm = lm is not None and lm_weight > 0.0
+    have_ctx = (
+        context_rules is not None
+        and bool(context_rules.rules)
+        and contextrules_weight > 0.0
+    )
+    best_tags = None
+    if not have_lm and not have_ctx:
         # shortcut: min variant cost (src/lib.rs:2400-2404)
         best_cost, best_path = paths[0]
     else:
         best_variant_cost = min(c for c, _ in paths)
-        scored = []
         best_pp = None
+        best_ctx = 0.0  # to be maximised (src/lib.rs:2321)
         infos = []
         for cost, path in paths:
-            tokens: list[Optional[str]] = [BOS]
-            for mi, vi in path:
-                m = matches[mi]
-                if vi is None:
-                    tokens.append(None)  # OOV copied from input
-                else:
-                    text = finder.lex.texts[m.variants[vi]["vocab_id"]]
-                    tokens.extend(text.split(" "))
-            tokens.append(EOS)
-            _, pp = lm.score_tokens(tokens)
-            infos.append((cost, path, pp))
-            if best_pp is None or pp < best_pp:
-                best_pp = pp
+            pp = None
+            if have_lm:
+                tokens: list[Optional[str]] = [BOS]
+                for mi, vi in path:
+                    m = matches[mi]
+                    if vi is None:
+                        tokens.append(None)  # OOV copied from input
+                    else:
+                        text = finder.lex.texts[m.variants[vi]["vocab_id"]]
+                        tokens.extend(text.split(" "))
+                tokens.append(EOS)
+                _, pp = lm.score_tokens(tokens)
+                if best_pp is None or pp < best_pp:
+                    best_pp = pp
+            if have_ctx:
+                seq = []
+                for mi, vi in path:
+                    m = matches[mi]
+                    if vi is None:
+                        seq.append((None, 0))  # OOV: no vocab, no lexicon
+                    else:
+                        vid = m.variants[vi]["vocab_id"]
+                        seq.append((vid, finder.lex.lexindex[vid]))
+                ctx, ctx_results = context_rules.test_context_rules(seq)
+            else:
+                ctx, ctx_results = 1.0, None
+            if ctx > best_ctx:
+                best_ctx = ctx
+            infos.append((cost, path, pp, ctx, ctx_results))
         best_score = None
         best_path = paths[0][1]
         best_cost = paths[0][0]
-        for cost, path, pp in infos:
+        for cost, path, pp, ctx, ctx_results in infos:
             # Rust's f64 ln(0) = -inf (no panic); mirror that so a
             # perplexity-0 best path dominates instead of crashing
-            if pp == best_pp:
+            if not have_lm:
+                norm_lm = 0.0
+            elif pp == best_pp:
                 norm_lm = 0.0
             elif pp <= 0:
                 norm_lm = float("inf")
@@ -351,18 +381,25 @@ def most_likely_sequence(
             else:
                 norm_lm = math.log(best_pp / pp)
             norm_var = math.log(best_variant_cost / cost)
-            score = (lm_weight * norm_lm + variantmodel_weight * norm_var) / (
-                lm_weight + variantmodel_weight
-            )
+            norm_ctx = math.log(ctx / best_ctx) if best_ctx > 0 else 0.0
+            score = (
+                lm_weight * norm_lm
+                + variantmodel_weight * norm_var
+                + contextrules_weight * norm_ctx
+            ) / (lm_weight + variantmodel_weight + contextrules_weight)
             if best_score is None or score > best_score:
                 best_score = score
                 best_path = path
                 best_cost = cost
+                best_tags = ctx_results
 
     chosen: list[Span] = []
-    for mi, vi in best_path:
+    for i, (mi, vi) in enumerate(best_path):
         m = matches[mi]
         m.selected = vi
+        if best_tags is not None and i < len(best_tags):
+            m.tag = [r.tag for r in best_tags[i] if r.tag is not None]
+            m.seqnr = [r.seqnr for r in best_tags[i] if r.tag is not None]
         chosen.append(m)
     return chosen
 
@@ -378,8 +415,11 @@ def find_all_matches(
     max_ngram: int = 1,
     lm: Optional[BigramLM] = None,
     max_seq: int = 250,
+    context_rules=None,
+    unicode_offsets: bool = True,
 ) -> list[Span]:
-    """src/lib.rs:1790-1957."""
+    """src/lib.rs:1790-1957. ``unicode_offsets=False`` emits UTF-8 byte
+    offsets (the reference's default; src/lib.rs:1949-1955)."""
     cfg = cfg or SearchConfig()
     if not text:
         return []
@@ -398,11 +438,12 @@ def find_all_matches(
                     if order == 1 or not redundant_match(seg, batch_matches):
                         seg.variants = finder.find_variants(seg.text)
                 batch_matches.extend(segs)
-            if max_ngram > 1 or lm is not None:
+            if max_ngram > 1 or lm is not None or context_rules is not None:
                 matches.extend(
                     most_likely_sequence(
                         batch_matches, local_bounds, begin, boundary.begin,
                         cfg, finder, lm, max_seq,
+                        context_rules=context_rules,
                     )
                 )
             else:
@@ -411,6 +452,26 @@ def find_all_matches(
                 matches.extend(batch_matches)
             begin = boundary.end
             begin_index = i + 1
+    if not unicode_offsets:
+        matches = remap_offsets_to_utf8_bytes(text, matches)
+    return matches
+
+
+def remap_offsets_to_utf8_bytes(text: str, matches: list[Span]) -> list[Span]:
+    """Codepoint offsets -> UTF-8 byte offsets (M7). The reference is
+    byte-native and remaps to codepoints behind ``--unicode-offsets``
+    (src/search.rs:527-546, src/lib.rs:1949-1955); this engine is
+    codepoint-native, so the remap runs the other way: with
+    ``unicode_offsets=False`` the emitted spans are byte-identical to
+    the reference's default output on any (non-ASCII) input."""
+    offs = [0] * (len(text) + 1)
+    acc = 0
+    for i, c in enumerate(text):
+        acc += len(c.encode("utf-8"))
+        offs[i + 1] = acc
+    for m in matches:
+        m.begin = offs[m.begin]
+        m.end = offs[m.end]
     return matches
 
 
@@ -431,6 +492,8 @@ class SearchActor:
         max_ngram: int = 1,
         lm_or_ref=None,
         alphabet=None,
+        context_rules_or_ref=None,
+        unicode_offsets: bool = True,
     ):
         lex = (
             ray.get(lexicon_or_ref)
@@ -443,8 +506,15 @@ class SearchActor:
         self.lm = (
             ray.get(lm_or_ref) if isinstance(lm_or_ref, ray.ObjectRef) else lm_or_ref
         )
+        self.context_rules = (
+            ray.get(context_rules_or_ref)
+            if isinstance(context_rules_or_ref, ray.ObjectRef)
+            else context_rules_or_ref
+        )
+        self.unicode_offsets = unicode_offsets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        tag_names = self.context_rules.tags if self.context_rules else []
         out = {
             "line_id": [],
             "match_text": [],
@@ -452,10 +522,14 @@ class SearchActor:
             "end": [],
             "output": [],
             "score": [],
+            "tags": [],
+            "seqnr": [],
         }
         for lid, line in zip(batch["line_id"].to_pylist(), batch["text"].to_pylist()):
             for m in find_all_matches(
-                line, self.finder, self.cfg, self.max_ngram, self.lm
+                line, self.finder, self.cfg, self.max_ngram, self.lm,
+                context_rules=self.context_rules,
+                unicode_offsets=self.unicode_offsets,
             ):
                 out["line_id"].append(lid)
                 out["match_text"].append(m.text)
@@ -467,6 +541,8 @@ class SearchActor:
                     if m.selected is not None and m.variants
                     else None
                 )
+                out["tags"].append(";".join(tag_names[t] for t in m.tag))
+                out["seqnr"].append(";".join(str(s) for s in m.seqnr))
         return pa.table(
             {
                 "line_id": pa.array(out["line_id"], pa.int64()),
@@ -475,6 +551,8 @@ class SearchActor:
                 "end": pa.array(out["end"], pa.int64()),
                 "output": pa.array(out["output"], pa.string()),
                 "score": pa.array(out["score"], pa.float64()),
+                "tags": pa.array(out["tags"], pa.string()),
+                "seqnr": pa.array(out["seqnr"], pa.string()),
             }
         )
 
@@ -487,13 +565,20 @@ def find_all_matches_ds(
     lm: Optional[BigramLM] = None,
     concurrency=(1, 8),
     batch_size: int = 256,
+    context_rules=None,
+    unicode_offsets: bool = True,
 ) -> "ray.data.Dataset":
-    """Distributed search mode over a Dataset of (line_id, text)."""
+    """Distributed search mode over a Dataset of (line_id, text). The
+    model state (lexicon, LM, context rules) is broadcast ONCE via
+    ``ray.put`` and shared by every search actor."""
     lex_ref = ray.put(lexicon)
     lm_ref = ray.put(lm) if lm is not None else None
+    cr_ref = ray.put(context_rules) if context_rules is not None else None
     return lines.map_batches(
         SearchActor,
-        fn_constructor_args=(lex_ref, cfg, max_ngram, lm_ref),
+        fn_constructor_args=(
+            lex_ref, cfg, max_ngram, lm_ref, None, cr_ref, unicode_offsets
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -196,86 +196,192 @@ def anagram_groups(docs: "ray.data.Dataset", min_words: int = 1) -> "ray.data.Da
 # n-gram Jaccard near-dup (exact) — the oracle-checkable near-dup op
 # ---------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
-    docs: "ray.data.Dataset", n: int = 3, threshold: float = 0.8
-) -> "ray.data.Dataset":
-    """EXACT character-n-gram Jaccard similarity for all pairs above
-    ``threshold``. Dense path: the distinct-gram vocabulary is collected
-    once (a vectorized groupby; small whenever the corpus vocabulary is
-    bounded — the synthetic tables here), each block turns into a binary
-    doc×gram membership matrix, intersections are one integer matmul of
-    the block against the broadcast full matrix, and |A∪B| =
-    |A|+|B|-|A∩B| with a single int/int division (bit-identical to the
-    DuckDB oracle). For open-vocabulary corpora use the sparse path:
-    (gram, doc) explode -> hot-gram prefilter -> per-gram pair emission
-    -> pair-count aggregate (the machinery in stages/lsh.py)."""
-    import ray
+def _gram_list(t: str, n: int) -> list[str]:
+    return sorted({t[i : i + n] for i in range(len(t) - n + 1)}) if len(t) >= n else []
 
-    def _gram_rows(batch: pa.Table) -> pa.Table:
-        out_g: list[str] = []
-        for t in batch["text"].to_pylist():
-            if len(t) >= n:
-                out_g.extend({t[i : i + n] for i in range(len(t) - n + 1)})
-        return pa.table({"gram": pa.array(sorted(set(out_g)), pa.string())})
 
-    vocab = sorted(
-        r["gram"]
-        for r in docs.map_batches(_gram_rows, batch_format="pyarrow")
-        .groupby("gram")
-        .count()
-        .take_all()
-    )
-    gram_idx = {g: i for i, g in enumerate(vocab)}
+class _JaccardVerifier:
+    """Actor: exact char-n-gram Jaccard on pairs with attached texts.
 
-    # full membership matrix, broadcast once (docs × grams, packed bool)
-    ids_all: list[int] = []
-    rows: list[np.ndarray] = []
-    for b in docs.select_columns(["doc_id", "text"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            v = np.zeros(len(vocab), dtype=np.int32)
-            if len(t) >= n:
-                for i in range(len(t) - n + 1):
-                    v[gram_idx[t[i : i + n]]] = 1
-            ids_all.append(d)
-            rows.append(v)
-    full_ids = np.array(ids_all, dtype=np.int64)
-    order = np.argsort(full_ids)
-    full_ids = full_ids[order]
-    full_mat = np.stack([rows[i] for i in order]) if rows else np.zeros((0, 1), np.int32)
-    full_sizes = full_mat.sum(axis=1)
-    ref = ray.put((full_ids, full_mat, full_sizes))
+    Input batch needs src_text/dst_text (attached via
+    stages/verify.attach_pair_sides — broadcast or cogroup, never a
+    driver-built dict); emits (a, b, jaccard) filtered at ``threshold``.
+    Gram sets are memoized per actor keyed by text (pairs arrive grouped
+    by bucket, so reuse is high). jaccard = |A∩B| / |A∪B| as ONE
+    int/int division — bit-identical to the DuckDB oracle."""
 
-    def _block(batch: pa.Table) -> pa.Table:
-        bids, bmat, bsizes = ray.get(ref)
-        a_ids = np.array(batch["doc_id"].to_pylist(), dtype=np.int64)
-        amat = np.zeros((len(a_ids), bmat.shape[1]), dtype=np.int32)
-        for i, t in enumerate(batch["text"].to_pylist()):
-            if len(t) >= n:
-                for j in range(len(t) - n + 1):
-                    amat[i, gram_idx[t[j : j + n]]] = 1
-        inter = amat @ bmat.T  # (na, nb) int
-        asizes = amat.sum(axis=1)
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(a_ids)):
-            union = asizes[i] + bsizes - inter[i]
-            with np.errstate(invalid="ignore", divide="ignore"):
-                jac = np.where(union > 0, inter[i] / union, 0.0)
-            hits = np.where((jac >= threshold) & (a_ids[i] < bids))[0]
-            for h in hits:
-                out_a.append(int(a_ids[i]))
-                out_b.append(int(bids[h]))
-                out_j.append(float(jac[h]))
+    def __init__(self, n: int, threshold: float):
+        self.n = n
+        self.threshold = threshold
+        self._memo: dict[str, frozenset] = {}
+
+    def _grams(self, t: str) -> frozenset:
+        g = self._memo.get(t)
+        if g is None:
+            if len(self._memo) > 200_000:
+                self._memo.clear()
+            g = frozenset(
+                t[i : i + self.n] for i in range(len(t) - self.n + 1)
+            ) if len(t) >= self.n else frozenset()
+            self._memo[t] = g
+        return g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["src_id"].to_pylist()
+        b = batch["dst_id"].to_pylist()
+        st = batch["src_text"].to_pylist()
+        dt = batch["dst_text"].to_pylist()
+        jac = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            sa, sb = self._grams(st[i]), self._grams(dt[i])
+            u = len(sa | sb)
+            jac[i] = (len(sa & sb) / u) if u else 0.0
+        keep = jac >= self.threshold
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "a": pa.array(np.asarray(a, dtype=np.int64)[keep], pa.int64()),
+                "b": pa.array(np.asarray(b, dtype=np.int64)[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
             }
         )
 
-    return docs.map_batches(_block, batch_format="pyarrow")
+
+def _verify_jaccard(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    n: int,
+    threshold: float,
+    attach_method: str = "auto",
+) -> "ray.data.Dataset":
+    """Attach text to both pair sides (shuffle/broadcast by size — no
+    driver materialization) and exact-verify Jaccard in an actor pool."""
+    from ..stages.verify import attach_pair_sides
+
+    # min-1 actor pools: the pipeline already runs a signature pool;
+    # pools reserving min(actors)·num_cpus >= total CPUs starve the
+    # task operators (read/sort) and deadlock the streaming executor
+    attached = attach_pair_sides(
+        pairs,
+        docs.select_columns(["doc_id", "text"]),
+        ["text"],
+        method=attach_method,
+        id_col="doc_id",
+        concurrency=(1, 8),
+    )
+    return attached.map_batches(
+        _JaccardVerifier,
+        fn_constructor_args=(n, threshold),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: "ray.data.Dataset",
+    n: int = 3,
+    threshold: float = 0.8,
+    attach_method: str = "auto",
+    bucket_cap: int = 1_000_000,
+    drop_threshold: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT character-n-gram Jaccard for all pairs above ``threshold``
+    — fully distributed sparse path (prefix filtering, Bayardo et al.
+    WWW'07 "all-pairs"; Chaudhuri et al. ICDE'06):
+
+    1. gram document-frequency: per-batch partial counts → small
+       groupby-sum, broadcast once as an Arrow table (char-n-gram
+       vocabulary is bounded by charset^n, so the side stays small even
+       at 1e12 docs).
+    2. prefix explode: each doc's distinct grams are ordered by (global
+       df, gram); only the first |G| - ceil(t·|G|) + 1 grams (the
+       rarest) are emitted as (gram_hash, doc_id) rows. Completeness:
+       J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets with
+       overlap ≥ c must share an element within their (|X|-c+1)-
+       prefixes under any common total order.
+    3. cooccurrence_pairs on the prefix rows (ONE shuffle; stages/lsh
+       machinery) → dedup → exact verify with attached texts
+       (broadcast/cogroup by size).
+
+    ``bucket_cap``/``drop_threshold`` default to effectively-unbounded
+    because this op's contract is exactness; a prefix gram shared by
+    >cap docs means a near-dup group that large (pair listing is then
+    inherently quadratic in the group). For recall-tolerant runs at
+    extreme skew pass finite caps — drops are counted, never silent."""
+    from ..stages.lsh import cooccurrence_pairs, dedup_pairs
+
+    import ray
+
+    # ---- pass 1: global gram document frequency --------------------
+    def _gram_rows(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for g in _gram_list(t, n):
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table(
+            {
+                "gram": pa.array(list(counts.keys()), pa.string()),
+                "df": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def _merge_df(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"gram": [group["gram"].iloc[0]], "df": [int(group["df"].sum())]}
+        )
+
+    df_table = pa.Table.from_pandas(
+        (
+            docs.map_batches(_gram_rows, batch_format="pyarrow")
+            .groupby("gram")
+            .map_groups(_merge_df, batch_format="pandas")
+        ).to_pandas(),
+        preserve_index=False,
+    ).combine_chunks()
+    df_ref = ray.put(df_table)
+
+    # ---- pass 2: prefix explode ------------------------------------
+    def _prefix_rows(batch: pa.Table) -> pa.Table:
+        tbl = ray.get(df_ref)
+        ids_out: list[int] = []
+        grams_out: list[str] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            gs = _gram_list(t, n)
+            ids_out.extend([d] * len(gs))
+            grams_out.extend(gs)
+        if not ids_out:
+            return pa.table(
+                {"gram_key": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame({"doc_id": ids_out, "gram": grams_out})
+        idx = pc.index_in(pa.array(df["gram"]), value_set=tbl["gram"].combine_chunks())
+        df["df"] = tbl["df"].take(idx).to_numpy()
+        df = df.sort_values(["doc_id", "df", "gram"], kind="mergesort")
+        sizes = df.groupby("doc_id")["gram"].transform("size").to_numpy()
+        prefix_len = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        rank = df.groupby("doc_id").cumcount().to_numpy()
+        keep = df[rank < prefix_len]
+        # deterministic C-vectorized gram hash (fixed pandas hash key)
+        h = pd.util.hash_pandas_object(keep["gram"], index=False).to_numpy()
+        return pa.table(
+            {
+                "gram_key": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": pa.array(keep["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    prefix_rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        _prefix_rows, batch_format="pyarrow"
+    )
+
+    cand = dedup_pairs(
+        cooccurrence_pairs(
+            prefix_rows, "gram_key", "doc_id", cap=bucket_cap,
+            id_dtype="int", drop_threshold=drop_threshold,
+        ),
+        id_dtype="int",
+    )
+    return _verify_jaccard(cand, docs, n, threshold, attach_method)
 
 
 # ---------------------------------------------------------------------
@@ -349,22 +455,27 @@ class DocMinHash:
 
 def minhash_dedup_pairs(
     docs: "ray.data.Dataset", cfg: DedupConfig | None = None, n: int = 3,
-    jaccard_threshold: float = 0.8,
+    jaccard_threshold: float = 0.8, attach_method: str = "auto",
 ) -> "ray.data.Dataset":
-    """MinHash-LSH candidates verified by EXACT n-gram Jaccard:
-    signatures -> band explode -> hot-band prefilter + co-occurrence
-    pairs (stages/lsh.py machinery) -> exact verify via a broadcast
-    gram-set lookup (documents are slim; at 1e12 scale the verify would
-    cogroup instead — stages/verify.py has both paths).
+    """MinHash-LSH candidates verified by EXACT n-gram Jaccard — every
+    stage a shuffle or a broadcast, nothing corpus-sized on the driver:
+    signatures (actor pool) -> band explode -> co-occurrence pairs
+    (stages/lsh.py, ONE shuffle) -> text attach (broadcast/cogroup by
+    size, stages/verify.py) -> exact Jaccard in an actor pool (shared
+    with ngram_jaccard_pairs).
 
-    At r = num_perm/bands = 4 rows per band, P[candidate | J=0.8] =
-    1-(1-0.8^4)^32 ≈ 1 - 5e-8 — recall vs ngram_jaccard_pairs is
-    asserted ≥ 0.99 in tests."""
-    import ray
+    Banding for the doc table is widened to 32 bands × r=4 (vs the
+    caption pipeline's 16×8): P[candidate | J=0.8] = 1-(1-0.8^4)^32 ≈
+    1 - 5e-8, so at the 0.8 threshold the verified output is
+    (probability ≈1) IDENTICAL to ngram_jaccard_pairs — checked against
+    the same DuckDB oracle."""
+    import dataclasses
 
     from ..stages.lsh import candidate_pairs, dedup_pairs
 
     cfg = cfg or DedupConfig()
+    if cfg.num_perm % 32 == 0:
+        cfg = dataclasses.replace(cfg, bands=32)
 
     sig = docs.select_columns(["doc_id", "text"]).map_batches(
         DocMinHash, fn_constructor_args=(cfg, n), batch_format="pyarrow",
@@ -390,38 +501,8 @@ def minhash_dedup_pairs(
             id_dtype="int",
         ),
         id_dtype="int",
-    ).map_batches(
-        # rename via arrow (blocks may arrive as pandas from map_groups)
-        lambda t: t.rename_columns(["a", "b", "capped"]),
-        batch_format="pyarrow",
     )
-
-    # exact-verify survivors with a broadcast gram-set table
-    gram_sets: dict[int, frozenset] = {}
-    for b in docs.select_columns(["doc_id", "text"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            gram_sets[d] = frozenset(
-                t[i : i + n] for i in range(len(t) - n + 1)
-            ) if len(t) >= n else frozenset()
-    ref = ray.put(gram_sets)
-
-    def _verify(batch: pa.Table) -> pa.Table:
-        gs = ray.get(ref)
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        jac = np.empty(len(a), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(a, b)):
-            sa, sb = gs[x], gs[y]
-            u = len(sa | sb)
-            jac[i] = (len(sa & sb) / u) if u else 0.0
-        t = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-        return t.filter(
-            pc.greater_equal(t["jaccard"], pa.scalar(jaccard_threshold))
-        ).select(["a", "b", "jaccard"])
-
-    return cand.map_batches(_verify, batch_format="pyarrow")
+    return _verify_jaccard(cand, docs, n, jaccard_threshold, attach_method)
 
 
 # ---------------------------------------------------------------------
@@ -519,6 +600,34 @@ class LangId:
         return pa.table(
             {"doc_id": batch["doc_id"], "pred_lang": pa.array(preds, pa.string())}
         )
+
+
+def testinput(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Input-encodability validator (M8; reference `analiticcl
+    testinput`, src/bin/analiticcl.rs:1007-1023): per document, does any
+    non-whitespace character fall outside the alphabet (i.e. normalize
+    to UNK)? Emits (doc_id, has_unk, n_unk). With the simple a-z/./,
+    alphabet this is SQL-expressible, so it carries a DuckDB oracle."""
+    nm = Normalizer(simple_alphabet())
+
+    def _check(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_unk = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            stripped = _WS.sub("", t)
+            norm = nm.normalize(stripped)
+            n_unk[i] = int((norm == nm.unk_norm).sum())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "has_unk": pa.array(n_unk > 0),
+                "n_unk": pa.array(n_unk, pa.int64()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _check, batch_format="pyarrow"
+    )
 
 
 def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":

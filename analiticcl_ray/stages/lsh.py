@@ -146,10 +146,12 @@ def cooccurrence_pairs(
     this is a *degenerate* bucket — no discriminative signal (the
     stop-word-shingle analog of the reference's hard search-space caps,
     src/lib.rs:42-46) and would still emit O(n*cap) pairs after salting.
-    Such keys are dropped and *reported*: the group emits a sentinel row
-    (src_id = DROPPED_SENTINEL, dst_id = row count) which the caller
-    tallies into ``stats`` — no silent caps. Recall for true duplicates
-    is carried by their other, non-degenerate keys."""
+    Such keys are dropped and *reported*: the group emits one sentinel
+    row PER dropped bucket, globally unique (the cogroup id and a
+    per-group sequence number are encoded into src_id), so downstream
+    ``dedup_pairs`` can never collapse two sentinels (ADVICE r1) and the
+    caller's tally is exact — no silent caps. Recall for true
+    duplicates is carried by their other, non-degenerate keys."""
     if drop_threshold is None:
         drop_threshold = 8 * cap
 
@@ -169,31 +171,32 @@ def cooccurrence_pairs(
     def _pairs_many(group: pd.DataFrame) -> pd.DataFrame:
         counts = group[key_col].value_counts()
         hot = counts[counts >= 2]
+        cg = int(group["cogroup"].iloc[0]) if len(group) else 0
         srcs: list = []
         dsts: list = []
         caps: list = []
-        dropped_rows = 0
-        dropped_buckets = 0
+        dropped: list[int] = []  # per-bucket dropped row counts
         if len(hot):
             sub = group[group[key_col].isin(hot.index)]
             for key, subg in sub.groupby(key_col, sort=False):
                 if len(subg) > drop_threshold:
-                    dropped_buckets += 1
-                    dropped_rows += len(subg)
+                    dropped.append(len(subg))
                     continue
                 src, dst, capped = emit_bucket_pairs(subg[id_col].tolist(), cap)
                 if src:
                     srcs.extend(src)
                     dsts.extend(dst)
                     caps.extend([capped] * len(src))
-        if dropped_buckets:
-            # sentinel diagnostic row, typed to match the id column
+        for seq, nrows in enumerate(dropped):
+            # one sentinel per dropped bucket; src_id encodes (cogroup,
+            # seq) so every sentinel row is globally unique and survives
+            # any downstream drop_duplicates (ADVICE r1)
             if id_pd_dtype == "object":
-                srcs.append(DROPPED_SENTINEL)
-                dsts.append(f"{dropped_buckets}:{dropped_rows}")
+                srcs.append(f"{DROPPED_SENTINEL}:{cg}:{seq}")
+                dsts.append(f"1:{nrows}")
             else:
-                srcs.append(-1)
-                dsts.append(dropped_rows)
+                srcs.append(-(1 + cg + n_cogroups * seq))
+                dsts.append(nrows)
             caps.append(True)
         return pd.DataFrame(
             {
@@ -210,26 +213,41 @@ def cooccurrence_pairs(
     )
     if keep_sentinels:
         # caller (dedup_pipeline) tallies + strips sentinels in its final
-        # pair pass — avoids an extra materialize barrier here
+        # pair pass — sentinel rows are globally unique, so tallying
+        # after dedup_pairs is exact
         return pairs
-    keep_expr = (
-        f"src_id != '{DROPPED_SENTINEL}'" if id_dtype == "str" else "src_id != -1"
-    )
     if stats is not None:
         pairs = pairs.materialize()
         tally_sentinels(pairs, stats, id_dtype)
-    return pairs.filter(expr=keep_expr)
+    return strip_sentinels(pairs, id_dtype)
+
+
+def _sentinel_mask(batch: pa.Table, id_dtype: str) -> pa.ChunkedArray:
+    if id_dtype == "str":
+        return pc.starts_with(batch["src_id"], DROPPED_SENTINEL)
+    return pc.less(batch["src_id"], pa.scalar(0, pa.int64()))
+
+
+def strip_sentinels(pairs: "ray.data.Dataset", id_dtype: str = "str") -> "ray.data.Dataset":
+    """Remove sentinel diagnostic rows (vectorized Arrow filter)."""
+
+    def _strip(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(_sentinel_mask(batch, id_dtype)))
+
+    return pairs.map_batches(_strip, batch_format="pyarrow")
 
 
 def tally_sentinels(
     pairs: "ray.data.Dataset", stats: dict, id_dtype: str = "str"
 ) -> None:
-    """Accumulate dropped-bucket diagnostics from sentinel rows."""
-    sentinel_expr = (
-        f"src_id == '{DROPPED_SENTINEL}'" if id_dtype == "str" else "src_id == -1"
-    )
+    """Accumulate dropped-bucket diagnostics from sentinel rows (one
+    globally-unique sentinel per dropped bucket)."""
     db = dr = 0
-    for b in pairs.filter(expr=sentinel_expr).iter_batches(
+
+    def _only_sentinels(batch: pa.Table) -> pa.Table:
+        return batch.filter(_sentinel_mask(batch, id_dtype))
+
+    for b in pairs.map_batches(_only_sentinels, batch_format="pyarrow").iter_batches(
         batch_size=4096, batch_format="pyarrow"
     ):
         for v in b["dst_id"].to_pylist():
@@ -281,7 +299,7 @@ def dedup_pairs(
             index=False,
         ).to_numpy()
         df["cogroup"] = (h % np.uint64(n_cogroups)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def _dedup(group: pd.DataFrame) -> pd.DataFrame:
         out = group.sort_values("capped").drop_duplicates(

@@ -116,6 +116,11 @@ class CaptionSignatures:
             )
         bands = self._minhash_bands(shingles)
         bytes_keys = np.array([hash_u64(b, seed=1) for b in blobs], dtype=np.uint64)
+        # second independent 64-bit hash: bytes-equality decisions use
+        # the 128-bit (bytes_key, bytes_key2) pair — 64-bit birthday
+        # collisions are expected at 1e12 rows, 128-bit are not
+        # (ADVICE r1)
+        bytes_keys2 = np.array([hash_u64(b, seed=2) for b in blobs], dtype=np.uint64)
         caption_keys = np.array(
             [hash_u64(c.encode("utf-8")) for c in captions], dtype=np.uint64
         )
@@ -126,6 +131,7 @@ class CaptionSignatures:
             batch.append_column("norm_len", pa.array(norm_lens, pa.int32()))
             .append_column("content_key", pa.array(content.view(np.int64), pa.int64()))
             .append_column("bytes_key", pa.array(bytes_keys.view(np.int64), pa.int64()))
+            .append_column("bytes_key2", pa.array(bytes_keys2.view(np.int64), pa.int64()))
             .append_column(
                 "bands",
                 pa.FixedSizeListArray.from_arrays(

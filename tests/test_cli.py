@@ -1,0 +1,54 @@
+"""CLI verb smoke tests (SURVEY §2.11; reference subcommands
+src/bin/analiticcl.rs:899-950). Each verb runs as a real subprocess —
+the same invocation ``ray job submit`` would make on a cluster."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, stdin=None, timeout=420):
+    return subprocess.run(
+        [sys.executable, "-m", "analiticcl_ray", "--num-cpus", "4", *args],
+        input=stdin, capture_output=True, text=True, cwd=REPO, timeout=timeout,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+
+
+def test_cli_query_and_testinput(tmp_path):
+    lex = tmp_path / "lex.tsv"
+    lex.write_text("i\t10\nthink\t8\nright\t5\n")
+    r = _run(["query", "--lexicon", str(lex), "--score-threshold", "0.0"],
+             stdin="tink\n")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "think" in r.stdout
+
+    r = _run(["testinput"], stdin="hello\nw0rld!\n")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = sorted(r.stdout.strip().splitlines())
+    assert lines[0].startswith("0\tFalse\t0")
+    assert lines[1].startswith("1\tTrue\t2")
+
+
+def test_cli_dedup_stage_verbs(tmp_path):
+    from analiticcl_ray.sources.corpus import corpus_path
+
+    corpus = corpus_path(300, seed=7)
+    out = str(tmp_path / "job")
+    r = _run(["pairs", "--corpus", corpus, "--out-dir", out, "--shards", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout)
+    assert [s["stage"] for s in payload["stages"]][:2] == ["signatures", "pairs"]
+    assert os.path.exists(os.path.join(out, "pairs", "_manifest.json"))
+    # second verb resumes the finished stages and adds the rest
+    r = _run(["cluster", "--corpus", corpus, "--out-dir", out, "--shards", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout)
+    stages = [s["stage"] for s in payload["stages"]]
+    assert stages == ["signatures", "pairs", "verified", "clusters"]
+    assert payload["stages"][1].get("resumed")

@@ -14,7 +14,8 @@ def job_dirs(ray_session, tmp_path_factory):
     from analiticcl_ray.sources.corpus import corpus_path
 
     out = str(tmp_path_factory.mktemp("dedup_job"))
-    src = corpus_path(300, seed=11)
+    # 1024 rows -> 4 part files -> 4 row-group fragments (one per file)
+    src = corpus_path(1024, seed=11)
     lineage1 = run_dedup_job(src, out, n_shards=4)
     return src, out, lineage1
 
@@ -76,3 +77,34 @@ def test_config_change_invalidates_checkpoints(job_dirs, tmp_path):
     )
     # different config hash -> wide stages recomputed, not resumed
     assert not lineage["stages"][1].get("resumed")
+
+
+def test_input_change_invalidates_checkpoints(ray_session, tmp_path):
+    """ADVICE r1: resume must not serve stale checkpoints after the
+    input corpus changes — the input fingerprint (per-file size+mtime)
+    is part of every manifest and _SUCCESS marker."""
+    import shutil as _sh
+
+    from analiticcl_ray.pipelines.runner import run_dedup_job
+    from analiticcl_ray.sources.corpus import corpus_path
+
+    src0 = corpus_path(1024, seed=11)
+    src = str(tmp_path / "corpus")
+    _sh.copytree(src0, src)
+    out = str(tmp_path / "job")
+    l1 = run_dedup_job(src, out, n_shards=2)
+    assert not l1["stages"][1].get("resumed")
+
+    # unchanged input -> full resume
+    l2 = run_dedup_job(src, out, n_shards=2)
+    assert l2["stages"][0]["resumed_shards"] == 2
+    assert all(s.get("resumed") for s in l2["stages"][1:])
+
+    # touch one part file's mtime -> everything recomputes
+    part = sorted(os.listdir(src))
+    target = next(p for p in part if p.endswith(".parquet"))
+    os.utime(os.path.join(src, target))
+    l3 = run_dedup_job(src, out, n_shards=2)
+    assert l3["stages"][0]["resumed_shards"] == 0
+    assert not any(s.get("resumed") for s in l3["stages"][1:])
+    assert l3["input_hash"] != l1["input_hash"]

