@@ -117,9 +117,17 @@ def dedup_pipeline(
     )
 
     # --- candidate generation (the wide step) ---------------------------
+    # co-group count scales with band-row volume (~bands+phash+winnow
+    # keys per corpus row): each co-group is one in-memory pandas frame
+    from ..stages.lsh import adaptive_cogroups
+
+    n_corpus = sigs.count()  # free: sigs is materialized
+    keys_per_row = cfg.bands + (cfg.phash_bands if cfg.use_phash_bands else 0) + 8
+    n_cg = adaptive_cogroups(n_corpus * keys_per_row)
     bucket_stats: dict = {}
     cands = candidate_pairs(
-        band_rows, cfg.bucket_cap, stats=None, keep_sentinels=True
+        band_rows, cfg.bucket_cap, stats=None, keep_sentinels=True,
+        n_cogroups=n_cg,
     )
     if phash_rows is not None:
         # image-side candidates: separate co-occurrence pass with the
@@ -134,9 +142,10 @@ def dedup_pipeline(
                 cap=cfg.phash_bucket_cap,
                 drop_threshold=cfg.phash_drop_threshold,
                 keep_sentinels=True,
+                n_cogroups=n_cg,
             )
         )
-    pairs = dedup_pairs(cands).materialize()
+    pairs = dedup_pairs(cands, n_cogroups=max(1024, n_cg // 8)).materialize()
     # sentinel tally + strip over the (edge-list-sized) materialized
     # pairs; sentinel rows are globally unique (one per dropped bucket,
     # cogroup id encoded in src_id) so the post-dedup tally is exact

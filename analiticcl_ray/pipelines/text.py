@@ -33,6 +33,12 @@ _WS = re.compile(r"\s+")
 _U64 = np.uint64
 
 
+def _pa_clean(df: pd.DataFrame) -> pa.Table:
+    """pandas -> metadata-free Arrow (the b'pandas' schema blob defeats
+    Ray's reduce-side schema dedup)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 # ---------------------------------------------------------------------
 # exact dedup (hash-partition + per-group aggregate)
 # ---------------------------------------------------------------------
@@ -53,14 +59,14 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
-    def _merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def _merge(group: pd.DataFrame) -> pa.Table:
+        return _pa_clean(pd.DataFrame(
             {
                 "text": [group["text"].iloc[0]],
                 "rep_id": [int(group["rep_id"].min())],
                 "n_dups": [int(group["n_dups"].sum())],
             }
-        )
+        ))
 
     return (
         docs.map_batches(_partial, batch_format="pyarrow")
@@ -135,10 +141,10 @@ def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
-    def _merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def _merge(group: pd.DataFrame) -> pa.Table:
+        return _pa_clean(pd.DataFrame(
             {"token": [group["token"].iloc[0]], "cnt": [int(group["cnt"].sum())]}
-        )
+        ))
 
     return (
         docs.map_batches(_partial, batch_format="pyarrow")
@@ -171,17 +177,17 @@ def anagram_groups(docs: "ray.data.Dataset", min_words: int = 1) -> "ray.data.Da
             }
         )
 
-    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+    def _merge(group: pd.DataFrame) -> pa.Table:
         words = sorted(set(group["word"]))
         if len(words) < min_words:
-            return pd.DataFrame({"anakey": pd.Series([], dtype=object),
-                                 "n_words": pd.Series([], dtype="int64"),
-                                 "words": pd.Series([], dtype=object)})
-        return pd.DataFrame(
+            return pa.table({"anakey": pa.array([], pa.string()),
+                             "n_words": pa.array([], pa.int64()),
+                             "words": pa.array([], pa.string())})
+        return pa.table(
             {
-                "anakey": [group["anakey"].iloc[0]],
-                "n_words": [len(words)],
-                "words": [",".join(words)],
+                "anakey": pa.array([group["anakey"].iloc[0]], pa.string()),
+                "n_words": pa.array([len(words)], pa.int64()),
+                "words": pa.array([",".join(words)], pa.string()),
             }
         )
 
@@ -324,10 +330,10 @@ def ngram_jaccard_pairs(
             }
         )
 
-    def _merge_df(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def _merge_df(group: pd.DataFrame) -> pa.Table:
+        return _pa_clean(pd.DataFrame(
             {"gram": [group["gram"].iloc[0]], "df": [int(group["df"].sum())]}
-        )
+        ))
 
     df_table = pa.Table.from_pandas(
         (

@@ -64,7 +64,14 @@ def read_table(
                 "installed; pass fmt='parquet' or install pylance"
             )
         return ray.data.read_lance(path, columns=columns, **kwargs)
-    return ray.data.read_parquet(path, columns=columns, **kwargs)
+    ds = ray.data.read_parquet(path, columns=columns, **kwargs)
+    # strip writer metadata (e.g. the b'pandas' blob pandas-written
+    # files carry): schemas with metadata are unhashable, which defeats
+    # Ray's reduce-side schema dedup; the strip is metadata-only
+    # (zero-copy)
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
 
 
 def write_table(

@@ -120,6 +120,19 @@ def hot_keys(rows: "ray.data.Dataset", key_col: str) -> "ray.data.Dataset":
 DROPPED_SENTINEL = "__DROPPED_BUCKET__"
 
 
+def adaptive_cogroups(
+    n_rows: Optional[int], rows_per_group: int = 500_000, floor: int = 1024
+) -> int:
+    """Scale the co-group bucket count with the (estimated) number of
+    rows entering the shuffle (VERDICT r1 item 7): each co-group
+    materializes as ONE pandas frame inside ``map_groups``, so a fixed
+    1024 would make groups corpus/1024-sized — fatal at 1e12 band rows.
+    ``None`` (unknown) keeps the floor."""
+    if not n_rows:
+        return floor
+    return max(floor, -(-n_rows // rows_per_group))
+
+
 def cooccurrence_pairs(
     rows: "ray.data.Dataset",
     key_col: str,
@@ -198,11 +211,12 @@ def cooccurrence_pairs(
                 srcs.append(-(1 + cg + n_cogroups * seq))
                 dsts.append(nrows)
             caps.append(True)
-        return pd.DataFrame(
+        id_pa_type = pa.string() if id_pd_dtype == "object" else pa.int64()
+        return pa.table(
             {
-                "src_id": pd.Series(srcs, dtype=id_pd_dtype),
-                "dst_id": pd.Series(dsts, dtype=id_pd_dtype),
-                "capped": pd.Series(caps, dtype=bool),
+                "src_id": pa.array(srcs, id_pa_type),
+                "dst_id": pa.array(dsts, id_pa_type),
+                "capped": pa.array(caps, pa.bool_()),
             }
         )
 
@@ -265,12 +279,12 @@ def tally_sentinels(
 def candidate_pairs(
     band_rows: "ray.data.Dataset", bucket_cap: int = 256, id_col: str = "image_id",
     id_dtype: str = "str", stats: Optional[dict] = None,
-    keep_sentinels: bool = False,
+    keep_sentinels: bool = False, n_cogroups: int = 1024,
 ) -> "ray.data.Dataset":
     """groupby(band) -> canonical candidate pairs (src_id < dst_id)."""
     return cooccurrence_pairs(
         band_rows, "band", id_col, bucket_cap, id_dtype, stats=stats,
-        keep_sentinels=keep_sentinels,
+        keep_sentinels=keep_sentinels, n_cogroups=n_cogroups,
     )
 
 
@@ -301,11 +315,16 @@ def dedup_pairs(
         df["cogroup"] = (h % np.uint64(n_cogroups)).astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
-    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+    def _dedup(group: pd.DataFrame) -> pa.Table:
         out = group.sort_values("capped").drop_duplicates(
             ["src_id", "dst_id"], keep="first"
         )
-        return out[["src_id", "dst_id", "capped"]]
+        # emit metadata-free Arrow: pandas blocks would be re-converted
+        # downstream with a b'pandas' schema blob that defeats Ray's
+        # reduce-side schema dedup (unhashable-dict warning)
+        return pa.Table.from_pandas(
+            out[["src_id", "dst_id", "capped"]], preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         pairs.map_batches(_local, batch_format="pyarrow")
@@ -316,11 +335,11 @@ def dedup_pairs(
 
 def exact_dup_pairs(
     ds: "ray.data.Dataset", bucket_cap: int = 256, id_col: str = "image_id",
-    keep_sentinels: bool = False,
+    keep_sentinels: bool = False, n_cogroups: int = 1024,
 ) -> "ray.data.Dataset":
     """Exact content duplicates via content_key co-occurrence (vocab
     upsert analog A3/D4, src/lib.rs:899-967)."""
     return cooccurrence_pairs(
         ds.select_columns(["content_key", id_col]), "content_key", id_col,
-        bucket_cap, keep_sentinels=keep_sentinels,
+        bucket_cap, keep_sentinels=keep_sentinels, n_cogroups=n_cogroups,
     )

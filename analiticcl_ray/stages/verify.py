@@ -180,7 +180,7 @@ def _attach_cogroup(
     pairs: "ray.data.Dataset",
     corpus: "ray.data.Dataset",
     value_cols: list[str],
-    n_buckets: int = 512,
+    n_buckets: Optional[int] = None,
     id_col: str = "image_id",
 ) -> "ray.data.Dataset":
     """Hash-partitioned attach (the 1e12-scale path): two bucket-join
@@ -206,6 +206,17 @@ def _attach_cogroup(
     # pandas blocks, whose PandasBlockSchema lacks .field()
     pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow")
     corpus = corpus.map_batches(lambda t: t, batch_format="pyarrow")
+
+    if n_buckets is None:
+        # scale bucket count with the corpus side (each bucket is one
+        # pandas merge): parquet metadata makes count() cheap; lazy
+        # pipelines without cheap counts keep the floor
+        from .lsh import adaptive_cogroups
+
+        try:
+            n_buckets = adaptive_cogroups(corpus.count(), floor=512)
+        except Exception:
+            n_buckets = 512
 
     pair_schema = pairs.schema().base_schema
     corpus_schema = corpus.schema().base_schema
@@ -266,7 +277,12 @@ def _attach_cogroup(
             return stubs.iloc[0:0]
         return stubs.merge(corp, on="image_id", how="left")
 
-    attached = both.groupby("bucket").map_groups(_merge_values, batch_format="pandas")
+    def _merge_values_pa(group: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            _merge_values(group), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    attached = both.groupby("bucket").map_groups(_merge_values_pa, batch_format="pandas")
 
     def _pair_bucket(batch: pa.Table) -> pa.Table:
         key = (
@@ -279,13 +295,16 @@ def _attach_cogroup(
             "pbucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
         )
 
-    def _reassemble(group: pd.DataFrame) -> pd.DataFrame:
+    def _reassemble(group: pd.DataFrame) -> pa.Table:
         s0 = group[group["side"] == 0].drop(columns=["side", "pbucket", "image_id"])
         s1 = group[group["side"] == 1][["p_src_id", "p_dst_id", *vcols]]
         s0 = s0.rename(columns={f"v_{c}": f"src_{c}" for c in value_cols})
         s1 = s1.rename(columns={f"v_{c}": f"dst_{c}" for c in value_cols})
         out = s0.merge(s1, on=["p_src_id", "p_dst_id"], how="inner")
-        return out.rename(columns={f"p_{c}": c for c in pair_cols})
+        out = out.rename(columns={f"p_{c}": c for c in pair_cols})
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         attached.map_batches(_pair_bucket, batch_format="pyarrow")
