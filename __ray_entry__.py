@@ -67,6 +67,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def exact_dedup(sf_dir):
         return text.exact_dedup(_docs(sf_dir))
 
+    def exact_dup_clusters(sf_dir):
+        # content-hash pairs -> equality verify -> distributed CC; the
+        # SQL-checkable slice of the clustering path. Ray drops empty
+        # blocks through to_pandas, so an empty result is returned as a
+        # typed Arrow table to keep the driver's schema check green.
+        import pyarrow as pa
+
+        ds = text.exact_dup_clusters(_docs(sf_dir))
+        if ds.count() == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}
+            )
+        return ds
+
     def doc_stats(sf_dir):
         return text.doc_stats(_docs(sf_dir))
 
@@ -81,6 +96,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ngram_jaccard(sf_dir):
         return text.ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.8)
+
+    def near_dup_clusters(sf_dir):
+        # jaccard pairs closed under transitivity by distributed CC;
+        # oracle closes the same pairs with a recursive CTE
+        return text.near_dup_clusters(_docs(sf_dir), n=3, threshold=0.8)
 
     def minhash_dedup(sf_dir):
         return text.minhash_dedup_pairs(_docs(sf_dir), jaccard_threshold=0.8)
@@ -207,6 +227,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return reverse
 
+    def dl_pairs(sf_dir):
+        # distributed deletion-neighborhood join (SymSpell construction)
+        # + exact full-DL verify — the exact-path form of the reference's
+        # find_nearest_anahashes (src/lib.rs:1143-1308)
+        from analiticcl_ray.pipelines.dlpairs import dl_pairs as _dl
+
+        return _dl(_docs(sf_dir), max_dist=2)
+
+    def variants_dl(sf_dir):
+        # query-mode variant matching, ld-only weights, complete
+        # deletion-join candidates — the SQL-expressible slice of
+        # find_variants (score formula src/lib.rs:1430-1452)
+        from analiticcl_ray.pipelines.dlpairs import variants_dl as _vd
+
+        return _vd(_docs(sf_dir))
+
     def corpus_dedup_pairs(sf_dir):
         pairs, _, _ = dedup_pipeline(_corpus_ds(sf_dir))
         return pairs.select_columns(["src_id", "dst_id"])
@@ -217,11 +253,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "exact_dedup": exact_dedup,
+        "exact_dup_clusters": exact_dup_clusters,
         "doc_stats": doc_stats,
         "quality_filter": quality_filter,
         "token_counts": token_counts,
         "anagram_groups": anagram_groups,
         "ngram_jaccard": ngram_jaccard,
+        "near_dup_clusters": near_dup_clusters,
         "minhash_dedup": minhash_dedup,
         "simhash": simhash,
         "fingerprints": fingerprints,
@@ -238,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_correct": search_correct,
         "context_rules": context_rules,
         "learn_variants": learn_variants,
+        "dl_pairs": dl_pairs,
+        "variants_dl": variants_dl,
         "corpus_dedup_pairs": corpus_dedup_pairs,
         "corpus_dedup_clusters": corpus_dedup_clusters,
     }
@@ -288,6 +328,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT text, min(doc_id) AS rep_id, count(*) AS n_dups
             FROM documents GROUP BY text
         """,
+        "exact_dup_clusters": """
+            WITH g AS (
+              SELECT text, min(doc_id) AS cluster_id, count(*) AS n
+              FROM documents GROUP BY text
+            )
+            SELECT d.doc_id, g.cluster_id
+            FROM documents d JOIN g ON d.text = g.text
+            WHERE g.n >= 2
+        """,
         "doc_stats": f"""
             SELECT doc_id,
                    {_NTOK} AS n_tokens,
@@ -329,6 +378,37 @@ def oracle_sql() -> dict[str, str]:
             FROM words GROUP BY anakey HAVING count(*) >= 1
         """,
         "ngram_jaccard": ngram_jaccard_sql,
+        "near_dup_clusters": """
+            WITH RECURSIVE seq AS (
+              SELECT i FROM generate_series(1, 4096) t(i)
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(text, i, 3) AS gram
+              FROM documents JOIN seq ON i <= length(text) - 2
+              WHERE length(text) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+              FROM grams g1 JOIN grams g2
+                ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON inter.a = sa.doc_id
+              JOIN sizes sb ON inter.b = sb.doc_id
+              WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+            ),
+            sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(node, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY node
+        """,
         # minhash_dedup banding (32 bands × r=4) gives P[candidate |
         # J>=0.8] ≈ 1-5e-8; after exact-Jaccard verification its output
         # is identical to ngram_jaccard's — same oracle (VERDICT r1 §1).
@@ -401,6 +481,50 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM sess GROUP BY user_id, sid
+        """,
+        # DuckDB's damerau_levenshtein is TRUE DL (not OSA) — verified on
+        # the reference goldens DL("ab","ba")=1, DL("ca","abc")=2,
+        # DL("hipotesis","hypothesis")=2 — i.e. the same semantics as the
+        # engine's kernel (src/distance.rs:101-179 port).
+        "dl_pairs": """
+            WITH v AS (
+              SELECT DISTINCT token FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents WHERE trim(text) <> '')
+            )
+            SELECT a.token AS a, b.token AS b,
+                   damerau_levenshtein(a.token, b.token) AS dl
+            FROM v a JOIN v b ON a.token < b.token
+            WHERE damerau_levenshtein(a.token, b.token) <= 2
+        """,
+        "variants_dl": """
+            WITH tc AS (
+              SELECT token, count(*) AS freq
+              FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                    FROM documents WHERE trim(text) <> '')
+              GROUP BY token
+            ),
+            ranked AS (
+              SELECT token, freq,
+                     row_number() OVER (ORDER BY freq DESC, token ASC) AS rn
+              FROM tc
+            ),
+            lex AS (SELECT token, freq FROM ranked WHERE rn <= 200),
+            q AS (
+              SELECT DISTINCT
+                     substr(token,1,1) || substr(token,3,1) ||
+                     substr(token,2,1) || substr(token,4) AS input
+              FROM ranked WHERE rn <= 30 AND length(token) >= 3
+            )
+            SELECT q.input, l.token AS candidate,
+                   1.0 - damerau_levenshtein(q.input, l.token)::DOUBLE
+                         / length(q.input) AS score,
+                   l.freq
+            FROM q JOIN lex l ON l.token <> q.input
+            WHERE damerau_levenshtein(q.input, l.token)
+                    <= least(2, length(q.input) // 2)
+              AND 1.0 - damerau_levenshtein(q.input, l.token)::DOUBLE
+                        / length(q.input) >= 0.5
         """,
         # simhash / fingerprints / lang_id / ann_lsh_topk / find_variants
         # / search_correct / learn_variants / corpus_* are rows-only

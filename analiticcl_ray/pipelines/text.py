@@ -75,6 +75,98 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def _labels_as_doc_clusters(labels: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(image_id, cluster_id) -> (doc_id, cluster_id), schema-stable on
+    empty input (Ray drops empty blocks through map_batches, which
+    would erase the schema and fail the driver's schema check)."""
+    if labels.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}
+            )
+        )
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
+    )
+
+
+def exact_dup_clusters(docs: "ray.data.Dataset", bucket_cap: int = 1_000_000) -> "ray.data.Dataset":
+    """Cluster assignments for exact-duplicate documents, end-to-end
+    distributed: content-hash co-occurrence pairs (stages/lsh.py, ONE
+    shuffle) -> text-equality verify (attach + vectorized Arrow
+    compare; hash collisions can only ADD candidate edges, equality
+    removes them) -> distributed min-label CC (stages/cc.py). Emits
+    (doc_id, cluster_id=min doc_id of the text group) for every doc
+    whose text occurs >= 2 times — the SQL-checkable slice of the
+    clustering path (window-min oracle in __ray_entry__.py).
+
+    ``bucket_cap`` must exceed the largest duplicate group for exact
+    cluster parity (salting keeps connectivity only among equal-text
+    pairs); drops are counted by the lsh stage, never silent."""
+    import pyarrow.compute as pc
+
+    from ..stages.cc import cc_label_propagation
+    from ..stages.lsh import cooccurrence_pairs, dedup_pairs
+    from ..stages.verify import attach_pair_sides
+
+    def _key(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch["text"].to_pandas(), index=False
+        ).to_numpy()
+        return pa.table(
+            {
+                "content_key": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        _key, batch_format="pyarrow"
+    )
+    cand = dedup_pairs(
+        cooccurrence_pairs(
+            rows, "content_key", "doc_id", cap=bucket_cap, id_dtype="int"
+        ),
+        id_dtype="int",
+    )
+    attached = attach_pair_sides(
+        cand,
+        docs.select_columns(["doc_id", "text"]),
+        ["text"],
+        method="auto",
+        id_col="doc_id",
+        concurrency=(1, 4),
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        eq = pc.equal(batch["src_text"], batch["dst_text"])
+        kept = batch.filter(eq)
+        return pa.table({"src_id": kept["src_id"], "dst_id": kept["dst_id"]})
+
+    labels = cc_label_propagation(attached.map_batches(_verify, batch_format="pyarrow"))
+    return _labels_as_doc_clusters(labels)
+
+
+def near_dup_clusters(
+    docs: "ray.data.Dataset", n: int = 3, threshold: float = 0.8
+) -> "ray.data.Dataset":
+    """Near-duplicate document clusters: exact n-gram-Jaccard pairs
+    (``ngram_jaccard_pairs``, the sparse prefix-filtered path) closed
+    under transitivity by the distributed min-label CC (stages/cc.py).
+    Emits (doc_id, cluster_id = min doc_id of the component) for every
+    doc in >= 1 verified pair. Fully SQL-checkable: the oracle computes
+    the same pairs and closes them with a recursive CTE."""
+    from ..stages.cc import cc_label_propagation
+
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src_id": t["a"], "dst_id": t["b"]}),
+        batch_format="pyarrow",
+    )
+    return _labels_as_doc_clusters(cc_label_propagation(edges))
+
+
 # ---------------------------------------------------------------------
 # token / quality stats (stateless vectorized map)
 # ---------------------------------------------------------------------

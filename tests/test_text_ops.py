@@ -271,3 +271,49 @@ def test_sessionize_gap_semantics(ray_session):
     assert len(out) == 2
     assert out.iloc[0]["n_events"] == 2
     assert out.iloc[1]["n_events"] == 1
+
+
+def test_exact_dup_clusters(ray_session):
+    """Content-hash pairs -> equality verify -> distributed CC: clusters
+    equal the SQL window-min oracle, incl. schema-stable empty output."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import exact_dup_clusters
+
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon", "gamma delta",
+             "alpha beta", "zeta eta theta"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                        "lang": ["en"] * len(texts),
+                        "n_chars": [len(t) for t in texts]})
+    out = exact_dup_clusters(rd.from_pandas(pdf)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {0: 0, 2: 0, 5: 0, 1: 1, 4: 1}
+
+    # empty case keeps the (doc_id, cluster_id) schema on the Dataset
+    # (Ray's to_pandas drops empty blocks, so check Dataset.schema();
+    # the __ray_entry__ wrapper returns a typed Arrow table instead)
+    pdf2 = pd.DataFrame({"doc_id": [0, 1], "text": ["unique one", "unique two"],
+                         "lang": ["en"] * 2, "n_chars": [10, 10]})
+    ds2 = exact_dup_clusters(rd.from_pandas(pdf2))
+    assert ds2.count() == 0
+    assert ds2.schema().names == ["doc_id", "cluster_id"]
+
+
+def test_near_dup_clusters_transitive(ray_session):
+    """A ~ B and B ~ C but A !~ C must still land in ONE cluster."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import near_dup_clusters
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = a.replace("quick", "quicc")          # very close to a
+    c = b.replace("river", "rivxr")          # close to b, farther from a
+    d = "completely different text with no overlap whatsoever in any gram"
+    pdf = pd.DataFrame({"doc_id": [10, 11, 12, 13], "text": [a, b, c, d],
+                        "lang": ["en"] * 4, "n_chars": [len(t) for t in [a, b, c, d]]})
+    out = near_dup_clusters(rd.from_pandas(pdf), threshold=0.75).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got.get(10) == 10 and got.get(11) == 10 and got.get(12) == 10
+    assert 13 not in got
