@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def token_counts(sf_dir):
         return text.token_counts(_docs(sf_dir))
 
+    def token_counts_re(sf_dir):
+        # BPE-ish regex pre-tokenizer counts (letters/digits/symbol)
+        return text.token_counts_re(_docs(sf_dir))
+
     def anagram_groups(sf_dir):
         return text.anagram_groups(_docs(sf_dir))
 
@@ -135,6 +139,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # config ≈ 9e-8 (0.602^32), so it reproduces the exact oracle
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
         return ann.cosine_dup_pairs_lsh(emb, threshold=0.4)
+
+    def ann_ivf_topk(sf_dir):
+        # inverted-file scale path: k-means coarse quantizer + probed
+        # lists + exact re-rank; rows-only oracle, recall vs brute
+        # force measured in tests
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.ivf_topk(
+            emb, query_ids=list(range(10)), k=5, nlist=16, nprobe=8
+        )
 
     def ann_lsh_topk(sf_dir):
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -257,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": doc_stats,
         "quality_filter": quality_filter,
         "token_counts": token_counts,
+        "token_counts_re": token_counts_re,
         "anagram_groups": anagram_groups,
         "ngram_jaccard": ngram_jaccard,
         "near_dup_clusters": near_dup_clusters,
@@ -269,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_dup_pairs": ann_dup_pairs,
         "ann_dup_pairs_lsh": ann_dup_pairs_lsh,
+        "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "window_agg": window_agg,
         "sessions": sessions,
@@ -362,6 +377,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS cnt
             FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
                   FROM documents WHERE trim(text) <> '')
+            GROUP BY token
+        """,
+        "token_counts_re": """
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(regexp_extract_all(
+                           text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token
+                  FROM documents)
             GROUP BY token
         """,
         "anagram_groups": """

@@ -281,6 +281,181 @@ def cosine_dup_pairs_lsh(
     return cands.map_batches(_ExactCos, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def _gather_queries(
+    embeddings: "ray.data.Dataset", query_ids: list[int]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the (small) query matrix: (sorted ids, normalized rows)."""
+    qs: dict[int, np.ndarray] = {}
+    qset = set(int(q) for q in query_ids)
+    for b in embeddings.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids, emb = _emb_matrix(b)
+        for i, vid in enumerate(ids):
+            if vid in qset:
+                qs[int(vid)] = emb[i]
+    q_ids = np.array(sorted(qs), dtype=np.int64)
+    q_mat = _normalize_rows(np.stack([qs[i] for i in q_ids]))
+    return q_ids, q_mat
+
+
+def _rerank_topk(
+    cands: "ray.data.Dataset", embeddings: "ray.data.Dataset", k: int
+) -> "ray.data.Dataset":
+    """Exact cosine re-rank of (query_id, cand_id) candidates: the
+    embedding table broadcast ONCE as a zero-copy Arrow table
+    (plasma-shared), cosine attached per batch via ``pc.index_in`` +
+    gather, then a per-query top-k groupby. Shared by the LSH and IVF
+    approximate paths."""
+    from ..stages.verify import broadcast_lookup
+
+    lut_ref = broadcast_lookup(embeddings, ["embedding"], id_col="vec_id")
+
+    class _AttachCos:
+        def __init__(self):
+            tbl = ray.get(lut_ref)
+            self.ids = tbl["vec_id"].combine_chunks()
+            self.mat = _normalize_rows(
+                np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if not len(batch):
+                return batch.append_column("cos", pa.array([], pa.float64()))
+            iq = pc.index_in(batch["query_id"], value_set=self.ids).to_numpy(
+                zero_copy_only=False
+            )
+            ic = pc.index_in(batch["cand_id"], value_set=self.ids).to_numpy(
+                zero_copy_only=False
+            )
+            cos = np.einsum("ij,ij->i", self.mat[iq], self.mat[ic])
+            return batch.append_column("cos", pa.array(cos, pa.float64()))
+
+    def _topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos", "cand_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64").to_numpy(),
+                "neighbor_id": g["cand_id"].astype("int64").to_numpy(),
+                "rank": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        cands.map_batches(_AttachCos, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("query_id")
+        .map_groups(_topk, batch_format="pandas")
+    )
+
+
+def kmeans_centroids(
+    embeddings: "ray.data.Dataset",
+    nlist: int = 16,
+    iters: int = 3,
+    seed: int = 0x5EED,
+) -> np.ndarray:
+    """Deterministic distributed Lloyd iterations for IVF coarse
+    quantization: seeded random unit-vector init (no data pass), then
+    per-iteration ONE ``map_batches`` pass emitting per-centroid partial
+    (sum, count) rows — the classic combiner shape; only the nlist×dim
+    partials (small side state, like an alphabet) ever reach the driver.
+    Returns row-normalized centroids (cosine k-means)."""
+    rng = np.random.default_rng(seed)
+    dim = len(embeddings.take(1)[0]["embedding"])
+    cent = _normalize_rows(rng.standard_normal((nlist, dim)))
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            _, emb = _emb_matrix(batch)
+            emb = _normalize_rows(emb)
+            a = np.argmax(emb @ c.T, axis=1)
+            sums = np.zeros((nlist, dim), dtype=np.float64)
+            np.add.at(sums, a, emb)
+            counts = np.bincount(a, minlength=nlist).astype(np.int64)
+            return pa.table(
+                {
+                    "c": pa.array(np.arange(nlist, dtype=np.int64), pa.int64()),
+                    "cnt": pa.array(counts, pa.int64()),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.reshape(-1), pa.float64()), dim
+                    ),
+                }
+            )
+
+        sums = np.zeros((nlist, dim), dtype=np.float64)
+        counts = np.zeros(nlist, dtype=np.int64)
+        for b in embeddings.map_batches(
+            _partial, batch_format="pyarrow"
+        ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+            cc = np.asarray(b["c"].to_pylist(), dtype=np.int64)
+            counts[cc] += np.asarray(b["cnt"].to_pylist(), dtype=np.int64)
+            sums[cc] += np.array(b["vsum"].to_pylist(), dtype=np.float64)
+        nz = counts > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] / counts[nz, None]
+        cent = _normalize_rows(cent)
+    return cent
+
+
+def ivf_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 8,
+    iters: int = 3,
+    seed: int = 0x5EED,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k — the inverted-file scale path: k-means
+    coarse quantizer (``kmeans_centroids``), every vector assigned to
+    exactly ONE list in a stateless pass, queries probe their
+    ``nprobe`` nearest lists, and only probed-list members are scored.
+    Expected work per query = nprobe/nlist of the corpus. Candidates
+    are (query, cand) unique by construction (one list per vector) —
+    no dedup shuffle needed; exact cosine re-rank shares
+    ``_rerank_topk`` with the LSH path. Recall vs the brute-force
+    baseline is measured in tests."""
+    cent = kmeans_centroids(embeddings, nlist=nlist, iters=iters, seed=seed)
+    q_ids, q_mat = _gather_queries(embeddings, query_ids)
+    order = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    list_to_queries: dict[int, np.ndarray] = {}
+    for qi in range(len(q_ids)):
+        for l in order[qi]:
+            list_to_queries.setdefault(int(l), []).append(int(q_ids[qi]))
+    list_to_queries = {l: np.array(v, dtype=np.int64) for l, v in list_to_queries.items()}
+    side = ray.put((cent, list_to_queries))
+
+    def _cands(batch: pa.Table) -> pa.Table:
+        c, l2q = ray.get(side)
+        ids, emb = _emb_matrix(batch)
+        emb = _normalize_rows(emb)
+        a = np.argmax(emb @ c.T, axis=1)
+        qs_out: list[np.ndarray] = []
+        cs_out: list[np.ndarray] = []
+        for l, qarr in l2q.items():
+            members = ids[a == l]
+            if not len(members):
+                continue
+            qs = np.repeat(qarr, len(members))
+            cs = np.tile(members, len(qarr))
+            keep = qs != cs
+            qs_out.append(qs[keep])
+            cs_out.append(cs[keep])
+        q_flat = np.concatenate(qs_out) if qs_out else np.empty(0, dtype=np.int64)
+        c_flat = np.concatenate(cs_out) if cs_out else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(q_flat, pa.int64()),
+                "cand_id": pa.array(c_flat, pa.int64()),
+            }
+        )
+
+    cands = embeddings.map_batches(_cands, batch_format="pyarrow")
+    return _rerank_topk(cands, embeddings, k)
+
+
 def lsh_bucketed_topk(
     embeddings: "ray.data.Dataset",
     query_ids: list[int],

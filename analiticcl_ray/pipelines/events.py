@@ -37,16 +37,22 @@ def tumbling_window_agg(
 
     partial = events.map_batches(_win, batch_format="pyarrow")
 
-    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+    def _merge(group: pd.DataFrame) -> pa.Table:
         # sum rounded to 4 decimals: float summation order differs
         # between engines in the last ulp; the rounded value is the
-        # comparable contract (exact aggregation is over ints only)
-        return pd.DataFrame(
+        # comparable contract (exact aggregation is over ints only).
+        # Emits metadata-free Arrow so Ray's reduce-side schema dedup
+        # keeps hashing (a pandas return carries a b'pandas' blob).
+        return pa.table(
             {
-                "user_id": [int(group["user_id"].iloc[0])],
-                "window_start": [int(group["window_start"].iloc[0])],
-                "n_events": [int(group["n_events"].sum())],
-                "sum_value": [round(float(group["sum_value"].sum()), 4)],
+                "user_id": pa.array([int(group["user_id"].iloc[0])], pa.int64()),
+                "window_start": pa.array(
+                    [int(group["window_start"].iloc[0])], pa.int64()
+                ),
+                "n_events": pa.array([int(group["n_events"].sum())], pa.int64()),
+                "sum_value": pa.array(
+                    [round(float(group["sum_value"].sum()), 4)], pa.float64()
+                ),
             }
         )
 
@@ -83,8 +89,18 @@ def sessionize(
         out["user_id"] = out["user_id"].astype("int64")
         out["n_events"] = out["n_events"].astype("int64")
         out["sum_value"] = out["sum_value"].astype(float).round(4)
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
 
-    return events.select_columns(["user_id", "ts", "value"]).groupby(
-        "user_id"
-    ).map_groups(_sessions, batch_format="pandas")
+    return (
+        events.select_columns(["user_id", "ts", "value"])
+        # parquet files written via pandas carry a b'pandas' schema blob;
+        # strip it before the shuffle so Ray's reduce-side schema dedup
+        # can hash the block schemas (zero-copy)
+        .map_batches(
+            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(_sessions, batch_format="pandas")
+    )

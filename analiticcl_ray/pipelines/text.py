@@ -177,15 +177,14 @@ def doc_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     '\\s+'))."""
 
     def _stats(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_tokens = np.empty(len(texts), dtype=np.int64)
-        n_chars = np.empty(len(texts), dtype=np.int64)
-        n_distinct = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = _WS.split(t.strip()) if t.strip() else []
-            n_tokens[i] = len(toks)
-            n_distinct[i] = len(set(toks))
-            n_chars[i] = len(t)
+        s = batch["text"].to_pandas()
+        toks = s.str.split()  # C-speed; whitespace runs; '' -> []
+        n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+        n_chars = s.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode().dropna()
+        nd = ex.groupby(level=0).nunique()
+        n_distinct = np.zeros(len(s), dtype=np.int64)
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -222,14 +221,13 @@ def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     counts (combiner), then a small groupby-sum."""
 
     def _partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch["text"].to_pylist():
-            for w in _WS.split(t.strip()) if t.strip() else []:
-                counts[w] = counts.get(w, 0) + 1
+        vc = (
+            batch["text"].to_pandas().str.split().explode().dropna().value_counts()
+        )
         return pa.table(
             {
-                "token": pa.array(list(counts.keys()), pa.string()),
-                "cnt": pa.array(list(counts.values()), pa.int64()),
+                "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "cnt": pa.array(vc.to_numpy(dtype=np.int64), pa.int64()),
             }
         )
 
@@ -240,6 +238,45 @@ def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     return (
         docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+#: BPE-style pre-tokenizer classes (letters / digits / single symbol) —
+#: ASCII-only and lookahead-free so Python re and DuckDB's RE2
+#: (regexp_extract_all) produce identical token streams.
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts_re(
+    docs: "ray.data.Dataset", pattern: str = BPE_PRETOKEN_RE
+) -> "ray.data.Dataset":
+    """Corpus-wide token frequency under a BPE-ish regex pre-tokenizer
+    (the letters/digits/punct split used before byte-pair merging):
+    vectorized ``str.findall`` + explode per batch (combiner), then a
+    small groupby-sum. Oracle: DuckDB ``regexp_extract_all`` unnest —
+    exact parity verified in tests."""
+    rx = re.compile(pattern)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = (
+            batch["text"].to_pandas().str.findall(rx).explode().dropna().value_counts()
+        )
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "cnt": pa.array(vc.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def _merge(group: pd.DataFrame) -> pa.Table:
+        return _pa_clean(pd.DataFrame(
+            {"token": [group["token"].iloc[0]], "cnt": [int(group["cnt"].sum())]}
+        ))
+
+    return (
+        docs.select_columns(["text"]).map_batches(_partial, batch_format="pyarrow")
         .groupby("token")
         .map_groups(_merge, batch_format="pandas")
     )
@@ -258,14 +295,17 @@ def anagram_groups(docs: "ray.data.Dataset", min_words: int = 1) -> "ray.data.Da
     the anagram buckets of tests/main.rs:836-855 at corpus scale."""
 
     def _partial(batch: pa.Table) -> pa.Table:
-        pairs: set[tuple[str, str]] = set()
-        for t in batch["text"].to_pylist():
-            for w in _WS.split(t.strip()) if t.strip() else []:
-                pairs.add(("".join(sorted(w)), w))
+        # per-batch distinct words (C-speed explode+unique); the sort
+        # runs only once per unique word
+        words = (
+            batch["text"].to_pandas().str.split().explode().dropna().unique()
+        )
         return pa.table(
             {
-                "anakey": pa.array([p[0] for p in pairs], pa.string()),
-                "word": pa.array([p[1] for p in pairs], pa.string()),
+                "anakey": pa.array(
+                    ["".join(sorted(w)) for w in words], pa.string()
+                ),
+                "word": pa.array(words, pa.string()),
             }
         )
 
@@ -499,6 +539,18 @@ class DocMinHash:
             np.arange(self.cfg.num_perm, dtype=np.uint64)
             + _U64((self.cfg.seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
         )
+        self._memo: dict[str, int] = {}  # gram -> 64-bit hash, per actor
+
+    def _hash(self, g: str) -> int:
+        h = self._memo.get(g)
+        if h is None:
+            if len(self._memo) > 2_000_000:
+                self._memo.clear()
+            h = int.from_bytes(
+                hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
+            )
+            self._memo[g] = h
+        return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -511,14 +563,7 @@ class DocMinHash:
                 else {t}
             )
             arr = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
-                    )
-                    for g in gs
-                ),
-                dtype=np.uint64,
-                count=len(gs),
+                (self._hash(g) for g in gs), dtype=np.uint64, count=len(gs)
             )
             shingle_sets.append(arr)
         n_rows = len(texts)
@@ -607,31 +652,69 @@ def minhash_dedup_pairs(
 # SimHash + fingerprinting + language ID (rows-only oracles)
 # ---------------------------------------------------------------------
 
-def simhash_fingerprints(docs: "ray.data.Dataset", n: int = 3) -> "ray.data.Dataset":
-    """64-bit SimHash over char-n-gram features (Charikar 2002):
+class _SimHasher:
+    """Actor: 64-bit SimHash over char-n-gram features (Charikar 2002):
     sign-sum of per-feature hash bits. Deterministic; near-dup texts
-    yield small Hamming distances."""
+    yield small Hamming distances.
 
-    def _sim(batch: pa.Table) -> pa.Table:
+    Vectorized (bit-identical to the per-gram reference loop): blake2b
+    runs once per *unique* gram (memoized across batches — grams repeat
+    heavily), the ±1 sign matrix is built once per batch with numpy bit
+    ops, and per-doc accumulation + sign packing are C-speed gathers."""
+
+    def __init__(self, n: int = 3):
+        self.n = n
+        self._memo: dict[str, int] = {}
+
+    def _hash(self, g: str) -> int:
+        h = self._memo.get(g)
+        if h is None:
+            if len(self._memo) > 2_000_000:
+                self._memo.clear()
+            h = int.from_bytes(
+                hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
+            )
+            self._memo[g] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
         texts = batch["text"].to_pylist()
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            grams = [t[j : j + n] for j in range(len(t) - n + 1)] or [t]
-            acc = np.zeros(64, dtype=np.int64)
-            for g in grams:
-                h = int.from_bytes(
-                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
-                )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits.astype(bool), 1, -1)
-            v = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    v |= 1 << bit
-            out[i] = v - (1 << 64) if v >= (1 << 63) else v
-        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())})
+        grams_per_doc: list[list[str]] = [
+            [t[j : j + n] for j in range(len(t) - n + 1)] or [t] for t in texts
+        ]
+        lens = np.array([len(g) for g in grams_per_doc], dtype=np.int64)
+        flat = [g for gs in grams_per_doc for g in gs]
+        if flat:
+            uniq, inverse = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            hashes = np.array([self._hash(g) for g in uniq], dtype=np.uint64)
+            # (U, 64) ±1 sign matrix, one bit-op pass
+            bits = (
+                (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int32)
+            signs = 2 * bits - 1
+            starts = np.zeros(len(texts), dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            per_pos = signs[inverse]          # (total_grams, 64) gather
+            accs = np.add.reduceat(per_pos, starts, axis=0)
+            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            v = ((accs > 0).astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out = v.view(np.int64)
+        else:
+            out = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
+        )
 
-    return docs.map_batches(_sim, batch_format="pyarrow")
+
+def simhash_fingerprints(docs: "ray.data.Dataset", n: int = 3) -> "ray.data.Dataset":
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _SimHasher, fn_constructor_args=(n,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
 
 
 def doc_fingerprints(docs: "ray.data.Dataset", kgram: int = 16, window: int = 8) -> "ray.data.Dataset":
@@ -681,20 +764,30 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        preds = []
-        for t in texts:
-            # script check first: CJK codepoints dominate -> zh
-            cjk = sum(1 for c in t[:200] if 0x4E00 <= ord(c) <= 0x9FFF)
-            if cjk > len(t[:200]) * 0.2:
-                preds.append("zh")
-                continue
-            toks = set(_WS.split(t.strip().lower())) if t.strip() else set()
-            scores = {
-                lang: len(toks & prof) for lang, prof in self.profiles.items()
-            }
-            best = max(sorted(scores), key=lambda k: scores[k])
-            preds.append(best if scores[best] > 0 else "unknown")
+        s = batch["text"].to_pandas()
+        n = len(s)
+        # script check first: CJK codepoints dominate -> zh (vectorized
+        # over the 200-char prefix via a codepoint-range regex count)
+        head = s.str.slice(0, 200)
+        cjk = head.str.count(r"[一-鿿]").to_numpy(dtype=np.float64)
+        is_zh = cjk > head.str.len().to_numpy(dtype=np.float64) * 0.2
+        # distinct lowercase tokens per doc (explode once), then one
+        # C-speed isin + groupby-sum per language profile
+        toks = (
+            s.str.lower().str.split().explode().dropna()
+            .to_frame("tok").reset_index().drop_duplicates()
+        )
+        langs = sorted(self.profiles)  # ties break alphabetically (max over sorted)
+        scores = np.zeros((n, len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            hit = toks.loc[toks["tok"].isin(self.profiles[lang])].groupby("index").size()
+            scores[hit.index.to_numpy(), j] = hit.to_numpy()
+        best_j = np.argmax(scores, axis=1)  # first max = alphabetically first
+        best_score = scores[np.arange(n), best_j]
+        preds = np.where(
+            is_zh, "zh",
+            np.where(best_score > 0, np.array(langs, dtype=object)[best_j], "unknown"),
+        )
         return pa.table(
             {"doc_id": batch["doc_id"], "pred_lang": pa.array(preds, pa.string())}
         )

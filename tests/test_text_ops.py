@@ -317,3 +317,60 @@ def test_near_dup_clusters_transitive(ray_session):
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got.get(10) == 10 and got.get(11) == 10 and got.get(12) == 10
     assert 13 not in got
+
+
+def test_ann_ivf_recall_vs_bruteforce(emb):
+    """IVF (k-means lists + nprobe probing + exact re-rank) recall@5
+    vs the brute-force baseline; nprobe/nlist=1/2 of the corpus scored."""
+    from analiticcl_ray.pipelines.ann import cosine_topk, ivf_topk
+
+    qids = list(range(10))
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, qids, 5).take_all()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, qids, 5, nlist=16, nprobe=8).take_all()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+
+
+def test_kmeans_centroids_deterministic(emb):
+    import numpy as np
+
+    from analiticcl_ray.pipelines.ann import kmeans_centroids
+
+    c1 = kmeans_centroids(emb, nlist=8, iters=2)
+    c2 = kmeans_centroids(emb, nlist=8, iters=2)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_token_counts_re_oracle_parity(ray_session):
+    """BPE-ish regex pre-tokenizer counts match the DuckDB
+    regexp_extract_all oracle exactly (punct, digits, mixed)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from analiticcl_ray.pipelines.text import token_counts_re
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [
+            "hello, world! it's 42 degrees... maybe-not",
+            "a1b2!c  spaced\ttabbed",
+            "",
+        ], "lang": ["en"] * 3, "n_chars": [42, 20, 0]}
+    )
+    got = (
+        token_counts_re(rd.from_pandas(pdf)).to_pandas()
+        .sort_values("token").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(entry.oracle_sql()["token_counts_re"]).df()
+        .sort_values("token").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    assert int(got.set_index("token").loc["'", "cnt"]) == 1
