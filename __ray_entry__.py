@@ -112,6 +112,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash(sf_dir):
         return text.simhash_fingerprints(_docs(sf_dir))
 
+    def simhash_dup_pairs(sf_dir):
+        # complete (pigeonhole) band-slice candidates + exact hamming
+        # verify; no SQL oracle (blake2b hashes) — completeness is
+        # pytest-verified against brute force
+        return text.simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
+
     def fingerprints(sf_dir):
         return text.doc_fingerprints(_docs(sf_dir)).select_columns(
             ["doc_id", "n_fingerprints"]
@@ -276,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": near_dup_clusters,
         "minhash_dedup": minhash_dedup,
         "simhash": simhash,
+        "simhash_dup_pairs": simhash_dup_pairs,
         "fingerprints": fingerprints,
         "lang_id": lang_id,
         "testinput": testinput,

@@ -105,10 +105,21 @@ def run_bench() -> dict:
     timed("doc_stats", lambda: text.doc_stats(docs()))
     timed("token_counts", lambda: text.token_counts(docs()))
     timed("minhash_dedup", lambda: text.minhash_dedup_pairs(docs()))
+    timed("ngram_jaccard", lambda: text.ngram_jaccard_pairs(docs()))
+    timed("near_dup_clusters", lambda: text.near_dup_clusters(docs()))
     timed("simhash", lambda: text.simhash_fingerprints(docs()))
+    timed("simhash_dup_pairs", lambda: text.simhash_dup_pairs(docs()))
     timed("lang_id", lambda: text.lang_id(docs()))
     timed("ann_topk", lambda: ann.cosine_topk(emb(), list(range(10)), 5))
+    timed("ann_ivf_topk", lambda: ann.ivf_topk(emb(), list(range(10)), 5))
     timed("window_agg", lambda: events.tumbling_window_agg(ev()))
+
+    def _dl():
+        from analiticcl_ray.pipelines.dlpairs import dl_pairs
+
+        return dl_pairs(docs())
+
+    timed("dl_pairs", _dl)
 
     result = {
         "metric": "end-to-end dedup wall time (corpus_dedup headline) + operator timings",

@@ -374,3 +374,54 @@ def test_token_counts_re_oracle_parity(ray_session):
     )
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
     assert int(got.set_index("token").loc["'", "cnt"]) == 1
+
+
+def test_simhash_dup_pairs_complete(ray_session):
+    """Band-slice candidates + exact hamming verify equals brute-force
+    hamming over the simhash column (pigeonhole completeness k<bands)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import simhash_dup_pairs, simhash_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    texts = [base, base.replace("quick", "quikc"), base.replace("dog", "dot"),
+             "a wholly different document about database engines and shuffles",
+             base + " ok", "short"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                        "lang": ["en"] * len(texts),
+                        "n_chars": [len(t) for t in texts]})
+    ds = rd.from_pandas(pdf)
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(ds).take_all()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    k = 6
+    want = {
+        (i, j): ham(sims[i], sims[j])
+        for i in sims for j in sims if i < j and ham(sims[i], sims[j]) <= k
+    }
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_dup_pairs(ds, max_hamming=k, n_bands=8).take_all()
+    }
+    assert got == want
+    assert len(want) >= 2
+
+
+def test_ngram_jaccard_dense_matches_sparse(docs):
+    """Strategy switch: dense bitset-matmul path and forced-sparse
+    prefix path produce bit-identical pairs and jaccard values."""
+    from analiticcl_ray.pipelines.text import ngram_jaccard_pairs
+
+    dense = sorted(
+        (r["a"], r["b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).take_all()
+    )
+    sparse = sorted(
+        (r["a"], r["b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, dense_vocab_limit=0).take_all()
+    )
+    assert dense == sparse
+    assert len(dense) > 0
