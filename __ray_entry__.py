@@ -91,6 +91,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def token_counts(sf_dir):
         return text.token_counts(_docs(sf_dir))
 
+    def top_docs(sf_dir):
+        # distributed sort + limit (deterministic total order)
+        return text.top_docs(_docs(sf_dir), k=50)
+
+    def doc_label_join(sf_dir):
+        # broadcast hash join of doc stats with the embeddings table
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return text.doc_label_join(_docs(sf_dir), emb)
+
     def token_counts_re(sf_dir):
         # BPE-ish regex pre-tokenizer counts (letters/digits/symbol)
         return text.token_counts_re(_docs(sf_dir))
@@ -275,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_clusters": exact_dup_clusters,
         "doc_stats": doc_stats,
         "quality_filter": quality_filter,
+        "top_docs": top_docs,
+        "doc_label_join": doc_label_join,
         "token_counts": token_counts,
         "token_counts_re": token_counts_re,
         "anagram_groups": anagram_groups,
@@ -379,6 +390,16 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, n_tokens, distinct_ratio
             FROM s WHERE n_tokens >= 20 AND distinct_ratio >= 0.3
+        """,
+        "top_docs": f"""
+            SELECT doc_id, {_NTOK} AS n_tokens
+            FROM documents
+            ORDER BY n_tokens DESC, doc_id ASC
+            LIMIT 50
+        """,
+        "doc_label_join": f"""
+            SELECT d.doc_id, {_NTOK} AS n_tokens, e.label
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         """,
         "token_counts": """
             SELECT token, count(*) AS cnt
