@@ -425,3 +425,28 @@ def test_ngram_jaccard_dense_matches_sparse(docs):
     )
     assert dense == sparse
     assert len(dense) > 0
+
+
+def test_top_docs_order_and_limit(docs):
+    from analiticcl_ray.pipelines.text import doc_stats, top_docs
+
+    out = top_docs(docs, k=10).to_pandas()
+    assert len(out) == 10
+    # deterministic total order: n_tokens desc, doc_id asc
+    assert (out["n_tokens"].to_numpy()[:-1] >= out["n_tokens"].to_numpy()[1:]).all()
+    allstats = doc_stats(docs).to_pandas()
+    assert out["n_tokens"].iloc[0] == allstats["n_tokens"].max()
+
+
+def test_doc_label_join_inner(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import doc_label_join
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b", "c d e", "f"],
+                        "lang": ["en"] * 3, "n_chars": [3, 5, 1]})
+    emb = pd.DataFrame({"vec_id": [0, 2], "label": [7, 9]})
+    out = doc_label_join(rd.from_pandas(pdf), rd.from_pandas(emb)).to_pandas()
+    got = {(r.doc_id, r.n_tokens, r.label) for r in out.itertuples()}
+    assert got == {(0, 2, 7), (2, 1, 9)}  # doc 1 dropped (inner join)
