@@ -115,6 +115,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle closes the same pairs with a recursive CTE
         return text.near_dup_clusters(_docs(sf_dir), n=3, threshold=0.8)
 
+    def decontaminate(sf_dir):
+        # GPT-3-style n-gram-overlap decontamination: eval = every 10th
+        # doc, train = the rest; count shared distinct 16-grams
+        import numpy as np
+        import pyarrow as pa
+
+        def _split(keep_eval: bool):
+            def _f(batch: pa.Table) -> pa.Table:
+                ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+                mask = (ids % 10 == 0) if keep_eval else (ids % 10 != 0)
+                return batch.filter(pa.array(mask))
+
+            return _f
+
+        d = _docs(sf_dir)
+        train = d.map_batches(_split(False), batch_format="pyarrow")
+        ev = d.map_batches(_split(True), batch_format="pyarrow")
+        return text.decontaminate(train, ev, n=16)
+
     def minhash_dedup(sf_dir):
         return text.minhash_dedup_pairs(_docs(sf_dir), jaccard_threshold=0.8)
 
@@ -291,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anagram_groups": anagram_groups,
         "ngram_jaccard": ngram_jaccard,
         "near_dup_clusters": near_dup_clusters,
+        "decontaminate": decontaminate,
         "minhash_dedup": minhash_dedup,
         "simhash": simhash,
         "simhash_dup_pairs": simhash_dup_pairs,
@@ -458,6 +478,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "decontaminate": """
+            WITH seq AS (SELECT i FROM generate_series(1, 4096) t(i)),
+            g AS (
+              SELECT DISTINCT doc_id, substr(text, i, 16) AS gram
+              FROM documents JOIN seq ON i <= length(text) - 15
+              WHERE length(text) >= 16
+            ),
+            e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+            t AS (SELECT * FROM g WHERE doc_id % 10 <> 0)
+            SELECT t.doc_id, count(*) AS n_shared
+            FROM t JOIN e USING (gram)
+            GROUP BY t.doc_id
         """,
         # minhash_dedup banding (32 bands × r=4) gives P[candidate |
         # J>=0.8] ≈ 1-5e-8; after exact-Jaccard verification its output

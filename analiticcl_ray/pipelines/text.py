@@ -943,6 +943,83 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(cand, docs, n, threshold, attach_method, gram_ref=df_ref)
 
 
+def decontaminate(
+    train: "ray.data.Dataset",
+    eval_ds: "ray.data.Dataset",
+    n: int = 16,
+    n_buckets: int = 1024,
+) -> "ray.data.Dataset":
+    """Test-set decontamination (the GPT-3-style n-gram overlap check):
+    for every training document, count the distinct char-``n``-grams it
+    shares with ANY eval document; emit (doc_id, n_shared) for docs
+    with >= 1 shared gram — the rows a pretraining pipeline would drop
+    or audit.
+
+    Shape: both sides explode to (gram, side, doc_id) rows and meet in
+    ONE hash-bucket shuffle (each gram lives in exactly one bucket, so
+    per-bucket shared-gram counts sum globally); a vectorized in-bucket
+    isin + value_counts flags train rows whose gram exists on the eval
+    side; a final groupby-sum aggregates per train doc. Nothing
+    corpus-sized leaves the cluster; eval can be arbitrarily large
+    (it is NOT broadcast)."""
+
+    def _rows(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            ids: list[int] = []
+            grams: list[str] = []
+            for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                gs = _gram_list(t, n)
+                ids.extend([d] * len(gs))
+                grams.extend(gs)
+            h = pd.util.hash_pandas_object(
+                pd.Series(grams, dtype="object"), index=False
+            ).to_numpy()
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        (h % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                    ),
+                    "gram": pa.array(grams, pa.string()),
+                    "side": pa.array(
+                        np.full(len(ids), side, dtype=np.int8), pa.int8()
+                    ),
+                    "doc_id": pa.array(ids, pa.int64()),
+                }
+            )
+
+        return _f
+
+    both = train.select_columns(["doc_id", "text"]).map_batches(
+        _rows(0), batch_format="pyarrow"
+    ).union(
+        eval_ds.select_columns(["doc_id", "text"]).map_batches(
+            _rows(1), batch_format="pyarrow"
+        )
+    )
+
+    def _shared(group: pd.DataFrame) -> pa.Table:
+        ev = group.loc[group["side"] == 1, "gram"].unique()
+        tr = group[group["side"] == 0]
+        hit = tr.loc[tr["gram"].isin(ev), "doc_id"].value_counts()
+        return pa.table(
+            {
+                "doc_id": pa.array(hit.index.to_numpy(dtype=np.int64), pa.int64()),
+                "n_shared": pa.array(hit.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def _sum_rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "n_shared"])
+
+    return (
+        both.groupby("bucket")
+        .map_groups(_shared, batch_format="pandas")
+        .groupby("doc_id")
+        .sum("n_shared")
+        .map_batches(_sum_rename, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------
 # MinHash-LSH near-dup over documents (the scale path)
 # ---------------------------------------------------------------------

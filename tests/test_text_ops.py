@@ -450,3 +450,32 @@ def test_doc_label_join_inner(ray_session):
     out = doc_label_join(rd.from_pandas(pdf), rd.from_pandas(emb)).to_pandas()
     got = {(r.doc_id, r.n_tokens, r.label) for r in out.itertuples()}
     assert got == {(0, 2, 7), (2, 1, 9)}  # doc 1 dropped (inner join)
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    """Train docs sharing a long span with an eval doc are flagged with
+    the exact distinct-shared-gram count; clean docs are absent."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import decontaminate
+
+    leak = "the secret benchmark answer is forty two exactly"
+    train = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [f"some filler then {leak} and more filler", "totally clean document"],
+        "lang": ["en"] * 2, "n_chars": [10, 10],
+    })
+    ev = pd.DataFrame({
+        "doc_id": [100],
+        "text": f"unrelated prefix {leak} unrelated suffix",
+        "lang": ["en"], "n_chars": [10],
+    })
+    out = decontaminate(
+        rd.from_pandas(train), rd.from_pandas(ev), n=16
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_shared"]))
+    assert 1 in got and 2 not in got
+    # shared distinct 16-grams of " {leak} " window: len(leak)+2-16+1... at
+    # least the interior grams of the common " <leak> " span
+    assert got[1] >= len(leak) - 16 + 1
