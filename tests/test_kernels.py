@@ -161,3 +161,40 @@ def test_distance_score_ld_overflow():
     # ld > input_length clamps distance component to 0 (src/lib.rs:1433-1436)
     s = distance_score(5, 0, 0, 0, True, 3, Weights())
     assert s == pytest.approx((0.125) / 1.0)
+
+
+def test_pair_distance_score_np_parity_fuzz():
+    """pair_distance_score_np (the verify-actor hot path) is
+    bit-identical to the scalar pair_distance_score across random
+    normstring pairs, incl. prefix/suffix/lcs components."""
+    import numpy as np
+
+    from analiticcl_ray.functions.kernels import (
+        Weights,
+        common_prefix_length,
+        common_prefix_length_np,
+        common_suffix_length,
+        common_suffix_length_np,
+        pair_distance_score,
+        pair_distance_score_np,
+    )
+
+    rng = np.random.default_rng(5)
+    for _ in range(300):
+        la, lb = int(rng.integers(0, 30)), int(rng.integers(1, 30))
+        a = rng.integers(0, 6, la).astype(np.uint16)
+        b = rng.integers(0, 6, lb).astype(np.uint16)
+        assert common_prefix_length_np(a, b) == common_prefix_length(
+            a.tolist(), b.tolist()
+        )
+        assert common_suffix_length_np(a, b) == common_suffix_length(
+            a.tolist(), b.tolist()
+        )
+        for maxd in (1, 2, 5):
+            s_np = pair_distance_score_np(a, b, "x", "y", maxd, Weights())
+            s_py = (
+                pair_distance_score(a.tolist(), b.tolist(), "x", "y", maxd, Weights())
+                if la
+                else None
+            )
+            assert s_np == s_py, (a, b, maxd)
