@@ -340,6 +340,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB; views pre-registered on the same parquet)
 # ---------------------------------------------------------------------
 
+def _lang_id_sql() -> str:
+    """lang_id oracle generated from the live LangId profiles (so the
+    SQL cannot drift from the engine): per-doc distinct-token hits per
+    language profile, argmax with alphabetical tie-break (the engine's
+    max-over-sorted), CJK-ratio zh override, unknown at score 0."""
+    from analiticcl_ray.pipelines.text import LangId
+
+    profs = {k: sorted(v) for k, v in LangId.PROFILES.items()}
+
+    def inlist(vals):
+        return ",".join(f"'{v}'" for v in vals)
+
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+          FROM documents WHERE trim(text) <> ''
+        ),
+        sc AS (
+          SELECT doc_id,
+                 count(CASE WHEN tok IN ({inlist(profs['de'])}) THEN 1 END) AS s_de,
+                 count(CASE WHEN tok IN ({inlist(profs['en'])}) THEN 1 END) AS s_en,
+                 count(CASE WHEN tok IN ({inlist(profs['es'])}) THEN 1 END) AS s_es,
+                 count(CASE WHEN tok IN ({inlist(profs['fr'])}) THEN 1 END) AS s_fr
+          FROM toks GROUP BY doc_id
+        ),
+        full_sc AS (
+          SELECT d.doc_id,
+                 coalesce(s_de,0) AS s_de, coalesce(s_en,0) AS s_en,
+                 coalesce(s_es,0) AS s_es, coalesce(s_fr,0) AS s_fr,
+                 length(regexp_replace(substr(d.text,1,200),
+                                       '[^一-鿿]', '', 'g')) AS cjk,
+                 length(substr(d.text,1,200)) AS headlen
+          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        )
+        SELECT doc_id,
+          CASE WHEN cjk > headlen * 0.2 THEN 'zh'
+               WHEN greatest(s_de,s_en,s_es,s_fr) = 0 THEN 'unknown'
+               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM full_sc
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # token splitting is guarded for empty/whitespace-only documents
     # (ADVICE r1): DuckDB's regexp_split_to_array('', ...) returns ['']
@@ -496,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         # J>=0.8] ≈ 1-5e-8; after exact-Jaccard verification its output
         # is identical to ngram_jaccard's — same oracle (VERDICT r1 §1).
         "minhash_dedup": ngram_jaccard_sql,
+        "lang_id": _lang_id_sql(),
         "lang_distribution": """
             SELECT lang, count(*) AS "count()" FROM documents GROUP BY lang
         """,
