@@ -473,10 +473,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents WHERE trim(text) <> '')
             GROUP BY token
         """,
+        # whitespace class spelled out: Python \s is Unicode-aware,
+        # RE2's is ASCII-only — the explicit ASCII class makes both
+        # engines tokenize non-ASCII whitespace identically
         "token_counts_re": """
             SELECT token, count(*) AS cnt
             FROM (SELECT unnest(regexp_extract_all(
-                           text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token
+                           text,
+                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\v]')) AS token
                   FROM documents)
             GROUP BY token
         """,

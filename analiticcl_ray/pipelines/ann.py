@@ -120,27 +120,30 @@ def cosine_dup_pairs(
         a, b = (p, q) if p <= q else (q, p)
         return a * n_parts - a * (a - 1) // 2 + (b - a)
 
+    # (p, q) -> canonical pair key, precomputed once for C-speed lookup
+    key_lut = np.array(
+        [[_pair_key(p, q) for q in range(n_parts)] for p in range(n_parts)],
+        dtype=np.int64,
+    )
+
     def _explode(batch: pa.Table) -> pa.Table:
         ids, emb = _emb_matrix(batch)
         emb = _normalize_rows(emb)
+        nr = len(ids)
         parts = (ids % n_parts).astype(np.int64)
-        keys, out_ids, out_part, out_emb = [], [], [], []
-        for i in range(len(ids)):
-            p = int(parts[i])
-            for q in range(n_parts):
-                keys.append(_pair_key(p, q))
-                out_ids.append(int(ids[i]))
-                out_part.append(p)
-                out_emb.append(emb[i])
-        flat = np.concatenate(out_emb) if out_emb else np.empty(0)
-        dim = emb.shape[1] if len(emb) else 1
+        # vectorized replication: q-major blocks, same output rows as
+        # the per-row loop (order is irrelevant downstream)
+        keys = key_lut[np.tile(parts, n_parts),
+                       np.repeat(np.arange(n_parts, dtype=np.int64), nr)]
+        dim = emb.shape[1] if nr else 1
         return pa.table(
             {
                 "pkey": pa.array(keys, pa.int64()),
-                "vec_id": pa.array(out_ids, pa.int64()),
-                "part": pa.array(out_part, pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_parts), pa.int64()),
+                "part": pa.array(np.tile(parts, n_parts), pa.int64()),
                 "embedding": pa.FixedSizeListArray.from_arrays(
-                    pa.array(flat, pa.float64()), dim
+                    pa.array(np.tile(emb, (n_parts, 1)).reshape(-1), pa.float64()),
+                    dim,
                 ),
             }
         )

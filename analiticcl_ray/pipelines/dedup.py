@@ -127,7 +127,7 @@ def dedup_pipeline(
     bucket_stats: dict = {}
     cands = candidate_pairs(
         band_rows, cfg.bucket_cap, stats=None, keep_sentinels=True,
-        n_cogroups=n_cg,
+        n_cogroups=n_cg, sentinel_salt=0,
     )
     if phash_rows is not None:
         # image-side candidates: separate co-occurrence pass with the
@@ -143,6 +143,9 @@ def dedup_pipeline(
                 drop_threshold=cfg.phash_drop_threshold,
                 keep_sentinels=True,
                 n_cogroups=n_cg,
+                # distinct salt: caption-band and phash sentinels from
+                # the same cogroup/seq must not collapse in dedup_pairs
+                sentinel_salt=1,
             )
         )
     pairs = dedup_pairs(cands, n_cogroups=max(1024, n_cg // 8)).materialize()

@@ -199,8 +199,15 @@ def variants_dl(
         )
     )
 
-    # rank on the (small, already-aggregated) vocab: one sort + limit
-    top = vocab.sort(["freq", "token"], descending=[True, False]).limit(vocab_top)
+    # rank on the (small, already-aggregated) vocab: one sort + limit;
+    # materialized because three consumers pull it (queries, the tagged
+    # lexicon union, the freq broadcast) and each pull would otherwise
+    # re-run the token count + global sort
+    top = (
+        vocab.sort(["freq", "token"], descending=[True, False])
+        .limit(vocab_top)
+        .materialize()
+    )
 
     def _queries(batch: pa.Table) -> pa.Table:
         qs = [

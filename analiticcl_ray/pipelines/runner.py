@@ -146,7 +146,6 @@ def run_dedup_job(
     cfg_hash = _config_hash(cfg)
     files = _input_files(corpus_parquet)
     input_hash = _input_fingerprint(files)
-    marker = f"{cfg_hash}:{input_hash}"
     os.makedirs(out_dir, exist_ok=True)
     lineage: dict = {
         "config_hash": cfg_hash,
@@ -172,6 +171,10 @@ def run_dedup_job(
         for i in range(n_shards)
     ]
     shard_frags = [fragments[lo:hi] for lo, hi in bounds]
+    # the shard marker binds config + input + PARTITIONING: a rerun with
+    # a different n_shards must not reuse (or silently combine with)
+    # shard dirs cut at the old boundaries
+    marker = f"{cfg_hash}:{input_hash}:n{n_shards}"
 
     def _read_fragments(batch: pa.Table) -> pa.Table:
         tabs = [
@@ -190,6 +193,15 @@ def run_dedup_job(
         return open(mk).read() == marker  # stale config OR input recomputes
 
     completed = {d for d in os.listdir(sig_root) if _shard_done(d)} if resume else set()
+    # prune anything that is not a current, valid shard: stale markers
+    # (old config/input/partitioning) and dirs outside shard=0..n-1 —
+    # read_parquet(sig_root) globs the whole tree, so leftovers would
+    # silently duplicate corpus rows
+    valid_names = {f"shard={k}" for k in range(n_shards)}
+    for d in os.listdir(sig_root):
+        if d not in valid_names or d not in completed:
+            shutil.rmtree(os.path.join(sig_root, d), ignore_errors=True)
+    completed &= valid_names
     t0 = time.perf_counter()
     done_shards = 0
     sig_cols = ["image_id", "caption", "content_key", "bytes_key", "bytes_key2", "bands"]

@@ -381,7 +381,16 @@ def most_likely_sequence(
             else:
                 norm_lm = math.log(best_pp / pp)
             norm_var = math.log(best_variant_cost / cost)
-            norm_ctx = math.log(ctx / best_ctx) if best_ctx > 0 else 0.0
+            # mirror Rust f64 ln semantics for the context ratio too:
+            # ln(0/x) = -inf (a zero-scored rule is a hard penalty, not
+            # a crash); ln of a negative ratio -> NaN in Rust, which
+            # never compares greater, so treat it as -inf here
+            if best_ctx <= 0:
+                norm_ctx = 0.0
+            elif ctx > 0:
+                norm_ctx = math.log(ctx / best_ctx)
+            else:
+                norm_ctx = float("-inf")
             score = (
                 lm_weight * norm_lm
                 + variantmodel_weight * norm_var

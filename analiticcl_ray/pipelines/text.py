@@ -296,8 +296,11 @@ def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 #: BPE-style pre-tokenizer classes (letters / digits / single symbol) —
 #: ASCII-only and lookahead-free so Python re and DuckDB's RE2
-#: (regexp_extract_all) produce identical token streams.
-BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: (regexp_extract_all) produce identical token streams. The whitespace
+#: class is spelled out explicitly: Python's \s is Unicode-aware while
+#: RE2's is ASCII-only, so a literal \s would tokenize e.g. U+00A0
+#: differently between engine and oracle.
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]"
 
 
 def token_counts_re(
@@ -399,42 +402,27 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
+#: above this vocabulary size the packed bitmask (vocab/8 bytes per
+#: text) stops paying for itself; the verify falls back to the
+#: text-attach frozenset engine
+BITSET_VOCAB_LIMIT = 65536
+
+
 class _JaccardVerifier:
-    """Actor: exact char-n-gram Jaccard on pairs with attached texts.
+    """Actor: exact char-n-gram Jaccard on pairs with attached texts —
+    the UNBOUNDED-vocabulary engine (memoized frozenset intersection;
+    the bounded-vocab bitset engine is ``_verify_jaccard_masks``).
 
     Input batch needs src_text/dst_text (attached via
     stages/verify.attach_pair_sides — broadcast or cogroup, never a
     driver-built dict); emits (a, b, jaccard) filtered at ``threshold``.
     jaccard = |A∩B| / |A∪B| as ONE int/int division — bit-identical to
-    the DuckDB oracle.
+    the DuckDB oracle."""
 
-    Two verification engines, chosen by whether a gram vocabulary is
-    provided (``gram_ref``: zero-copy Arrow broadcast of the global
-    gram table from the df pass):
-    - BITSET (vocab known & bounded): each text's gram set is a packed
-      uint64 bitmask (memoized per actor); per batch the intersection
-      is a vectorized AND + SWAR popcount — ~20x less work per pair
-      than set intersection and fully vectorized.
-    - SET (vocab unknown/unbounded): frozenset intersection, memoized
-      per text."""
-
-    #: above this vocabulary size the bitmask (vocab/8 bytes per text)
-    #: stops paying for itself; fall back to sets
-    BITSET_VOCAB_LIMIT = 65536
-
-    def __init__(self, n: int, threshold: float, gram_ref=None):
+    def __init__(self, n: int, threshold: float):
         self.n = n
         self.threshold = threshold
         self._memo: dict[str, frozenset] = {}
-        self._mask_memo: dict[str, tuple[np.ndarray, int]] = {}
-        self.grams = None
-        if gram_ref is not None:
-            import ray
-
-            tbl = ray.get(gram_ref)
-            if len(tbl) <= self.BITSET_VOCAB_LIMIT:
-                self.grams = tbl["gram"].combine_chunks()
-                self.words = (len(tbl) + 63) // 64
 
     def _grams(self, t: str) -> frozenset:
         g = self._memo.get(t)
@@ -447,29 +435,6 @@ class _JaccardVerifier:
             self._memo[t] = g
         return g
 
-    def _mask(self, t: str) -> tuple[np.ndarray, int]:
-        hit = self._mask_memo.get(t)
-        if hit is not None:
-            return hit
-        if len(self._mask_memo) > 500_000:
-            self._mask_memo.clear()
-        gs = _gram_list(t, self.n)
-        mask = np.zeros(self.words, dtype=np.uint64)
-        if gs:
-            idx = (
-                pc.index_in(pa.array(gs, pa.string()), value_set=self.grams)
-                .fill_null(-1)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            idx = idx[idx >= 0]  # grams outside the vocab can't intersect
-            np.bitwise_or.at(
-                mask, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64)
-            )
-        out = (mask, len(gs))
-        self._mask_memo[t] = out
-        return out
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = batch["src_id"].to_pylist()
         b = batch["dst_id"].to_pylist()
@@ -477,24 +442,11 @@ class _JaccardVerifier:
         dt = batch["dst_text"].to_pylist()
         np_a = np.asarray(a, dtype=np.int64)
         np_b = np.asarray(b, dtype=np.int64)
-        if self.grams is not None and len(a):
-            # build masks once per UNIQUE text in the batch (texts
-            # repeat heavily across pairs), then pure-numpy gathers —
-            # no per-pair Python
-            uniq, inv = np.unique(np.array(st + dt, dtype=object), return_inverse=True)
-            per = [self._mask(t) for t in uniq]
-            m = np.stack([p[0] for p in per])
-            sz = np.array([p[1] for p in per], dtype=np.int64)
-            ia, ib = inv[: len(st)], inv[len(st):]
-            inter = _popcount64(m[ia] & m[ib]).sum(axis=1)
-            union = sz[ia] + sz[ib] - inter
-            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        else:
-            jac = np.empty(len(a), dtype=np.float64)
-            for i in range(len(a)):
-                sa, sb = self._grams(st[i]), self._grams(dt[i])
-                u = len(sa | sb)
-                jac[i] = (len(sa & sb) / u) if u else 0.0
+        jac = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            sa, sb = self._grams(st[i]), self._grams(dt[i])
+            u = len(sa | sb)
+            jac[i] = (len(sa & sb) / u) if u else 0.0
         keep = jac >= self.threshold
         return pa.table(
             {
@@ -524,10 +476,19 @@ def _verify_jaccard(
 
     from ..stages.verify import attach_pair_sides
 
+    from ..stages.verify import choose_attach_method
+
+    # resolve "auto" against the BASE table (metadata-cheap count): the
+    # side actually attached is a transform of ``docs`` with the same
+    # row count, and counting the transformed dataset would execute its
+    # whole pipeline once just to pick a strategy
+    if attach_method == "auto":
+        attach_method = choose_attach_method(docs)
+
     gram_table = ray.get(gram_ref) if gram_ref is not None else None
     if (
         gram_table is not None
-        and len(gram_table) <= _JaccardVerifier.BITSET_VOCAB_LIMIT
+        and len(gram_table) <= BITSET_VOCAB_LIMIT
     ):
         return _verify_jaccard_masks(
             pairs, docs, gram_table, n, threshold, attach_method
@@ -546,7 +507,7 @@ def _verify_jaccard(
     )
     return attached.map_batches(
         _JaccardVerifier,
-        fn_constructor_args=(n, threshold, None),
+        fn_constructor_args=(n, threshold),
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
@@ -612,6 +573,11 @@ def _verify_jaccard_masks(
     masks_ds = docs.select_columns(["doc_id", "text"]).map_batches(
         _mask_rows, batch_format="pyarrow"
     )
+    if attach_method == "cogroup":
+        # the cogroup join counts its side for adaptive bucket sizing
+        # and then consumes it — materialize the (slim) mask table so
+        # the mask-construction pass runs once, not twice
+        masks_ds = masks_ds.materialize()
     attached = attach_pair_sides(
         pairs, masks_ds, ["mask", "sz"], method=attach_method,
         id_col="doc_id", concurrency=(1, 8),

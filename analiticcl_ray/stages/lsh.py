@@ -143,9 +143,17 @@ def cooccurrence_pairs(
     stats: Optional[dict] = None,
     n_cogroups: int = 1024,
     keep_sentinels: bool = False,
+    sentinel_salt: int = 0,
 ) -> "ray.data.Dataset":
     """(key, id) rows -> canonical candidate pairs (src < dst) for every
     key shared by >= 2 ids, with salting above ``cap``.
+
+    ``sentinel_salt``: callers that UNION the sentinel-carrying outputs
+    of several cooccurrence passes before one shared ``dedup_pairs``
+    must give each pass a distinct salt — sentinel uniqueness is
+    otherwise only per-call, and two passes could emit byte-identical
+    sentinels (same cogroup, seq, row count) that the pair dedup would
+    collapse, undercounting drops.
 
     ONE shuffle, keyed by a coarse integer co-group bucket (hash of the
     key): every row of a key lands in the same bucket (superset
@@ -201,14 +209,15 @@ def cooccurrence_pairs(
                     dsts.extend(dst)
                     caps.extend([capped] * len(src))
         for seq, nrows in enumerate(dropped):
-            # one sentinel per dropped bucket; src_id encodes (cogroup,
-            # seq) so every sentinel row is globally unique and survives
-            # any downstream drop_duplicates (ADVICE r1)
+            # one sentinel per dropped bucket; src_id encodes (salt,
+            # cogroup, seq) so every sentinel row is globally unique —
+            # across unioned passes too — and survives any downstream
+            # drop_duplicates (ADVICE r1)
             if id_pd_dtype == "object":
-                srcs.append(f"{DROPPED_SENTINEL}:{cg}:{seq}")
+                srcs.append(f"{DROPPED_SENTINEL}:{sentinel_salt}:{cg}:{seq}")
                 dsts.append(f"1:{nrows}")
             else:
-                srcs.append(-(1 + cg + n_cogroups * seq))
+                srcs.append(-(1 + 2 * (cg + n_cogroups * seq) + (sentinel_salt & 1)))
                 dsts.append(nrows)
             caps.append(True)
         id_pa_type = pa.string() if id_pd_dtype == "object" else pa.int64()
@@ -280,11 +289,13 @@ def candidate_pairs(
     band_rows: "ray.data.Dataset", bucket_cap: int = 256, id_col: str = "image_id",
     id_dtype: str = "str", stats: Optional[dict] = None,
     keep_sentinels: bool = False, n_cogroups: int = 1024,
+    sentinel_salt: int = 0,
 ) -> "ray.data.Dataset":
     """groupby(band) -> canonical candidate pairs (src_id < dst_id)."""
     return cooccurrence_pairs(
         band_rows, "band", id_col, bucket_cap, id_dtype, stats=stats,
         keep_sentinels=keep_sentinels, n_cogroups=n_cogroups,
+        sentinel_salt=sentinel_salt,
     )
 
 

@@ -108,3 +108,23 @@ def test_input_change_invalidates_checkpoints(ray_session, tmp_path):
     assert l3["stages"][0]["resumed_shards"] == 0
     assert not any(s.get("resumed") for s in l3["stages"][1:])
     assert l3["input_hash"] != l1["input_hash"]
+
+
+def test_resume_with_changed_n_shards_no_duplication(job_dirs):
+    """Rerunning with a different n_shards must not reuse shard dirs cut
+    at the old partition boundaries (stale dirs would duplicate corpus
+    rows through read_parquet(sig_root))."""
+    import ray.data
+
+    from analiticcl_ray.pipelines.runner import run_dedup_job
+    from analiticcl_ray.sources.corpus import corpus_path
+
+    src, out, _ = job_dirs
+    before = _clusters(out)
+    lineage = run_dedup_job(src, out, n_shards=2)
+    # old 4-way shards invalid under the new marker -> all recomputed
+    assert lineage["stages"][0]["resumed_shards"] == 0
+    sig_rows = ray.data.read_parquet(os.path.join(out, "signatures")).count()
+    n_corpus = ray.data.read_parquet(src).count()
+    assert sig_rows == n_corpus  # no duplicated rows from stale shards
+    assert _clusters(out) == before

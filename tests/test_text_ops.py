@@ -479,3 +479,30 @@ def test_decontaminate_flags_overlap(ray_session):
     # shared distinct 16-grams of " {leak} " window: len(leak)+2-16+1... at
     # least the interior grams of the common " <leak> " span
     assert got[1] >= len(leak) - 16 + 1
+
+
+def test_token_counts_re_unicode_whitespace_parity(ray_session):
+    """Python \\s is Unicode-aware, RE2's is ASCII-only — the explicit
+    ASCII whitespace class keeps engine and oracle identical on U+00A0."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from analiticcl_ray.pipelines.text import token_counts_re
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0], "text": ["a b"], "lang": ["en"], "n_chars": [3]}
+    )
+    got = (
+        token_counts_re(rd.from_pandas(pdf)).to_pandas()
+        .sort_values("token").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(entry.oracle_sql()["token_counts_re"]).df()
+        .sort_values("token").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    assert " " in set(got["token"])  # NBSP is a symbol token in BOTH
