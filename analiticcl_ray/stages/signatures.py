@@ -73,6 +73,9 @@ class CaptionSignatures:
             np.arange(self.cfg.num_perm, dtype=np.uint64)
             + _U64(self.cfg.seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
         )
+        # caption -> shingle-key array memo: duplicate-heavy corpora
+        # repeat captions, skipping normalize + windowed prime products
+        self._shingle_memo: dict[str, np.ndarray] = {}
 
     def _minhash_bands(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
         """list of per-row shingle-key arrays -> (n_rows, bands) uint64."""
@@ -107,13 +110,18 @@ class CaptionSignatures:
         shingles = []
         norm_lens = np.empty(len(captions), dtype=np.int32)
         for i, c in enumerate(captions):
-            nm = self.norm.normalize(c)
-            norm_lens[i] = len(nm)
-            shingles.append(
-                shingle_keys_from_norm(
+            hit = self._shingle_memo.get(c)
+            if hit is None:
+                nm = self.norm.normalize(c)
+                ks = shingle_keys_from_norm(
                     nm, self.norm.unk_hash_index, self.norm.unk_norm, cfg.shingle_n
                 )
-            )
+                if len(self._shingle_memo) > 500_000:
+                    self._shingle_memo.clear()
+                hit = (len(nm), ks)
+                self._shingle_memo[c] = hit
+            norm_lens[i] = hit[0]
+            shingles.append(hit[1])
         bands = self._minhash_bands(shingles)
         bytes_keys = np.array([hash_u64(b, seed=1) for b in blobs], dtype=np.uint64)
         # second independent 64-bit hash: bytes-equality decisions use

@@ -71,6 +71,21 @@ class SubstringFingerprints:
         self.norm = Normalizer(alphabet or simple_alphabet())
         self.kgram = kgram if kgram is not None else self.cfg.winnow_kgram
         self.window = window if window is not None else self.cfg.winnow_window
+        # duplicate-heavy corpora repeat captions; per-actor memo skips
+        # the whole normalize+hash+winnow chain on repeats (src/cache.rs
+        # analog)
+        self._memo: dict[str, np.ndarray] = {}
+
+    def _fps(self, c: str) -> np.ndarray:
+        f = self._memo.get(c)
+        if f is None:
+            if len(self._memo) > 500_000:
+                self._memo.clear()
+            f = winnow_fingerprints(
+                self.norm.normalize(c), self.kgram, self.window, self.cfg.seed
+            )
+            self._memo[c] = f
+        return f
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
@@ -78,9 +93,7 @@ class SubstringFingerprints:
         out_band: list[np.ndarray] = []
         out_id: list[str] = []
         for i, c in enumerate(caps):
-            fps = winnow_fingerprints(
-                self.norm.normalize(c), self.kgram, self.window, self.cfg.seed
-            )
+            fps = self._fps(c)
             if len(fps):
                 out_band.append(fps)
                 out_id.extend([ids[i]] * len(fps))
