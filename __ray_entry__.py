@@ -168,6 +168,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
         return ann.cosine_dup_pairs(emb, threshold=0.4)
 
+    def ann_dup_clusters(sf_dir):
+        # embedding near-dup pairs closed by distributed CC
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.cosine_dup_clusters(emb, threshold=0.4)
+
     def ann_dup_pairs_lsh(sf_dir):
         # sub-quadratic scale path; per-pair miss probability at this
         # config ≈ 9e-8 (0.602^32), so it reproduces the exact oracle
@@ -320,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": lang_distribution,
         "ann_topk": ann_topk,
         "ann_dup_pairs": ann_dup_pairs,
+        "ann_dup_clusters": ann_dup_clusters,
         "ann_dup_pairs_lsh": ann_dup_pairs_lsh,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -583,6 +589,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1.vec_id AS a, e2.vec_id AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
+        """,
+        "ann_dup_clusters": """
+            WITH RECURSIVE p AS (
+              SELECT e1.vec_id AS a, e2.vec_id AS b
+              FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+              WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
+            ),
+            sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(node, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            )
+            SELECT node AS vec_id, min(r) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "window_agg": """
             SELECT user_id,

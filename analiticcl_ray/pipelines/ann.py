@@ -199,6 +199,37 @@ def cosine_dup_pairs(
     )
 
 
+def cosine_dup_clusters(
+    embeddings: "ray.data.Dataset", threshold: float = 0.95, n_parts: int = 8
+) -> "ray.data.Dataset":
+    """Embedding near-duplicate clusters: exact block-pair cosine pairs
+    (``cosine_dup_pairs``) closed under transitivity by the distributed
+    min-label CC (stages/cc.py). Emits (vec_id, cluster_id = min vec_id
+    of the component); SQL-checkable via a recursive-CTE closure over
+    the same pair predicate."""
+    from ..stages.cc import cc_label_propagation
+
+    pairs = cosine_dup_pairs(embeddings, threshold=threshold, n_parts=n_parts)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src_id": t["a"], "dst_id": t["b"]}),
+        batch_format="pyarrow",
+    )
+    labels = cc_label_propagation(edges)
+    if labels.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}
+            )
+        )
+    return labels.map_batches(
+        lambda t: t.rename_columns(["vec_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def cosine_dup_pairs_lsh(
     embeddings: "ray.data.Dataset",
     threshold: float = 0.95,
