@@ -142,8 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def simhash_dup_pairs(sf_dir):
         # complete (pigeonhole) band-slice candidates + exact hamming
-        # verify; no SQL oracle (blake2b hashes) — completeness is
-        # pytest-verified against brute force
+        # verify; md5-based gram hashes make it SQL-expressible, and
+        # completeness is additionally pytest-verified vs brute force
         return text.simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
 
     def fingerprints(sf_dir):
@@ -405,6 +405,39 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 "
         "ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) END"
     )
+    # Charikar SimHash rebuilt in SQL: the engine's per-gram 64-bit hash
+    # is md5-first-8-bytes-LE == DuckDB's md5_number_upper, so the full
+    # sign-sum construction (grams WITH multiplicity; texts shorter than
+    # n contribute themselves as the single gram; bit set iff sum > 0)
+    # is exactly expressible. Bit 63 is added as -2^63 to reproduce the
+    # engine's uint64 -> int64 view.
+    simhash_cte = """
+            WITH g AS (
+              SELECT d.doc_id,
+                     md5_number_upper(CASE WHEN length(d.text) >= 3
+                                           THEN substr(d.text, t.i::INT, 3)
+                                           ELSE d.text END) AS h
+              FROM documents d
+              JOIN generate_series(1, 4096) t(i)
+                ON t.i <= CASE WHEN length(d.text) >= 3
+                               THEN length(d.text) - 2 ELSE 1 END
+            ),
+            bits AS (
+              SELECT doc_id, b.b,
+                     sum(CASE WHEN (h >> b.b::INT) & 1 = 1
+                              THEN 1 ELSE -1 END) AS s
+              FROM g JOIN generate_series(0, 63) b(b) ON true
+              GROUP BY doc_id, b.b
+            ),
+            sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN
+                           CASE WHEN b = 63 THEN -9223372036854775808
+                                ELSE (1::BIGINT << b::INT) END
+                         ELSE 0 END)::BIGINT AS simhash
+              FROM bits GROUP BY doc_id
+            )
+    """
     ngram_jaccard_sql = """
             WITH seq AS (
               -- constant bound (generate_series takes no subqueries);
@@ -552,6 +585,17 @@ def oracle_sql() -> dict[str, str]:
         # J>=0.8] ≈ 1-5e-8; after exact-Jaccard verification its output
         # is identical to ngram_jaccard's — same oracle (VERDICT r1 §1).
         "minhash_dedup": ngram_jaccard_sql,
+        "simhash": simhash_cte + """
+            SELECT doc_id, simhash FROM sh
+        """,
+        # complete for max_hamming=3 < n_bands=4 by pigeonhole, so the
+        # engine's banded pair set equals the brute-force hamming join
+        "simhash_dup_pairs": simhash_cte + """
+            SELECT s1.doc_id AS a, s2.doc_id AS b,
+                   bit_count(xor(s1.simhash, s2.simhash))::BIGINT AS hamming
+            FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+            WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+        """,
         "lang_id": _lang_id_sql(),
         "lang_distribution": """
             SELECT lang, count(*) AS "count()" FROM documents GROUP BY lang
@@ -681,8 +725,7 @@ def oracle_sql() -> dict[str, str]:
               AND 1.0 - damerau_levenshtein(q.input, l.token)::DOUBLE
                         / length(q.input) >= 0.5
         """,
-        # simhash / fingerprints / lang_id / ann_lsh_topk / find_variants
-        # / search_correct / learn_variants / corpus_* are rows-only
-        # here; exact semantics are pytest-verified against brute-force
-        # oracles.
+        # fingerprints / ann_lsh_topk / find_variants / search_correct /
+        # learn_variants / corpus_* are rows-only here; exact semantics
+        # are pytest-verified against brute-force oracles.
     }

@@ -1129,10 +1129,17 @@ class _SimHasher:
     sign-sum of per-feature hash bits. Deterministic; near-dup texts
     yield small Hamming distances.
 
-    Vectorized (bit-identical to the per-gram reference loop): blake2b
-    runs once per *unique* gram (memoized across batches — grams repeat
-    heavily), the ±1 sign matrix is built once per batch with numpy bit
-    ops, and per-doc accumulation + sign packing are C-speed gathers."""
+    Vectorized (bit-identical to the per-gram reference loop): the gram
+    hash runs once per *unique* gram (memoized across batches — grams
+    repeat heavily), the ±1 sign matrix is built once per batch with
+    numpy bit ops, and per-doc accumulation + sign packing are C-speed
+    gathers.
+
+    The per-gram 64-bit hash is the first 8 md5 bytes little-endian —
+    exactly DuckDB's ``md5_number_upper(gram)`` — so the whole operator
+    is SQL-expressible and oracle-checked end to end (any uniform
+    64-bit hash satisfies Charikar's construction; md5 is chosen for
+    the oracle, not for speed)."""
 
     def __init__(self, n: int = 3):
         self.n = n
@@ -1143,9 +1150,7 @@ class _SimHasher:
         if h is None:
             if len(self._memo) > 2_000_000:
                 self._memo.clear()
-            h = int.from_bytes(
-                hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
-            )
+            h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
             self._memo[g] = h
         return h
 
@@ -1204,9 +1209,11 @@ def simhash_dup_pairs(
     (signatures.py), here over document SimHashes — the brief's
     'SimHash dedup' as a first-class operator.
 
-    No SQL oracle (blake2b-based hashes); completeness is
-    pytest-verified against brute-force hamming over the simhash
-    column."""
+    SQL oracle: md5-based gram hashes make both the fingerprints and
+    the hamming-threshold pair set exactly expressible in DuckDB
+    (``md5_number_upper`` + ``bit_count(xor(...))``); completeness is
+    additionally pytest-verified against brute-force hamming over the
+    simhash column."""
     from ..stages.lsh import cooccurrence_pairs, dedup_pairs
     from ..stages.verify import attach_pair_sides
 
