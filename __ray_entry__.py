@@ -21,6 +21,18 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _emb(sf_dir: str):
+    from analiticcl_ray.sources.storage import read_table
+
+    return read_table(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(sf_dir: str):
+    from analiticcl_ray.sources.storage import read_table
+
+    return read_table(f"{sf_dir}/events.parquet")
+
+
 def _docs(sf_dir: str):
     from analiticcl_ray.sources.storage import read_table
 
@@ -97,7 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def doc_label_join(sf_dir):
         # broadcast hash join of doc stats with the embeddings table
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _emb(sf_dir)
         return text.doc_label_join(_docs(sf_dir), emb)
 
     def token_counts_re(sf_dir):
@@ -161,35 +173,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text.lang_distribution(_docs(sf_dir))
 
     def ann_topk(sf_dir):
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _emb(sf_dir)
         return ann.cosine_topk(emb, query_ids=list(range(10)), k=5)
 
     def ann_dup_pairs(sf_dir):
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _emb(sf_dir)
         return ann.cosine_dup_pairs(emb, threshold=0.4)
 
     def ann_dup_clusters(sf_dir):
         # embedding near-dup pairs closed by distributed CC
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _emb(sf_dir)
         return ann.cosine_dup_clusters(emb, threshold=0.4)
 
     def ann_dup_pairs_lsh(sf_dir):
         # sub-quadratic scale path; per-pair miss probability at this
         # config ≈ 9e-8 (0.602^32), so it reproduces the exact oracle
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _emb(sf_dir)
         return ann.cosine_dup_pairs_lsh(emb, threshold=0.4)
 
     def ann_ivf_topk(sf_dir):
         # inverted-file scale path: k-means coarse quantizer + probed
         # lists + exact re-rank; rows-only oracle, recall vs brute
         # force measured in tests
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _emb(sf_dir)
         return ann.ivf_topk(
             emb, query_ids=list(range(10)), k=5, nlist=16, nprobe=8
         )
 
     def ann_lsh_topk(sf_dir):
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _emb(sf_dir)
         # short codes + many tables: these embeddings are angularly
         # uniform, so recall needs wide OR-construction
         return ann.lsh_bucketed_topk(
@@ -197,11 +209,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def window_agg(sf_dir):
-        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        ev = _events(sf_dir)
         return events.tumbling_window_agg(ev, window_s=3600)
 
     def sessions(sf_dir):
-        ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+        ev = _events(sf_dir)
         return events.sessionize(ev, gap_s=1800)
 
     def find_variants(sf_dir):

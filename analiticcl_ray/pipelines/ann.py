@@ -354,6 +354,10 @@ def _rerank_topk(
         def __call__(self, batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
+            # strip block metadata (pandas-origin blocks arrive with the
+            # b'pandas' blob, whose schemas are unhashable and defeat
+            # Ray's reduce-side schema dedup in the top-k groupby)
+            batch = batch.replace_schema_metadata(None)
             if not len(batch):
                 return batch.append_column("cos", pa.array([], pa.float64()))
             iq = pc.index_in(batch["query_id"], value_set=self.ids).to_numpy(
@@ -588,6 +592,10 @@ def lsh_bucketed_topk(
         def __call__(self, batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
+            # strip block metadata (pandas-origin blocks arrive with the
+            # b'pandas' blob, whose schemas are unhashable and defeat
+            # Ray's reduce-side schema dedup in the top-k groupby)
+            batch = batch.replace_schema_metadata(None)
             if not len(batch):
                 return batch.append_column("cos", pa.array([], pa.float64()))
             iq = pc.index_in(batch["query_id"], value_set=self.ids).to_numpy(
