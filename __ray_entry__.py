@@ -404,6 +404,91 @@ def _lang_id_sql() -> str:
     """
 
 
+def _fingerprints_sql() -> str:
+    """Winnowing (Schleimer/Wilkerson/Aiken) rebuilt in SQL, generated
+    from the live engine constants so the oracle cannot drift: per-char
+    alphabet codes (a-z case-folded -> 0-25, '.'/',' -> 26, UNK -> 28,
+    exactly Normalizer over simple_alphabet), 16-gram keys as the
+    weighted code sum fed through splitmix64 (weights inlined from
+    stages.signatures.splitmix64; the 64x64 multiply is done mod 2^64
+    via 32-bit halves since HUGEINT is signed 128-bit), an 8-wide
+    sliding window min, and count(DISTINCT) of the kept minima —
+    matching winnow_fingerprints including the single-fingerprint
+    branch for docs with <= 8 k-grams."""
+    import numpy as np
+
+    from analiticcl_ray.stages.signatures import splitmix64
+
+    W = splitmix64(np.arange(16, dtype=np.uint64) + np.uint64(0x5EED))
+    w_list = ",".join(f"({j}, {int(W[j])}::HUGEINT)" for j in range(16))
+    M = "18446744073709551616::HUGEINT"  # 2^64
+    B = "4294967296::HUGEINT"  # 2^32
+
+    def mulmod(col: str, c: int) -> str:
+        lo_c, hi_c = c % (1 << 32), c >> 32
+        return (
+            f"((({col} % {B}) * {lo_c}::HUGEINT + "
+            f"((({col} % {B}) * {hi_c}::HUGEINT + "
+            f"({col} // {B}) * {lo_c}::HUGEINT) % {B}) * {B}) % {M})"
+        )
+
+    return f"""
+        WITH w(j, wt) AS (VALUES {w_list}),
+        chars AS (
+          SELECT d.doc_id, t.i,
+                 CASE WHEN substr(d.text, t.i::INT, 1) BETWEEN 'a' AND 'z'
+                      THEN ord(substr(d.text, t.i::INT, 1)) - 97
+                      WHEN substr(d.text, t.i::INT, 1) BETWEEN 'A' AND 'Z'
+                      THEN ord(substr(d.text, t.i::INT, 1)) - 65
+                      WHEN substr(d.text, t.i::INT, 1) IN ('.', ',') THEN 26
+                      ELSE 28 END AS code
+          FROM documents d
+          JOIN generate_series(1, 4096) t(i) ON t.i <= length(d.text)
+          WHERE length(d.text) >= 16
+        ),
+        sums AS (
+          SELECT c.doc_id, c.i - w.j AS pos,
+                 (sum(c.code::HUGEINT * w.wt) % {M})::UBIGINT AS s
+          FROM chars c JOIN w ON true
+          WHERE c.i - w.j >= 1
+          GROUP BY c.doc_id, c.i - w.j
+          HAVING count(*) = 16
+        ),
+        k1 AS (SELECT doc_id, pos,
+                 ((s::HUGEINT + 11400714819323198485::HUGEINT) % {M})::UBIGINT AS z
+               FROM sums),
+        k2 AS (SELECT doc_id, pos, xor(z, z >> 30)::HUGEINT AS z FROM k1),
+        k3 AS (SELECT doc_id, pos,
+                 {mulmod('z', 0xBF58476D1CE4E5B9)}::UBIGINT AS z FROM k2),
+        k4 AS (SELECT doc_id, pos, xor(z, z >> 27)::HUGEINT AS z FROM k3),
+        k5 AS (SELECT doc_id, pos,
+                 {mulmod('z', 0x94D049BB133111EB)}::UBIGINT AS z FROM k4),
+        kh AS (SELECT doc_id, pos, xor(z, z >> 31) AS kh FROM k5),
+        nk AS (SELECT doc_id, count(*) AS n FROM kh GROUP BY doc_id),
+        small AS (
+          SELECT k.doc_id, 1::BIGINT AS n_fingerprints
+          FROM kh k JOIN nk ON nk.doc_id = k.doc_id AND nk.n <= 8
+          GROUP BY k.doc_id
+        ),
+        mins AS (
+          SELECT k.doc_id, k.pos,
+                 min(k.kh) OVER (PARTITION BY k.doc_id ORDER BY k.pos
+                                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+                 nk.n
+          FROM kh k JOIN nk ON nk.doc_id = k.doc_id AND nk.n > 8
+        ),
+        big AS (
+          SELECT doc_id, count(DISTINCT m)::BIGINT AS n_fingerprints
+          FROM mins WHERE pos <= n - 7 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_fingerprints, b.n_fingerprints, 0)::BIGINT
+                 AS n_fingerprints
+        FROM documents d LEFT JOIN small s ON s.doc_id = d.doc_id
+                         LEFT JOIN big b ON b.doc_id = d.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # token splitting is guarded for empty/whitespace-only documents
     # (ADVICE r1): DuckDB's regexp_split_to_array('', ...) returns ['']
@@ -608,6 +693,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
             WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
         """,
+        "fingerprints": _fingerprints_sql(),
         "lang_id": _lang_id_sql(),
         "lang_distribution": """
             SELECT lang, count(*) AS "count()" FROM documents GROUP BY lang
@@ -737,7 +823,9 @@ def oracle_sql() -> dict[str, str]:
               AND 1.0 - damerau_levenshtein(q.input, l.token)::DOUBLE
                         / length(q.input) >= 0.5
         """,
-        # fingerprints / ann_lsh_topk / find_variants / search_correct /
-        # learn_variants / corpus_* are rows-only here; exact semantics
-        # are pytest-verified against brute-force oracles.
+        # ann_ivf_topk / ann_lsh_topk / context_rules / find_variants /
+        # search_correct / learn_variants / corpus_* are rows-only here
+        # (approximate search or non-SQL kernels: FST decoding, PSNR
+        # over decoded pixels); exact semantics are pytest-verified
+        # against brute-force oracles.
     }
