@@ -207,14 +207,14 @@ def cosine_dup_clusters(
     min-label CC (stages/cc.py). Emits (vec_id, cluster_id = min vec_id
     of the component); SQL-checkable via a recursive-CTE closure over
     the same pair predicate."""
-    from ..stages.cc import cc_label_propagation
+    from ..stages.cc import cc_auto
 
     pairs = cosine_dup_pairs(embeddings, threshold=threshold, n_parts=n_parts)
     edges = pairs.map_batches(
         lambda t: pa.table({"src_id": t["a"], "dst_id": t["b"]}),
         batch_format="pyarrow",
     )
-    labels = cc_label_propagation(edges)
+    labels = cc_auto(edges)
     if labels.count() == 0:
         import ray.data as rd
 

@@ -106,7 +106,7 @@ def exact_dup_clusters(docs: "ray.data.Dataset", bucket_cap: int = 1_000_000) ->
     pairs); drops are counted by the lsh stage, never silent."""
     import pyarrow.compute as pc
 
-    from ..stages.cc import cc_label_propagation
+    from ..stages.cc import cc_auto
     from ..stages.lsh import cooccurrence_pairs, dedup_pairs
     from ..stages.verify import attach_pair_sides
 
@@ -144,7 +144,7 @@ def exact_dup_clusters(docs: "ray.data.Dataset", bucket_cap: int = 1_000_000) ->
         kept = batch.filter(eq)
         return pa.table({"src_id": kept["src_id"], "dst_id": kept["dst_id"]})
 
-    labels = cc_label_propagation(attached.map_batches(_verify, batch_format="pyarrow"))
+    labels = cc_auto(attached.map_batches(_verify, batch_format="pyarrow"))
     return _labels_as_doc_clusters(labels)
 
 
@@ -157,14 +157,14 @@ def near_dup_clusters(
     Emits (doc_id, cluster_id = min doc_id of the component) for every
     doc in >= 1 verified pair. Fully SQL-checkable: the oracle computes
     the same pairs and closes them with a recursive CTE."""
-    from ..stages.cc import cc_label_propagation
+    from ..stages.cc import cc_auto
 
     pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
     edges = pairs.map_batches(
         lambda t: pa.table({"src_id": t["a"], "dst_id": t["b"]}),
         batch_format="pyarrow",
     )
-    return _labels_as_doc_clusters(cc_label_propagation(edges))
+    return _labels_as_doc_clusters(cc_auto(edges))
 
 
 # ---------------------------------------------------------------------

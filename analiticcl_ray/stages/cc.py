@@ -45,6 +45,24 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
+def cc_auto(
+    pairs: "ray.data.Dataset", small_threshold: int = 2_000_000, **lp_kwargs
+) -> "ray.data.Dataset":
+    """Route by measured edge count, the same policy the flagship's
+    ``cc_method="auto"`` applies (dedup.py): the verified-pair edge list
+    is orders of magnitude smaller than the corpus, so up to
+    ``small_threshold`` edges the exact O(E a(E)) driver union-find wins
+    outright (label propagation pays several shuffle+checksum rounds of
+    fixed latency); beyond it, the distributed min-label path takes
+    over with no driver-side state. ``pairs`` is materialized first so
+    the count and the chosen algorithm consume one execution of the
+    upstream pipeline, not two."""
+    pairs = pairs.materialize()
+    if pairs.count() <= small_threshold:
+        return cc_union_find(pairs)
+    return cc_label_propagation(pairs, **lp_kwargs)
+
+
 def cc_union_find(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Driver union-find over a (small) verified-pairs dataset."""
     parent: dict[str, str] = {}

@@ -74,6 +74,22 @@ def test_label_propagation_matches_union_find(ray_session, pipeline_result):
     assert lp == uf
 
 
+def test_cc_auto_routes_by_edge_count(ray_session, pipeline_result):
+    """cc_auto picks union-find under the threshold, label propagation
+    above it (threshold 0 forces the distributed path); both routes
+    give identical labelings."""
+    from analiticcl_ray.stages.cc import cc_auto
+
+    _, _, _, pairs_ds = pipeline_result
+    small = {r["image_id"]: r["cluster_id"] for r in cc_auto(pairs_ds).take_all()}
+    big = {
+        r["image_id"]: r["cluster_id"]
+        for r in cc_auto(pairs_ds, small_threshold=0).take_all()
+    }
+    assert small == big
+    assert len(small) > 0
+
+
 def test_recall_other_seed(ray_session):
     """Recall guard at a second seed (the fixed signature config must
     not be tuned to one corpus instance)."""
