@@ -179,10 +179,9 @@ def damerau_levenshtein_np(
     mat[1, 1:] = np.arange(lt + 1)
 
     j_idx = np.arange(1, lt + 1)
-    # db per (i, j): last column j' < j with t[j'-1] == s[i-1]
-    # computed incrementally below; last per (t[j]) kept in a dict -> array
-    char_last: dict[int, int] = {}
-    eq_cols: dict[int, np.ndarray] = {}
+    # last_for_col[j-1]: last row i' < i with s[i'-1] == t[j-1], updated
+    # incrementally after each row (no per-row rescan of t)
+    last_for_col = np.zeros(lt, dtype=np.int64)
 
     for i in range(1, ls + 1):
         sc = int(s[i - 1])
@@ -192,8 +191,7 @@ def damerau_levenshtein_np(
         db = np.zeros(lt, dtype=np.int64)
         if occ.any():
             db[1:] = np.maximum.accumulate(occ)[:-1]
-        # last[j]: last row i' < i with s[i'-1] == t[j-1]
-        last = np.array([char_last.get(int(c), 0) for c in t], dtype=np.int64)
+        last = last_for_col
         cost = (~eq).astype(np.int64)
         ins = mat[i, 2 : lt + 2] + 1            # mat[i][j+1] + 1
         sub = mat[i, 1 : lt + 1] + cost          # mat[i][j] + cost
@@ -205,7 +203,7 @@ def damerau_levenshtein_np(
         first = mat[i + 1, 1]  # = i
         row = np.minimum(base, first) + j_idx
         mat[i + 1, 2 : lt + 2] = row
-        char_last[sc] = i
+        last_for_col[eq] = i
 
     result = int(mat[ls + 1, lt + 1])
     return result if result <= max_distance else None
@@ -355,6 +353,11 @@ def pair_distance_score(
     )
 
 
+# Measured scalar-vs-numpy DL crossover (see bench note in the repo BASELINE.md):
+# below ~50 codepoints the scalar DP wins; above, the row-vectorized kernel.
+_DL_NP_MIN_LEN = 50
+
+
 def pair_distance_score_np(
     a_norm: np.ndarray,
     b_norm: np.ndarray,
@@ -371,7 +374,13 @@ def pair_distance_score_np(
         return None
     a = np.asarray(a_norm, dtype=np.int64)
     b = np.asarray(b_norm, dtype=np.int64)
-    ld = damerau_levenshtein_np(a, b, max_edit_distance)
+    # Length dispatch: per-row numpy overhead beats the scalar DP only from
+    # ~50 codepoints up (measured crossover); short captions take the scalar
+    # path, long ones the vectorized one. Both are bit-identical (parity fuzz).
+    if min(len(a), len(b)) < _DL_NP_MIN_LEN:
+        ld = damerau_levenshtein(a.tolist(), b.tolist(), max_edit_distance)
+    else:
+        ld = damerau_levenshtein_np(a, b, max_edit_distance)
     if ld is None:
         return None
     return distance_score(
