@@ -15,6 +15,31 @@ import pyarrow as pa
 
 import ray.data
 
+# cogroup bucket count: one pandas frame per bucket inside map_groups;
+# 256 buckets keeps each bucket ~1/256 of the (partial-combined) table
+# (scale the constant with input size the way stages/lsh.adaptive_cogroups
+# does if events ever outgrow it)
+_SESSION_COGROUPS = 256
+
+
+def _bucket_by(batch: pa.Table, key_cols: list[str]) -> pa.Table:
+    """Append a deterministic int64 ``bucket`` column hashed from the
+    int64 key columns — all rows sharing the keys land in one cogroup,
+    many key groups share a cogroup (same pattern as stages/lsh)."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        acc = np.zeros(len(batch), dtype=np.uint64)
+        for c in key_cols:
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+            acc = (acc ^ v) * np.uint64(0x9E3779B97F4A7C15)
+        bucket = acc % np.uint64(_SESSION_COGROUPS)
+    return batch.append_column(
+        "bucket", pa.array(bucket.astype("int64"), pa.int64())
+    ).replace_schema_metadata(None)
+    # (replace_schema_metadata: pandas-written blocks carry a b'pandas'
+    # blob that breaks Ray's reduce-side schema dedup)
+
 
 def tumbling_window_agg(
     events: "ray.data.Dataset", window_s: int = 3600
@@ -37,27 +62,34 @@ def tumbling_window_agg(
 
     partial = events.map_batches(_win, batch_format="pyarrow")
 
-    def _merge(group: pd.DataFrame) -> pa.Table:
-        # sum rounded to 4 decimals: float summation order differs
-        # between engines in the last ulp; the rounded value is the
-        # comparable contract (exact aggregation is over ints only).
-        # Emits metadata-free Arrow so Ray's reduce-side schema dedup
-        # keeps hashing (a pandas return carries a b'pandas' blob).
-        return pa.table(
-            {
-                "user_id": pa.array([int(group["user_id"].iloc[0])], pa.int64()),
-                "window_start": pa.array(
-                    [int(group["window_start"].iloc[0])], pa.int64()
-                ),
-                "n_events": pa.array([int(group["n_events"].sum())], pa.int64()),
-                "sum_value": pa.array(
-                    [round(float(group["sum_value"].sum()), 4)], pa.float64()
-                ),
-            }
+    # merge the (already block-combined) partials through ONE int-keyed
+    # bucket cogroup: one Python call per bucket, C-speed pandas groupby
+    # inside — Ray's built-in two-column Aggregate was measured ~20x
+    # slower on the same merge. sum rounded to 4 decimals: float
+    # summation order differs between engines in the last ulp; the
+    # rounded value is the comparable contract (exact aggregation is
+    # over ints only).
+    def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.groupby(["user_id", "window_start"], sort=False)
+            .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["window_start"] = out["window_start"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].astype(float).round(4)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
         )
 
-    return partial.groupby(["user_id", "window_start"]).map_groups(
-        _merge, batch_format="pandas"
+    return (
+        partial.map_batches(
+            lambda t: _bucket_by(t, ["user_id", "window_start"]),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge_bucket, batch_format="pandas")
     )
 
 
@@ -70,13 +102,22 @@ def sessionize(
     tumbling_window_agg: float summation order differs between engines
     in the last ulp) so the op is DuckDB-oracle-checkable."""
 
-    def _sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts").reset_index(drop=True)
+    def _sessions_bucket(group: pd.DataFrame) -> pa.Table:
+        # one Python call per BUCKET of users (not per user): sort the
+        # whole bucket by (user, ts) once, then session boundaries,
+        # session ids, and the per-session aggregate are all C-speed
+        # pandas/numpy over the full bucket.
+        g = group.sort_values(["user_id", "ts"], kind="mergesort").reset_index(
+            drop=True
+        )
         epoch = (g["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
-        new_session = (epoch.diff().fillna(gap_s + 1) > gap_s).cumsum()
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        new_session = (
+            user_change | (epoch.diff().fillna(gap_s + 1) > gap_s)
+        ).cumsum()
         out = (
             g.assign(session=new_session, epoch=epoch)
-            .groupby("session")
+            .groupby("session", sort=True)
             .agg(
                 user_id=("user_id", "first"),
                 session_start=("epoch", "min"),
@@ -95,12 +136,7 @@ def sessionize(
 
     return (
         events.select_columns(["user_id", "ts", "value"])
-        # parquet files written via pandas carry a b'pandas' schema blob;
-        # strip it before the shuffle so Ray's reduce-side schema dedup
-        # can hash the block schemas (zero-copy)
-        .map_batches(
-            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-        )
-        .groupby("user_id")
-        .map_groups(_sessions, batch_format="pandas")
+        .map_batches(lambda t: _bucket_by(t, ["user_id"]), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_sessions_bucket, batch_format="pandas")
     )
