@@ -15,6 +15,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..stages.lsh import bucket_by_keys
+
 # cogroup bucket count: one pandas frame per bucket inside map_groups;
 # 256 buckets keeps each bucket ~1/256 of the (partial-combined) table
 # (scale the constant with input size the way stages/lsh.adaptive_cogroups
@@ -23,22 +25,7 @@ _SESSION_COGROUPS = 256
 
 
 def _bucket_by(batch: pa.Table, key_cols: list[str]) -> pa.Table:
-    """Append a deterministic int64 ``bucket`` column hashed from the
-    int64 key columns — all rows sharing the keys land in one cogroup,
-    many key groups share a cogroup (same pattern as stages/lsh)."""
-    import numpy as np
-
-    with np.errstate(over="ignore"):
-        acc = np.zeros(len(batch), dtype=np.uint64)
-        for c in key_cols:
-            v = batch[c].to_numpy(zero_copy_only=False).astype(np.uint64)
-            acc = (acc ^ v) * np.uint64(0x9E3779B97F4A7C15)
-        bucket = acc % np.uint64(_SESSION_COGROUPS)
-    return batch.append_column(
-        "bucket", pa.array(bucket.astype("int64"), pa.int64())
-    ).replace_schema_metadata(None)
-    # (replace_schema_metadata: pandas-written blocks carry a b'pandas'
-    # blob that breaks Ray's reduce-side schema dedup)
+    return bucket_by_keys(batch, key_cols, _SESSION_COGROUPS)
 
 
 def tumbling_window_agg(

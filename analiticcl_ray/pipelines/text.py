@@ -27,10 +27,19 @@ import ray.data
 
 from ..config import DedupConfig
 from ..functions.alphabet import Normalizer, simple_alphabet, shingle_keys_from_norm
+from ..stages.lsh import bucket_by_keys
 from ..stages.signatures import splitmix64
 
 _WS = re.compile(r"\s+")
 _U64 = np.uint64
+
+#: cogroup count for the small-aggregate merges (exact_dedup,
+#: token_counts, anagram_groups, gram df): one pandas frame per bucket
+#: inside map_groups, one Python call per bucket. The merge inputs are
+#: per-block partials (≈ distinct keys per block), so 256 buckets keeps
+#: each frame small; raise alongside stages/lsh.adaptive_cogroups if a
+#: key space ever outgrows it.
+_MERGE_COGROUPS = 256
 
 
 def _pa_clean(df: pd.DataFrame) -> pa.Table:
@@ -59,19 +68,22 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
-    def _merge(group: pd.DataFrame) -> pa.Table:
-        return _pa_clean(pd.DataFrame(
-            {
-                "text": [group["text"].iloc[0]],
-                "rep_id": [int(group["rep_id"].min())],
-                "n_dups": [int(group["n_dups"].sum())],
-            }
-        ))
+    def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.groupby("text", sort=False)
+            .agg(rep_id=("rep_id", "min"), n_dups=("n_dups", "sum"))
+            .reset_index()
+        )
+        return _pa_clean(out)
 
     return (
         docs.map_batches(_partial, batch_format="pyarrow")
-        .groupby("text")
-        .map_groups(_merge, batch_format="pandas")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["text"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge_bucket, batch_format="pandas")
     )
 
 
@@ -267,6 +279,17 @@ def doc_label_join(
     )
 
 
+def _merge_token_counts(group: pd.DataFrame) -> pa.Table:
+    """Per-BUCKET merge of partial (token, cnt) rows (C-speed pandas
+    groupby inside one Python call per bucket)."""
+    out = (
+        group.groupby("token", sort=False)
+        .agg(cnt=("cnt", "sum"))
+        .reset_index()
+    )
+    return _pa_clean(out)
+
+
 def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Corpus-wide word frequency: flat-map words, per-batch partial
     counts (combiner), then a small groupby-sum."""
@@ -282,15 +305,14 @@ def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
-    def _merge(group: pd.DataFrame) -> pa.Table:
-        return _pa_clean(pd.DataFrame(
-            {"token": [group["token"].iloc[0]], "cnt": [int(group["cnt"].sum())]}
-        ))
-
     return (
         docs.map_batches(_partial, batch_format="pyarrow")
-        .groupby("token")
-        .map_groups(_merge, batch_format="pandas")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["token"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge_token_counts, batch_format="pandas")
     )
 
 
@@ -324,15 +346,14 @@ def token_counts_re(
             }
         )
 
-    def _merge(group: pd.DataFrame) -> pa.Table:
-        return _pa_clean(pd.DataFrame(
-            {"token": [group["token"].iloc[0]], "cnt": [int(group["cnt"].sum())]}
-        ))
-
     return (
         docs.select_columns(["text"]).map_batches(_partial, batch_format="pyarrow")
-        .groupby("token")
-        .map_groups(_merge, batch_format="pandas")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["token"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge_token_counts, batch_format="pandas")
     )
 
 
@@ -363,24 +384,26 @@ def anagram_groups(docs: "ray.data.Dataset", min_words: int = 1) -> "ray.data.Da
             }
         )
 
-    def _merge(group: pd.DataFrame) -> pa.Table:
-        words = sorted(set(group["word"]))
-        if len(words) < min_words:
-            return pa.table({"anakey": pa.array([], pa.string()),
-                             "n_words": pa.array([], pa.int64()),
-                             "words": pa.array([], pa.string())})
-        return pa.table(
-            {
-                "anakey": pa.array([group["anakey"].iloc[0]], pa.string()),
-                "n_words": pa.array([len(words)], pa.int64()),
-                "words": pa.array([",".join(words)], pa.string()),
-            }
+    def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+        g = (
+            group.drop_duplicates(["anakey", "word"])
+            .sort_values(["anakey", "word"], kind="mergesort")
+            .groupby("anakey", sort=False)["word"]
+            .agg(n_words="size", words=",".join)
+            .reset_index()
         )
+        g = g[g["n_words"] >= min_words]
+        g["n_words"] = g["n_words"].astype("int64")
+        return _pa_clean(g[["anakey", "n_words", "words"]])
 
     return (
         docs.map_batches(_partial, batch_format="pyarrow")
-        .groupby("anakey")
-        .map_groups(_merge, batch_format="pandas")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["anakey"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge_bucket, batch_format="pandas")
     )
 
 
@@ -635,16 +658,21 @@ def _gram_df_table(docs: "ray.data.Dataset", n: int) -> pa.Table:
             }
         )
 
-    def _merge_df(group: pd.DataFrame) -> pa.Table:
-        return _pa_clean(pd.DataFrame(
-            {"gram": [group["gram"].iloc[0]], "df": [int(group["df"].sum())]}
-        ))
+    def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.groupby("gram", sort=False).agg(df=("df", "sum")).reset_index()
+        )
+        return _pa_clean(out)
 
     out = pa.Table.from_pandas(
         (
             docs.map_batches(_gram_rows, batch_format="pyarrow")
-            .groupby("gram")
-            .map_groups(_merge_df, batch_format="pandas")
+            .map_batches(
+                lambda t: bucket_by_keys(t, ["gram"], _MERGE_COGROUPS),
+                batch_format="pyarrow",
+            )
+            .groupby("bucket")
+            .map_groups(_merge_bucket, batch_format="pandas")
         ).to_pandas(),
         preserve_index=False,
     ).combine_chunks()

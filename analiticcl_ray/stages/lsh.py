@@ -133,6 +133,36 @@ def adaptive_cogroups(
     return max(floor, -(-n_rows // rows_per_group))
 
 
+def bucket_by_keys(
+    batch: pa.Table, key_cols: list[str], n_buckets: int
+) -> pa.Table:
+    """Append an int64 ``bucket`` column = deterministic hash of the key
+    columns mod ``n_buckets``. All rows sharing the keys land in one
+    cogroup; many key groups share a cogroup, so a downstream
+    ``groupby("bucket").map_groups`` pays ONE Python call per bucket
+    (with a C-speed pandas groupby inside) instead of one per key —
+    the bucket-cogroup pattern this module's pair stages use, exposed
+    for the small aggregate merges (exact_dedup, token_counts, ...).
+
+    Hashing is ``pandas.util.hash_array`` (vectorized siphash with the
+    library's fixed default key — deterministic across workers and
+    processes) xor-combined across columns; handles string and numeric
+    key columns alike. Emits metadata-free Arrow so Ray's reduce-side
+    schema dedup keeps hashing the block schemas."""
+    import pandas as pd
+
+    acc = np.zeros(len(batch), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in key_cols:
+            col = batch[c].to_pandas().to_numpy()
+            h = pd.util.hash_array(col, categorize=False)
+            acc = (acc ^ h) * np.uint64(0x9E3779B97F4A7C15)
+        bucket = acc % np.uint64(n_buckets)
+    return batch.append_column(
+        "bucket", pa.array(bucket.astype(np.int64), pa.int64())
+    ).replace_schema_metadata(None)
+
+
 def cooccurrence_pairs(
     rows: "ray.data.Dataset",
     key_col: str,
