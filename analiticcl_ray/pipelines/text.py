@@ -415,6 +415,62 @@ def _gram_list(t: str, n: int) -> list[str]:
     return sorted({t[i : i + n] for i in range(len(t) - n + 1)}) if len(t) >= n else []
 
 
+def _batch_gram_df(
+    texts: list[str], n: int, chunk: int = 256
+) -> tuple[list[str], np.ndarray]:
+    """Per-batch gram document frequencies, vectorized: codepoints of a
+    CHUNK of texts concatenated, each n-gram packed into one uint64
+    (21 bits per char — the full Unicode range fits), windows crossing a
+    document boundary masked out, distinct (doc, gram) pairs counted
+    with one lexsort. Python touches only the UNIQUE grams per chunk.
+
+    Chunked (default 256 docs) on purpose: multi-MB numpy temporaries
+    hit multi-hundred-ms hugepage-compaction stalls on this host, so
+    small reused allocations are BOTH faster and far lower-variance
+    than one whole-batch pass. Falls back to the per-doc set loop when
+    n*21 > 64 bits."""
+    if n * 21 > 64:
+        counts: dict[str, int] = {}
+        for t in texts:
+            for g in _gram_list(t, n):
+                counts[g] = counts.get(g, 0) + 1
+        return list(counts.keys()), np.fromiter(
+            counts.values(), dtype=np.int64, count=len(counts)
+        )
+    agg: dict[int, int] = {}
+    for c0 in range(0, len(texts), chunk):
+        sub = texts[c0 : c0 + chunk]
+        lens = np.fromiter((len(t) for t in sub), dtype=np.int64, count=len(sub))
+        total = int(lens.sum())
+        if total < n:
+            continue
+        cp = np.frombuffer(
+            "".join(sub).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.uint64)
+        n_win = total - n + 1
+        packed = np.zeros(n_win, dtype=np.uint64)
+        for k in range(n):
+            packed |= cp[k : n_win + k] << np.uint64(21 * k)
+        doc_idx = np.repeat(np.arange(len(sub), dtype=np.int64), lens)
+        valid = doc_idx[:n_win] == doc_idx[n - 1 :]
+        p = packed[valid]
+        d = doc_idx[:n_win][valid]
+        if not len(p):
+            continue
+        order = np.lexsort((d, p))
+        p_s, d_s = p[order], d[order]
+        first = np.ones(len(p_s), dtype=bool)
+        first[1:] = (p_s[1:] != p_s[:-1]) | (d_s[1:] != d_s[:-1])
+        uniq, df = np.unique(p_s[first], return_counts=True)
+        for u, c in zip(uniq.tolist(), df.tolist()):
+            agg[u] = agg.get(u, 0) + c
+    shifts = [21 * k for k in range(n)]
+    grams = [
+        "".join(chr((v >> s) & 0x1FFFFF) for s in shifts) for v in agg.keys()
+    ]
+    return grams, np.fromiter(agg.values(), dtype=np.int64, count=len(agg))
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized SWAR popcount over uint64."""
     x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
@@ -647,14 +703,11 @@ def _gram_df_table(docs: "ray.data.Dataset", n: int) -> pa.Table:
     vocabulary."""
 
     def _gram_rows(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch["text"].to_pylist():
-            for g in _gram_list(t, n):
-                counts[g] = counts.get(g, 0) + 1
+        grams, dfs = _batch_gram_df(batch["text"].to_pylist(), n)
         return pa.table(
             {
-                "gram": pa.array(list(counts.keys()), pa.string()),
-                "df": pa.array(list(counts.values()), pa.int64()),
+                "gram": pa.array(grams, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
             }
         )
 
