@@ -172,6 +172,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def lang_distribution(sf_dir):
         return text.lang_distribution(_docs(sf_dir))
 
+    def repetition_stats(sf_dir):
+        # Gopher-style repetition filters (top-word / dup-2-gram fracs)
+        return text.repetition_stats(_docs(sf_dir))
+
+    def sample_docs(sf_dir):
+        # deterministic splitmix64 10% subsample
+        return text.sample_docs(_docs(sf_dir), pct=10)
+
+    def balanced_sample(sf_dir):
+        # per-language class-balanced deterministic downsample
+        return text.balanced_sample(_docs(sf_dir))
+
+    def tfidf_top_terms(sf_dir):
+        # per-doc top-5 distinctive terms by tf*ln(N/df)
+        return text.tfidf_top_terms(_docs(sf_dir), k=5)
+
     def ann_topk(sf_dir):
         emb = _emb(sf_dir)
         return ann.cosine_topk(emb, query_ids=list(range(10)), k=5)
@@ -335,6 +351,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "testinput": testinput,
         "lang_distribution": lang_distribution,
+        "repetition_stats": repetition_stats,
+        "sample_docs": sample_docs,
+        "balanced_sample": balanced_sample,
+        "tfidf_top_terms": tfidf_top_terms,
         "ann_topk": ann_topk,
         "ann_dup_pairs": ann_dup_pairs,
         "ann_dup_clusters": ann_dup_clusters,
@@ -486,6 +506,36 @@ def _fingerprints_sql() -> str:
                  AS n_fingerprints
         FROM documents d LEFT JOIN small s ON s.doc_id = d.doc_id
                          LEFT JOIN big b ON b.doc_id = d.doc_id
+    """
+
+
+def _splitmix_doc_cte() -> str:
+    """CTE chain computing hv = splitmix64(doc_id) for every document —
+    the same mod-2^64 HUGEINT construction as _fingerprints_sql (64x64
+    multiplies via 32-bit halves), exposed as sm(doc_id, lang, hv).
+    Shared by the deterministic-sampling oracles."""
+    M = "18446744073709551616::HUGEINT"  # 2^64
+    B = "4294967296::HUGEINT"  # 2^32
+
+    def mulmod(col: str, c: int) -> str:
+        lo_c, hi_c = c % (1 << 32), c >> 32
+        return (
+            f"((({col} % {B}) * {lo_c}::HUGEINT + "
+            f"((({col} % {B}) * {hi_c}::HUGEINT + "
+            f"({col} // {B}) * {lo_c}::HUGEINT) % {B}) * {B}) % {M})"
+        )
+
+    return f"""
+        s1 AS (SELECT doc_id, lang,
+                 ((doc_id::HUGEINT + 11400714819323198485::HUGEINT) % {M})::UBIGINT AS z
+               FROM documents),
+        s2 AS (SELECT doc_id, lang, xor(z, z >> 30)::HUGEINT AS z FROM s1),
+        s3 AS (SELECT doc_id, lang,
+                 {mulmod('z', 0xBF58476D1CE4E5B9)}::UBIGINT AS z FROM s2),
+        s4 AS (SELECT doc_id, lang, xor(z, z >> 27)::HUGEINT AS z FROM s3),
+        s5 AS (SELECT doc_id, lang,
+                 {mulmod('z', 0x94D049BB133111EB)}::UBIGINT AS z FROM s4),
+        sm AS (SELECT doc_id, lang, xor(z, z >> 31) AS hv FROM s5)
     """
 
 
@@ -697,6 +747,66 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "lang_distribution": """
             SELECT lang, count(*) AS "count()" FROM documents GROUP BY lang
+        """,
+        # Gopher repetition signals: fractions are single int/int
+        # divisions (DuckDB int '/' = double division), bit-identical
+        # to the engine's numpy divisions
+        "repetition_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            base AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+            tok AS (SELECT doc_id, unnest(toks) AS tk FROM base),
+            tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+            mx AS (SELECT doc_id, max(c) AS top_cnt FROM tc GROUP BY 1),
+            gn AS (
+              SELECT doc_id,
+                     len(toks) - 1 AS n2,
+                     len(list_distinct(
+                       [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+                     )) AS d2
+              FROM base WHERE len(toks) >= 2
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   CASE WHEN b.n_tokens = 0 THEN 0.0
+                        ELSE mx.top_cnt / b.n_tokens END AS top_word_frac,
+                   CASE WHEN gn.n2 IS NULL THEN 0.0
+                        ELSE (gn.n2 - gn.d2) / gn.n2 END AS dup_2gram_frac
+            FROM base b LEFT JOIN mx USING (doc_id) LEFT JOIN gn USING (doc_id)
+        """,
+        "sample_docs": f"""
+            WITH {_splitmix_doc_cte()}
+            SELECT doc_id, lang FROM sm WHERE hv % 100 < 10
+        """,
+        "balanced_sample": f"""
+            WITH {_splitmix_doc_cte()},
+            c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+            m AS (SELECT min(cnt) AS mn FROM c)
+            SELECT sm.doc_id, sm.lang
+            FROM sm JOIN c USING (lang) CROSS JOIN m
+            WHERE hv % cnt::UBIGINT < mn::UBIGINT
+        """,
+        "tfidf_top_terms": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+            n AS (SELECT count(*) AS nd FROM documents),
+            s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                         tf.tf * ln(nd / df.df) AS tfidf
+                  FROM tf JOIN df USING (token) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+                  FROM s)
+            SELECT doc_id, token, tf, df, tfidf FROM r WHERE rn <= 5
         """,
         "testinput": """
             SELECT doc_id,

@@ -1479,3 +1479,171 @@ def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 def lang_distribution(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """groupby on the real lang column (plain wide aggregate)."""
     return docs.groupby("lang").count()
+
+
+# ---------------------------------------------------------------------
+# repetition signals / deterministic sampling / tf-idf top terms
+# ---------------------------------------------------------------------
+
+def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    table A1): fraction of tokens taken by the most frequent word and
+    the duplicate word-2-gram fraction — the standard pretraining-corpus
+    repetition filters. Stateless vectorized map (one pandas explode +
+    two C-speed groupbys per batch; the 2-grams come from a shifted
+    numpy view, no per-row Python). Fractions are single int/int
+    divisions so the DuckDB oracle is bit-identical."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        toks = s.str.split()
+        n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode().dropna()
+        top_cnt = np.zeros(len(s), dtype=np.int64)
+        n2 = np.zeros(len(s), dtype=np.int64)
+        d2 = np.zeros(len(s), dtype=np.int64)
+        if len(ex):
+            d = ex.index.to_numpy()
+            t = ex.to_numpy()
+            vc = pd.DataFrame({"d": d, "t": t}).groupby(["d", "t"], sort=False).size()
+            mx = vc.groupby(level=0).max()
+            top_cnt[mx.index.to_numpy()] = mx.to_numpy()
+            same = d[1:] == d[:-1]
+            if same.any():
+                g2d = d[:-1][same]
+                g2v = (
+                    pd.Series(t[:-1][same]).str.cat(pd.Series(t[1:][same]), sep=" ")
+                ).to_numpy()
+                cnt2 = np.bincount(g2d, minlength=len(s))
+                n2 = cnt2.astype(np.int64)
+                dd = (
+                    pd.DataFrame({"d": g2d, "g": g2v})
+                    .drop_duplicates()
+                    .groupby("d", sort=False)
+                    .size()
+                )
+                d2[dd.index.to_numpy()] = dd.to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "top_word_frac": pa.array(
+                    np.where(n_tokens > 0, top_cnt / np.maximum(n_tokens, 1), 0.0),
+                    pa.float64(),
+                ),
+                "dup_2gram_frac": pa.array(
+                    np.where(n2 > 0, (n2 - d2) / np.maximum(n2, 1), 0.0),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _stats, batch_format="pyarrow"
+    )
+
+
+def sample_docs(docs: "ray.data.Dataset", pct: int = 10) -> "ray.data.Dataset":
+    """Deterministic content-independent sampling: keep a document iff
+    ``splitmix64(doc_id) % 100 < pct``. The canonical reproducible
+    subsample for ablations — stable across runs, cluster sizes and
+    row order, no RNG state to ship. Pure vectorized uint64 math per
+    batch; the oracle rebuilds splitmix64 in SQL."""
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        h = splitmix64(
+            np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        )
+        mask = (h % _U64(100)) < _U64(pct)
+        return batch.select(["doc_id", "lang"]).filter(pa.array(mask))
+
+    return docs.map_batches(_keep, batch_format="pyarrow")
+
+
+def balanced_sample(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Class-balanced deterministic downsample: per language, keep each
+    doc iff ``splitmix64(doc_id) % cnt_lang < min_cnt`` — expected kept
+    per language = the rarest language's count (the training-data
+    class-balancing op). The per-class counts are a SMALL aggregate
+    (``groupby(lang).count()`` — cardinality = #languages), collected
+    and closed over by the filter stage; the corpus itself streams."""
+    cnts = {
+        r["lang"]: r["count()"] for r in docs.groupby("lang").count().take_all()
+    }
+    mn = min(cnts.values()) if cnts else 0
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        h = splitmix64(
+            np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        )
+        cnt = (
+            batch["lang"].to_pandas().map(cnts).to_numpy(dtype=np.uint64)
+        )
+        mask = (h % np.maximum(cnt, _U64(1))) < _U64(mn)
+        return batch.select(["doc_id", "lang"]).filter(pa.array(mask))
+
+    return docs.map_batches(_keep, batch_format="pyarrow")
+
+
+def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Dataset":
+    """Per-document top-k distinctive terms by tf-idf
+    (``tf * ln(N/df)``), ties broken by token — corpus keyword
+    extraction at pipeline scale. Fully distributed: per-batch (doc,
+    token, tf) rows (exact — a document never spans batches) and
+    per-batch df partials (combiner), df merged through the shared
+    token-bucket cogroup, tf⋈df joined in the SAME bucket shuffle (one
+    pandas merge per bucket, never a driver-side vocabulary), then a
+    doc-bucket cogroup takes each document's top k. N is the one small
+    driver-side scalar (``docs.count()``)."""
+    n_docs = docs.count()
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        ex = batch["text"].to_pandas().str.split().explode().dropna()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"doc_id": ids[ex.index.to_numpy()], "token": ex.to_numpy()})
+        tf = g.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
+        return _pa_clean(tf)
+
+    tf_rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        _tf, batch_format="pyarrow"
+    )
+
+    # df partials ride the same rows: distinct (doc, token) per batch is
+    # exactly one tf row, so df = count of tf rows per token.
+    def _join_bucket(group: pd.DataFrame) -> pa.Table:
+        df = group.groupby("token", sort=False).size().reset_index(name="df")
+        out = group.merge(df, on="token", copy=False)
+        out["tfidf"] = out["tf"].to_numpy() * np.log(
+            n_docs / out["df"].to_numpy()
+        )
+        return _pa_clean(out[["doc_id", "token", "tf", "df", "tfidf"]])
+
+    scored = (
+        tf_rows.map_batches(
+            lambda t: bucket_by_keys(t, ["token"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_join_bucket, batch_format="pandas")
+    )
+
+    def _topk_bucket(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.sort_values(
+                ["doc_id", "tfidf", "token"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        return _pa_clean(out[["doc_id", "token", "tf", "df", "tfidf"]])
+
+    return (
+        scored.map_batches(
+            lambda t: bucket_by_keys(t, ["doc_id"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_topk_bucket, batch_format="pandas")
+    )

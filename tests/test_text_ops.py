@@ -506,3 +506,86 @@ def test_token_counts_re_unicode_whitespace_parity(ray_session):
     )
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
     assert " " in set(got["token"])  # NBSP is a symbol token in BOTH
+
+
+def test_repetition_stats_edge_cases(ray_session):
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import repetition_stats
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": ""},                    # empty: all zeros
+            {"doc_id": 1, "text": "word"},                # 1 token: no 2-grams
+            {"doc_id": 2, "text": "a a a a"},             # all same: top=1, dup=1
+            {"doc_id": 3, "text": "a b a b a"},           # top 3/5; 2grams ab,ba,ab,ba
+            {"doc_id": 4, "text": "x y z"},               # all distinct
+        ]
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(ds).take_all()}
+    assert out[0]["n_tokens"] == 0 and out[0]["top_word_frac"] == 0.0
+    assert out[1]["dup_2gram_frac"] == 0.0
+    assert out[2]["top_word_frac"] == 1.0
+    assert out[2]["dup_2gram_frac"] == (3 - 1) / 3
+    assert out[3]["top_word_frac"] == 3 / 5
+    assert out[3]["dup_2gram_frac"] == (4 - 2) / 4
+    assert out[4]["top_word_frac"] == 1 / 3
+    assert out[4]["dup_2gram_frac"] == 0.0
+
+
+def test_sample_docs_deterministic_subset(docs):
+    from analiticcl_ray.pipelines.text import sample_docs
+
+    a = sorted(r["doc_id"] for r in sample_docs(docs, pct=10).take_all())
+    b = sorted(r["doc_id"] for r in sample_docs(docs, pct=10).take_all())
+    wider = set(r["doc_id"] for r in sample_docs(docs, pct=50).take_all())
+    n = docs.count()
+    assert a == b  # deterministic across runs
+    assert set(a) <= wider  # nested: pct=10 subset of pct=50
+    assert 0.02 * n < len(a) < 0.25 * n  # ~10%, loose bounds
+
+
+def test_balanced_sample_equalizes_langs(docs):
+    import pandas as pd
+
+    from analiticcl_ray.pipelines.text import balanced_sample
+
+    kept = balanced_sample(docs).to_pandas()
+    full = docs.select_columns(["lang"]).to_pandas()["lang"].value_counts()
+    mn = int(full.min())
+    per = kept["lang"].value_counts()
+    # every language present, kept counts concentrate near the rarest
+    # language's count (hash sampling: binomial around mn)
+    assert set(per.index) == set(full.index)
+    assert (per <= full[per.index]).all()
+    assert (per >= max(1, int(0.5 * mn))).all()
+    assert (per <= 1.5 * mn + 10).all()
+
+
+def test_tfidf_top_terms_small_oracle(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import tfidf_top_terms
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "apple apple banana"},
+            {"doc_id": 1, "text": "banana cherry"},
+            {"doc_id": 2, "text": "cherry date date date"},
+        ]
+    )
+    out = tfidf_top_terms(ds, k=2).to_pandas()
+    by_doc = {d: g.sort_values("tfidf", ascending=False) for d, g in out.groupby("doc_id")}
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    g0 = by_doc[0]
+    assert list(g0["token"]) == ["apple", "banana"]
+    # numpy's vectorized log may differ from scalar libm by 1 ulp —
+    # the oracle gate rounds floats to 9 decimals, so isclose here
+    assert math.isclose(g0["tfidf"].iloc[0], 2 * math.log(3 / 1), rel_tol=1e-12)
+    assert math.isclose(g0["tfidf"].iloc[1], 1 * math.log(3 / 2), rel_tol=1e-12)
+    # doc 2: date tf=3 df=1 dominates cherry tf=1 df=2
+    assert list(by_doc[2]["token"]) == ["date", "cherry"]
+    # k bound respected everywhere
+    assert out.groupby("doc_id").size().max() <= 2
