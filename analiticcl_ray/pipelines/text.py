@@ -1565,11 +1565,24 @@ def balanced_sample(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     doc iff ``splitmix64(doc_id) % cnt_lang < min_cnt`` — expected kept
     per language = the rarest language's count (the training-data
     class-balancing op). The per-class counts are a SMALL aggregate
-    (``groupby(lang).count()`` — cardinality = #languages), collected
-    and closed over by the filter stage; the corpus itself streams."""
-    cnts = {
-        r["lang"]: r["count()"] for r in docs.groupby("lang").count().take_all()
-    }
+    (cardinality = #languages), computed as per-batch combiner partials
+    merged on the driver — ≤ #langs rows per block, no shuffle — and
+    closed over by the filter stage; the corpus itself streams."""
+
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        vc = batch["lang"].to_pandas().value_counts()
+        return pa.table(
+            {
+                "lang": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "c": pa.array(vc.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    cnts: dict[str, int] = {}
+    for r in docs.select_columns(["lang"]).map_batches(
+        _partial_counts, batch_format="pyarrow"
+    ).take_all():
+        cnts[r["lang"]] = cnts.get(r["lang"], 0) + r["c"]
     mn = min(cnts.values()) if cnts else 0
 
     def _keep(batch: pa.Table) -> pa.Table:
