@@ -1137,6 +1137,10 @@ class DocMinHash:
                 "bands": pa.FixedSizeListArray.from_arrays(
                     pa.array(bands.reshape(-1).view(np.int64), pa.int64()), cfg.bands
                 ),
+                # shingle-set size: rides the band explode so the pair
+                # stage can prune size-incompatible pairs (a necessary
+                # condition for J >= t) before the dedup shuffle
+                "n_grams": pa.array(lens.astype(np.int64), pa.int64()),
             }
         )
 
@@ -1176,20 +1180,28 @@ def minhash_dedup_pairs(
     def _explode(batch: pa.Table) -> pa.Table:
         arr = batch["bands"].combine_chunks()
         width = arr.type.list_size
-        idx = np.repeat(np.arange(len(batch), dtype=np.int64), width)
+        idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), width))
         return pa.table(
             {
                 "band": arr.flatten(),
-                "doc_id": batch["doc_id"].take(pa.array(idx)).combine_chunks(),
+                "doc_id": batch["doc_id"].take(idx).combine_chunks(),
+                "n_grams": batch["n_grams"].take(idx).combine_chunks(),
             }
         )
 
+    # size-ratio prune at pair emission: J >= t forces gram-set sizes
+    # within ratio t (min >= t*max), so pairs outside it are dropped
+    # BEFORE the dedup shuffle and the verify — exact-safe, and the
+    # valve that keeps candidate volume sane when the corpus's
+    # background similarity makes banding unselective
     cand = dedup_pairs(
         candidate_pairs(
             sig.map_batches(_explode, batch_format="pyarrow"),
             cfg.bucket_cap,
             id_col="doc_id",
             id_dtype="int",
+            attr_col="n_grams",
+            attr_ratio=jaccard_threshold,
         ),
         id_dtype="int",
     )

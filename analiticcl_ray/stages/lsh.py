@@ -163,6 +163,38 @@ def bucket_by_keys(
     ).replace_schema_metadata(None)
 
 
+def emit_bucket_pairs_attr(
+    ids: np.ndarray, attrs: np.ndarray, cap: int, ratio: float
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Vectorized pair emission with a size-ratio prefilter: a pair is
+    emitted only if ``min(attr) >= ratio * max(attr)`` — for Jaccard at
+    threshold t this is a NECESSARY condition (|A∩B| <= min sizes,
+    |A∪B| >= max sizes), so the filter is exact-safe: every dropped
+    pair would fail the exact verify anyway. Salting chain links are
+    kept unconditionally (connectivity for CC consumers).
+
+    ``ids`` must be unique and sorted ascending with ``attrs`` aligned;
+    returns (src, dst, was_capped) as numpy arrays of ids' dtype."""
+    n = len(ids)
+    if n < 2:
+        return ids[:0], ids[:0], False
+    srcs: list = []
+    dsts: list = []
+    capped = n > cap
+    for c0 in range(0, n, cap):
+        idc = ids[c0 : c0 + cap]
+        atc = attrs[c0 : c0 + cap]
+        iu, ju = np.triu_indices(len(idc), 1)
+        a, b = atc[iu], atc[ju]
+        keep = np.minimum(a, b) >= ratio * np.maximum(a, b)
+        srcs.append(idc[iu[keep]])
+        dsts.append(idc[ju[keep]])
+        if c0 + cap < n:  # chain link keeps the bucket connected
+            srcs.append(idc[:1])
+            dsts.append(ids[c0 + cap : c0 + cap + 1])
+    return np.concatenate(srcs), np.concatenate(dsts), capped
+
+
 def cooccurrence_pairs(
     rows: "ray.data.Dataset",
     key_col: str,
@@ -174,6 +206,8 @@ def cooccurrence_pairs(
     n_cogroups: int = 1024,
     keep_sentinels: bool = False,
     sentinel_salt: int = 0,
+    attr_col: Optional[str] = None,
+    attr_ratio: Optional[float] = None,
 ) -> "ray.data.Dataset":
     """(key, id) rows -> canonical candidate pairs (src < dst) for every
     key shared by >= 2 ids, with salting above ``cap``.
@@ -202,20 +236,29 @@ def cooccurrence_pairs(
     per-group sequence number are encoded into src_id), so downstream
     ``dedup_pairs`` can never collapse two sentinels (ADVICE r1) and the
     caller's tally is exact — no silent caps. Recall for true
-    duplicates is carried by their other, non-degenerate keys."""
+    duplicates is carried by their other, non-degenerate keys.
+
+    ``attr_col``/``attr_ratio``: optional per-id integer attribute
+    (e.g. gram-set size) riding the same shuffle; in-bucket pairs whose
+    attrs violate ``min >= ratio * max`` are pruned BEFORE the pair
+    dedup shuffle (see emit_bucket_pairs_attr — exact-safe for
+    Jaccard-style verifies). This is the degeneracy valve for corpora
+    whose background similarity makes banding unselective."""
     if drop_threshold is None:
         drop_threshold = 8 * cap
+    use_attr = attr_col is not None and attr_ratio is not None
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         kv = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         bucket = (kv ^ (kv >> 17)) % n_cogroups
-        return pa.table(
-            {
-                "cogroup": pa.array(bucket, pa.int64()),
-                key_col: batch[key_col],
-                id_col: batch[id_col],
-            }
-        )
+        cols = {
+            "cogroup": pa.array(bucket, pa.int64()),
+            key_col: batch[key_col],
+            id_col: batch[id_col],
+        }
+        if use_attr:
+            cols[attr_col] = batch[attr_col]
+        return pa.table(cols)
 
     id_pd_dtype = "object" if id_dtype == "str" else "int64"
 
@@ -233,11 +276,60 @@ def cooccurrence_pairs(
                 if len(subg) > drop_threshold:
                     dropped.append(len(subg))
                     continue
+                if use_attr:
+                    ids_arr = subg[id_col].to_numpy()
+                    at_arr = subg[attr_col].to_numpy()
+                    uids, first = np.unique(ids_arr, return_index=True)
+                    src_a, dst_a, capped = emit_bucket_pairs_attr(
+                        uids, at_arr[first], cap, attr_ratio
+                    )
+                    if len(src_a):
+                        srcs.append(src_a)
+                        dsts.append(dst_a)
+                        caps.append(np.full(len(src_a), capped))
+                    continue
                 src, dst, capped = emit_bucket_pairs(subg[id_col].tolist(), cap)
                 if src:
                     srcs.extend(src)
                     dsts.extend(dst)
                     caps.extend([capped] * len(src))
+        if use_attr:
+            # numpy accumulation path: concatenate once, sentinels ride
+            # as small trailing arrays
+            s_parts = srcs or []
+            d_parts = dsts or []
+            c_parts = caps or []
+            if dropped:
+                sent_s = []
+                sent_d = []
+                for seq, nrows in enumerate(dropped):
+                    if id_pd_dtype == "object":
+                        sent_s.append(f"{DROPPED_SENTINEL}:{sentinel_salt}:{cg}:{seq}")
+                        sent_d.append(f"1:{nrows}")
+                    else:
+                        sent_s.append(
+                            -(1 + 2 * (cg + n_cogroups * seq) + (sentinel_salt & 1))
+                        )
+                        sent_d.append(nrows)
+                s_parts = s_parts + [np.asarray(sent_s)]
+                d_parts = d_parts + [np.asarray(sent_d)]
+                c_parts = c_parts + [np.full(len(dropped), True)]
+            id_pa_type = pa.string() if id_pd_dtype == "object" else pa.int64()
+            if not s_parts:
+                return pa.table(
+                    {
+                        "src_id": pa.array([], id_pa_type),
+                        "dst_id": pa.array([], id_pa_type),
+                        "capped": pa.array([], pa.bool_()),
+                    }
+                )
+            return pa.table(
+                {
+                    "src_id": pa.array(np.concatenate(s_parts), id_pa_type),
+                    "dst_id": pa.array(np.concatenate(d_parts), id_pa_type),
+                    "capped": pa.array(np.concatenate(c_parts), pa.bool_()),
+                }
+            )
         for seq, nrows in enumerate(dropped):
             # one sentinel per dropped bucket; src_id encodes (salt,
             # cogroup, seq) so every sentinel row is globally unique —
@@ -319,13 +411,14 @@ def candidate_pairs(
     band_rows: "ray.data.Dataset", bucket_cap: int = 256, id_col: str = "image_id",
     id_dtype: str = "str", stats: Optional[dict] = None,
     keep_sentinels: bool = False, n_cogroups: int = 1024,
-    sentinel_salt: int = 0,
+    sentinel_salt: int = 0, attr_col: Optional[str] = None,
+    attr_ratio: Optional[float] = None,
 ) -> "ray.data.Dataset":
     """groupby(band) -> canonical candidate pairs (src_id < dst_id)."""
     return cooccurrence_pairs(
         band_rows, "band", id_col, bucket_cap, id_dtype, stats=stats,
         keep_sentinels=keep_sentinels, n_cogroups=n_cogroups,
-        sentinel_salt=sentinel_salt,
+        sentinel_salt=sentinel_salt, attr_col=attr_col, attr_ratio=attr_ratio,
     )
 
 
@@ -341,19 +434,28 @@ def dedup_pairs(
     (both copies of a pair land in the same bucket) with a C-speed
     pandas ``drop_duplicates`` inside each group — cheaper than a global
     sort-aggregate over wide composite keys."""
+    def _pair_hash(df: pd.DataFrame) -> np.ndarray:
+        # deterministic, process-stable, C-vectorized pair hash (pandas
+        # uses a fixed hash key; Python's hash() is salted per process
+        # and would scatter identical pairs across buckets). Integer ids
+        # combine two vectorized column hashes asymmetrically — no
+        # per-row string materialization on the hot path.
+        if id_dtype == "int":
+            with np.errstate(over="ignore"):
+                hs = pd.util.hash_array(df["src_id"].to_numpy(), categorize=False)
+                hd = pd.util.hash_array(df["dst_id"].to_numpy(), categorize=False)
+                return hs ^ (hd * np.uint64(0x9E3779B97F4A7C15))
+        return pd.util.hash_pandas_object(
+            df["src_id"].astype(str) + "\x1f" + df["dst_id"].astype(str),
+            index=False,
+        ).to_numpy()
+
     def _local(batch: pa.Table) -> pa.Table:
         df = batch.select(["src_id", "dst_id", "capped"]).to_pandas()
         df = df.sort_values("capped").drop_duplicates(
             ["src_id", "dst_id"], keep="first"
         )
-        # deterministic, process-stable, C-vectorized pair hash (pandas
-        # uses a fixed hash key; Python's hash() is salted per process
-        # and would scatter identical pairs across buckets)
-        h = pd.util.hash_pandas_object(
-            df["src_id"].astype(str) + "\x1f" + df["dst_id"].astype(str),
-            index=False,
-        ).to_numpy()
-        df["cogroup"] = (h % np.uint64(n_cogroups)).astype(np.int64)
+        df["cogroup"] = (_pair_hash(df) % np.uint64(n_cogroups)).astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def _dedup(group: pd.DataFrame) -> pa.Table:
