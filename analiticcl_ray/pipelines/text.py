@@ -1237,6 +1237,10 @@ class _SimHasher:
     def __init__(self, n: int = 3):
         self.n = n
         self._memo: dict[str, int] = {}
+        self._sign_lut = None  # lazy (256, 8) byte->±1 LUT
+        #: dense counts@signs path ceiling on docs x unique-grams cells;
+        #: above it the byte-LUT reduceat path keeps memory O(windows)
+        self.dense_limit = 1 << 23
 
     def _hash(self, g: str) -> int:
         h = self._memo.get(g)
@@ -1250,31 +1254,105 @@ class _SimHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = self.n
         texts = batch["text"].to_pylist()
-        grams_per_doc: list[list[str]] = [
-            [t[j : j + n] for j in range(len(t) - n + 1)] or [t] for t in texts
-        ]
-        lens = np.array([len(g) for g in grams_per_doc], dtype=np.int64)
-        flat = [g for gs in grams_per_doc for g in gs]
-        if flat:
-            uniq, inverse = np.unique(np.array(flat, dtype=object), return_inverse=True)
-            hashes = np.array([self._hash(g) for g in uniq], dtype=np.uint64)
-            # (U, 64) ±1 sign matrix, one bit-op pass
-            bits = (
-                (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)
-            ).astype(np.int32)
-            signs = 2 * bits - 1
-            starts = np.zeros(len(texts), dtype=np.int64)
-            starts[1:] = np.cumsum(lens)[:-1]
-            per_pos = signs[inverse]          # (total_grams, 64) gather
-            accs = np.add.reduceat(per_pos, starts, axis=0)
+        nr = len(texts)
+        out = np.zeros(nr, dtype=np.int64)
+        # docs shorter than n contribute themselves as the single gram;
+        # with one gram, sign(b) > 0 iff bit b of the hash is set, so
+        # the simhash IS the gram hash
+        long_rows = [i for i, t in enumerate(texts) if len(t) >= n]
+        for i, t in enumerate(texts):
+            if len(t) < n:
+                out[i] = np.int64(np.uint64(self._hash(t)))
+        if long_rows and n * 21 > 64:
+            # packing doesn't fit one u64: per-doc gram loop (memoized
+            # hashes keep this acceptable for the rare wide-n configs)
+            for i in long_rows:
+                t = texts[i]
+                hs = np.fromiter(
+                    (self._hash(t[j : j + n]) for j in range(len(t) - n + 1)),
+                    dtype=np.uint64,
+                    count=len(t) - n + 1,
+                )
+                bits = (
+                    (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)
+                ).astype(np.int32)
+                acc = (2 * bits - 1).sum(axis=0)
+                weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+                out[i] = np.int64(
+                    ((acc > 0).astype(np.uint64) * weights).sum(dtype=np.uint64)
+                )
+        elif long_rows:
+            sub = [texts[i] for i in long_rows]
+            lens = np.fromiter((len(t) for t in sub), dtype=np.int64, count=len(sub))
+            total = int(lens.sum())
+            # packed-codepoint n-gram windows (21 bits/char, same kernel
+            # family as _batch_gram_df), windows crossing a doc boundary
+            # masked out; multiplicity preserved
+            cp = np.frombuffer("".join(sub).encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            n_win = total - n + 1
+            packed = np.zeros(n_win, dtype=np.uint64)
+            for k in range(n):
+                packed |= cp[k : n_win + k] << np.uint64(21 * k)
+            doc_idx = np.repeat(np.arange(len(sub), dtype=np.int64), lens)
+            valid = doc_idx[:n_win] == doc_idx[n - 1 :]
+            p = packed[valid]
+            d = doc_idx[:n_win][valid]
+            uniq, inverse = np.unique(p, return_inverse=True)
+            shifts = [21 * k for k in range(n)]
+            hashes = np.fromiter(
+                (
+                    self._hash("".join(chr((int(v) >> s) & 0x1FFFFF) for s in shifts))
+                    for v in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            U = len(uniq)
+            if len(sub) * U <= self.dense_limit:
+                # per-(doc, unique-gram) multiplicities via one bincount,
+                # then counts @ signs in float32 BLAS — exact: every
+                # count, sign and partial sum is an integer far below
+                # 2^24
+                counts = (
+                    np.bincount(d * U + inverse, minlength=len(sub) * U)
+                    .reshape(len(sub), U)
+                    .astype(np.float32)
+                )
+                bits = (
+                    (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)
+                ).astype(np.float32)
+                signs = 2.0 * bits - 1.0  # (U, 64)
+                accs = counts @ signs  # (n_long, 64)
+            else:
+                # unbounded vocab: per-position hashes + byte-LUT sign
+                # expansion reduced per doc — memory stays O(windows),
+                # never O(docs x vocab)
+                if self._sign_lut is None:
+                    lb = (
+                        (np.arange(256, dtype=np.uint16)[:, None]
+                         >> np.arange(8, dtype=np.uint16)[None, :])
+                        & 1
+                    ).astype(np.int32)
+                    self._sign_lut = 2 * lb - 1  # (256, 8)
+                hp = hashes[inverse]  # (T,) uint64 per-position hashes
+                starts = np.searchsorted(d, np.arange(len(sub), dtype=np.int64))
+                accs = np.empty((len(sub), 64), dtype=np.int32)
+                for k in range(8):
+                    byte = ((hp >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(
+                        np.int64
+                    )
+                    accs[:, 8 * k : 8 * k + 8] = np.add.reduceat(
+                        self._sign_lut[byte], starts, axis=0
+                    )
             weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
             v = ((accs > 0).astype(np.uint64) * weights[None, :]).sum(
                 axis=1, dtype=np.uint64
             )
-            out = v.view(np.int64)
-        else:
-            out = np.empty(0, dtype=np.int64)
+            out[np.asarray(long_rows, dtype=np.int64)] = v.view(np.int64)
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
         )

@@ -589,3 +589,43 @@ def test_tfidf_top_terms_small_oracle(ray_session):
     assert list(by_doc[2]["token"]) == ["date", "cherry"]
     # k bound respected everywhere
     assert out.groupby("doc_id").size().max() <= 2
+
+
+def test_simhasher_paths_agree(ray_session):
+    """Dense counts@signs, byte-LUT reduceat, and wide-n fallback all
+    reproduce the per-gram md5 sign-sum reference construction."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+
+    from analiticcl_ray.pipelines.text import _SimHasher
+
+    def ref(t, n):
+        grams = [t[j:j + n] for j in range(len(t) - n + 1)] or [t]
+        acc = np.zeros(64, dtype=np.int64)
+        for g in grams:
+            h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        v = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                v |= np.uint64(1) << np.uint64(b)
+        return int(np.int64(v.view(np.int64)))
+
+    random.seed(11)
+    texts = [
+        "".join(random.choice("abcdef 中é") for _ in range(random.randint(0, 40)))
+        for _ in range(50)
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    for n in (3, 4):  # n=4 -> 84-bit pack, exercises the wide-n loop
+        want = [ref(t, n) for t in texts]
+        assert _SimHasher(n)(batch)["simhash"].to_pylist() == want
+    lut = _SimHasher(3)
+    lut.dense_limit = 1  # force the byte-LUT reduceat path
+    assert lut(batch)["simhash"].to_pylist() == [ref(t, 3) for t in texts]
