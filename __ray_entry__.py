@@ -188,6 +188,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc top-5 distinctive terms by tf*ln(N/df)
         return text.tfidf_top_terms(_docs(sf_dir), k=5)
 
+    def lm_perplexity(sf_dir):
+        # CCNet-style LM quality signal: bigram LM (reference T9
+        # semantics, constant smoothing src/search.rs:4) trained on the
+        # even-doc_id half, perplexity scored over every document
+        return text.lm_perplexity(_docs(sf_dir), train_mod=2)
+
     def ann_topk(sf_dir):
         emb = _emb(sf_dir)
         return ann.cosine_topk(emb, query_ids=list(range(10)), k=5)
@@ -355,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": sample_docs,
         "balanced_sample": balanced_sample,
         "tfidf_top_terms": tfidf_top_terms,
+        "lm_perplexity": lm_perplexity,
         "ann_topk": ann_topk,
         "ann_dup_pairs": ann_dup_pairs,
         "ann_dup_clusters": ann_dup_clusters,
@@ -807,6 +814,50 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
                   FROM s)
             SELECT doc_id, token, tf, df, tfidf FROM r WHERE rn <= 5
+        """,
+        "lm_perplexity": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            seqs AS (
+              SELECT doc_id,
+                     list_concat(list_concat([chr(2)], toks), [chr(3)]) AS s
+              FROM t
+            ),
+            idx AS (
+              SELECT doc_id, s,
+                     unnest(generate_series(1, len(s) - 1)) AS i
+              FROM seqs
+            ),
+            trans AS (SELECT doc_id, s[i] AS a, s[i+1] AS b FROM idx),
+            uni AS (
+              SELECT tok AS a, count(*)::BIGINT AS c
+              FROM (SELECT unnest(s) AS tok FROM seqs WHERE doc_id % 2 = 0)
+              GROUP BY tok
+            ),
+            bi AS (
+              SELECT a, b, count(*)::BIGINT AS c
+              FROM trans WHERE doc_id % 2 = 0 GROUP BY a, b
+            ),
+            lp AS (
+              SELECT t.doc_id,
+                     CASE WHEN bi.c IS NULL THEN CAST(-13815510558 AS BIGINT)
+                          WHEN uni.c < bi.c
+                            THEN CAST(round(ln(bi.c) * 1e9) AS BIGINT)
+                          ELSE CAST(round(ln(bi.c * 1.0 / uni.c) * 1e9) AS BIGINT)
+                     END AS nano
+              FROM trans t
+              LEFT JOIN bi ON t.a = bi.a AND t.b = bi.b
+              LEFT JOIN uni ON t.a = uni.a
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_transitions,
+                   sum(nano) / 1e9 AS logprob,
+                   -(sum(nano) / 1e9) / count(*) AS perplexity
+            FROM lp GROUP BY doc_id
         """,
         "testinput": """
             SELECT doc_id,

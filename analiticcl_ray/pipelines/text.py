@@ -1750,3 +1750,194 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Dataset":
         .groupby("bucket")
         .map_groups(_topk_bucket, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------
+# bigram-LM perplexity scoring (the T9 LM as a distributed data op)
+# ---------------------------------------------------------------------
+
+#: sequence sentinels (never produced by whitespace tokenization of
+#: sane text; the oracle uses chr(2)/chr(3) so parity holds regardless)
+_LM_BOS = "\x02"
+_LM_EOS = "\x03"
+#: the reference's constant transition smoothing logprob
+#: (src/search.rs:4, ln(1e-6) = -13.815510557964274) in nano units —
+#: per-transition logprobs are summed as exact int64 nanolog units so
+#: the result is order-independent and bit-identical to the SQL oracle.
+_LM_SMOOTH_NANO = np.int64(-13815510558)
+
+
+def _lm_seq_arrays(batch: pa.Table):
+    """Vectorized [BOS]+tokens+[EOS] flattening for a batch of docs.
+
+    Returns (doc_ids, m, flat) where m[i] = len(seq_i) and flat is the
+    concatenated object array of all sequences — no per-row Python in
+    the construction (one chain.from_iterable over the token lists).
+    """
+    from itertools import chain
+
+    s = batch["text"].to_pandas()
+    toks = s.str.split()  # whitespace split; '' -> [] (matches doc_stats)
+    n = toks.str.len().to_numpy(dtype=np.int64)
+    m = n + 2
+    total = int(m.sum())
+    starts = np.zeros(len(m), dtype=np.int64)
+    if len(m) > 1:
+        starts[1:] = np.cumsum(m)[:-1]
+    flat = np.empty(total, dtype=object)
+    flat[starts] = _LM_BOS
+    flat[starts + m - 1] = _LM_EOS
+    mid = np.ones(total, dtype=bool)
+    mid[starts] = False
+    mid[starts + m - 1] = False
+    flat[mid] = np.fromiter(
+        chain.from_iterable(toks.to_numpy()), dtype=object, count=int(n.sum())
+    )
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return ids, m, starts, flat
+
+
+def lm_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Corpus-wide bigram-LM counts (the distributed form of the
+    reference's LM build, src/lib.rs:2676-2685 / add_ngram): one row per
+    n-gram key with its count. Keys are unambiguous strings — a unigram
+    is the token itself, a bigram is ``a + ' ' + b`` (whitespace tokens
+    cannot contain a space). Per-batch combiner partials (value_counts)
+    then ONE small bucket-cogroup merge — the token_counts shape; the
+    output is model-sized (vocabulary + observed transitions), never
+    corpus-sized."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids, m, starts, flat = _lm_seq_arrays(batch)
+        trans_mask = np.ones(len(flat), dtype=bool)
+        trans_mask[starts + m - 1] = False
+        p = np.nonzero(trans_mask)[0]
+        a = pd.Series(flat[p])
+        b = pd.Series(flat[p + 1])
+        bi = a.str.cat(b, sep=" ")
+        vc = pd.concat([pd.Series(flat), bi]).value_counts()
+        return pa.table(
+            {
+                "key": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "cnt": pa.array(vc.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def _merge(group: pd.DataFrame) -> pa.Table:
+        out = group.groupby("key", sort=False).agg(cnt=("cnt", "sum")).reset_index()
+        return _pa_clean(out)
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["key"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+class _LMScorer:
+    """Actor: per-document logprob/perplexity against broadcast counts.
+
+    The count table is MODEL-sized (vocab + transitions), the blessed
+    broadcast case: ``ray.put`` once, zero-copy Arrow view per actor,
+    one pd.Series hash index built in ``__init__``. At a vocabulary too
+    large for the object store, score via the tfidf_top_terms shape
+    instead (partition transitions by key bucket, join counts in the
+    bucket cogroup, then groupby(doc).sum — two shuffles).
+
+    Per-transition semantics mirror BigramLM.score_tokens
+    (src/lib.rs:2632-2674): joint count j of (a,b), prior count p of a;
+    lp = ln(j) if p < j else ln(j/p); unseen bigram -> the smoothing
+    constant. Logprobs are summed in int64 nano units (exact,
+    order-independent) so the DuckDB oracle hashes bit-identically.
+    """
+
+    def __init__(self, counts_ref):
+        table = ray.get(counts_ref)
+        self.counts = pd.Series(
+            table["cnt"].to_numpy(zero_copy_only=False),
+            index=pd.Index(table["key"].to_pandas(), dtype=object),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m, starts, flat = _lm_seq_arrays(batch)
+        trans_mask = np.ones(len(flat), dtype=bool)
+        trans_mask[starts + m - 1] = False
+        p_idx = np.nonzero(trans_mask)[0]
+        a = pd.Series(flat[p_idx])
+        bi_key = a.str.cat(pd.Series(flat[p_idx + 1]), sep=" ")
+        joint = bi_key.map(self.counts).to_numpy(dtype=np.float64)
+        prior = a.map(self.counts).to_numpy(dtype=np.float64)
+        seen = ~np.isnan(joint)
+        j = np.where(seen, joint, 1.0)
+        pr = np.where(np.isnan(prior), 1.0, prior)
+        # p < j is unreachable when scoring the training corpus (a
+        # unigram count dominates its outgoing bigrams) but kept for
+        # parity with the reference's guard (src/lib.rs:2650-2656)
+        lp = np.where(pr < j, np.log(j), np.log(j / pr))
+        nano = np.where(
+            seen, np.round(lp * 1e9).astype(np.int64), _LM_SMOOTH_NANO
+        )
+        doc_of = np.repeat(np.arange(len(m)), m - 1)
+        sums = np.zeros(len(m), dtype=np.int64)
+        np.add.at(sums, doc_of, nano)
+        n_trans = (m - 1).astype(np.int64)
+        logprob = sums / 1e9
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_transitions": pa.array(n_trans, pa.int64()),
+                "logprob": pa.array(logprob, pa.float64()),
+                "perplexity": pa.array(-logprob / n_trans, pa.float64()),
+            }
+        )
+
+
+def lm_perplexity(
+    docs: "ray.data.Dataset",
+    train_mod: int | None = None,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Per-document bigram-LM perplexity — the CCNet-style LM quality
+    signal as a first-class distributed op, with the reference's exact
+    LM semantics (T9: count LM, constant transition smoothing,
+    perplexity = -logprob/n over [BOS]+tokens+[EOS] transitions).
+
+    ``train_mod``: train the LM only on docs with doc_id % train_mod
+    == 0 (the held-in/held-out split that makes smoothing observable —
+    CCNet trains on a reference corpus and scores the crawl); None
+    trains on everything. Scoring needs no shuffle at all: a document's
+    transitions are complete within its batch, so the per-doc sum is
+    local; the LM counts are the only shared state (broadcast once).
+    """
+    src = docs.select_columns(["doc_id", "text"])
+    if train_mod is not None:
+        mod = int(train_mod)
+
+        def _train_split(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % mod == 0))
+
+        train = src.map_batches(_train_split, batch_format="pyarrow")
+    else:
+        train = src
+    parts = []
+    for b in lm_counts(train).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        parts.append(b.select(["key", "cnt"]))
+    counts = (
+        pa.concat_tables(parts).combine_chunks()
+        if parts
+        else pa.table({"key": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    )
+    counts_ref = ray.put(counts)
+    return src.map_batches(
+        _LMScorer,
+        fn_constructor_args=(counts_ref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )

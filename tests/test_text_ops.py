@@ -629,3 +629,70 @@ def test_simhasher_paths_agree(ray_session):
     lut = _SimHasher(3)
     lut.dense_limit = 1  # force the byte-LUT reduceat path
     assert lut(batch)["simhash"].to_pylist() == [ref(t, 3) for t in texts]
+
+
+def test_lm_perplexity_matches_reference_lm(ray_session):
+    """lm_perplexity reproduces BigramLM.score_tokens (T9 semantics,
+    src/lib.rs:2632-2674) per document, including the smoothing branch
+    (train_mod=2 leaves odd-doc transitions unseen), empty docs
+    ([BOS,EOS] = one transition), and nano-int order independence."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import _LM_BOS, _LM_EOS, lm_perplexity
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog  ran fast",
+        "",
+        "   ",
+        "the the the",
+        "unique words appearing once only",
+        "the cat sat on the mat",
+    ]
+    ids = list(range(len(texts)))
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    for train_mod in (None, 2):
+        got = (
+            lm_perplexity(docs, train_mod=train_mod)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        counts: dict = {}
+        for i, t in zip(ids, texts):
+            if train_mod is not None and i % train_mod:
+                continue
+            seq = [_LM_BOS, *t.split(), _LM_EOS]
+            for tok in seq:
+                counts[(tok,)] = counts.get((tok,), 0) + 1
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        saw_smoothing = False
+        for i, t in zip(ids, texts):
+            seq = [_LM_BOS, *t.split(), _LM_EOS]
+            nano = 0
+            for a, b in zip(seq, seq[1:]):
+                pr = counts.get((a,), 1)
+                j = counts.get((a, b))
+                if j is None:
+                    nano += -13815510558
+                    saw_smoothing = True
+                elif pr < j:
+                    nano += int(np.round(math.log(j) * 1e9))
+                else:
+                    nano += int(np.round(math.log(j / pr) * 1e9))
+            n = len(seq) - 1
+            lp = nano / 1e9
+            row = got.loc[i]
+            assert row["n_transitions"] == n
+            assert row["logprob"] == lp
+            assert row["perplexity"] == -lp / n
+        if train_mod == 2:
+            assert saw_smoothing  # the held-out half exercises smoothing
