@@ -48,6 +48,16 @@ class DedupConfig:
                                           # false candidates without this);
                                           # dropped buckets are still counted
                                           # in metrics — no silent caps.
+    phash_max_hamming: Union[int, None] = 8  # exact 64-bit hamming prefilter on
+                                          # phash-banded pairs at emission
+                                          # (inside the cogroup — no extra
+                                          # shuffle): a PSNR>=40dB dup has
+                                          # near-identical phash (measured
+                                          # max 4 bits across seeds) while
+                                          # random natural-image pairs sit at
+                                          # ~32 bits (min observed 12), so 8
+                                          # is lossless for the verify
+                                          # semantics; None disables.
     winnow_kgram: int = 20                # substring-stage k-gram length
     winnow_window: int = 8                # winnowing window (guarantee: spans
                                           # >= kgram+window-1 chars share a key)

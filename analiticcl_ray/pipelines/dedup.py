@@ -82,10 +82,14 @@ def dedup_pipeline(
         sigs = sigs.map_batches(
             lambda b: phash_band_table(b, cfg.phash_bands), batch_format="pyarrow"
         )
-        sig_cols.append("phash_bands")
+        sig_cols += ["phash_bands", "phash"]
     sigs = sigs.select_columns(sig_cols).materialize()
     phash_rows = (
-        explode_band_rows(sigs, band_cols=("phash_bands",)) if cfg.use_phash_bands else None
+        # the full 64-bit phash rides the band rows so pair emission can
+        # hamming-prefilter inside the cogroup (no extra shuffle)
+        explode_band_rows(sigs, band_cols=("phash_bands",), carry_cols=("phash",))
+        if cfg.use_phash_bands
+        else None
     )
     # ^ materialized: consumed by 3 downstream passes (hot-key count, pair
     #   emission, exact-dup) — without this the signature computation would
@@ -146,6 +150,11 @@ def dedup_pipeline(
                 # distinct salt: caption-band and phash sentinels from
                 # the same cogroup/seq must not collapse in dedup_pairs
                 sentinel_salt=1,
+                # exact 64-bit hamming prefilter at emission: DCT-sign
+                # slice collisions across natural images were ~90% of
+                # all candidates; a PSNR>=40dB dup is <=4 bits apart
+                attr_col="phash",
+                attr_maxham=cfg.phash_max_hamming,
             )
         )
     pairs = dedup_pairs(cands, n_cogroups=max(1024, n_cg // 8)).materialize()

@@ -206,7 +206,7 @@ def run_dedup_job(
     done_shards = 0
     sig_cols = ["image_id", "caption", "content_key", "bytes_key", "bytes_key2", "bands"]
     if cfg.use_phash_bands:
-        sig_cols.append("phash_bands")
+        sig_cols += ["phash_bands", "phash"]
     for k, shard in enumerate(shard_frags):
         name = f"shard={k}"
         if name in completed:
@@ -254,11 +254,17 @@ def run_dedup_job(
             # the tight phash degeneracy threshold (ADVICE r1)
             cands = cands.union(
                 cooccurrence_pairs(
-                    explode_band_rows(sigs, band_cols=("phash_bands",)),
+                    explode_band_rows(
+                        sigs, band_cols=("phash_bands",), carry_cols=("phash",)
+                    ),
                     "band",
                     "image_id",
                     cap=cfg.phash_bucket_cap,
                     drop_threshold=cfg.phash_drop_threshold,
+                    # same emission-time hamming prefilter as
+                    # dedup_pipeline (mirrored per ADVICE r1)
+                    attr_col="phash",
+                    attr_maxham=cfg.phash_max_hamming,
                 )
             )
         exact = exact_dup_pairs(sigs, cfg.bucket_cap)

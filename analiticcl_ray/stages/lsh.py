@@ -50,36 +50,53 @@ from ray.data.aggregate import Max
 
 
 def explode_band_rows(
-    ds: "ray.data.Dataset", band_cols=("bands", "phash_bands"), id_col: str = "image_id"
+    ds: "ray.data.Dataset", band_cols=("bands", "phash_bands"), id_col: str = "image_id",
+    carry_cols=(),
 ) -> "ray.data.Dataset":
-    """(id, bands[, phash_bands]) -> long table (band, id).
+    """(id, bands[, phash_bands]) -> long table (band, id[, carried]).
 
-    Stateless task stage; output is the ONLY thing the wide groupby sees."""
+    Stateless task stage; output is the ONLY thing the wide groupby
+    sees. ``carry_cols``: narrow per-row attributes (e.g. the full
+    64-bit phash) repeated onto every band row so in-group pair
+    emission can prefilter without a later attach."""
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
         parts_band = []
         parts_id = []
+        parts_carry = {c: [] for c in carry_cols}
         for col in band_cols:
             if col not in batch.column_names:
                 continue
             arr = batch[col].combine_chunks()
             width = arr.type.list_size
             parts_band.append(arr.flatten())
-            idx = np.repeat(np.arange(len(batch), dtype=np.int64), width)
-            parts_id.append(ids.take(pa.array(idx)).combine_chunks())
-        return pa.table(
-            {
-                "band": pa.concat_arrays(
-                    [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts_band]
-                ),
-                id_col: pa.concat_arrays(
-                    [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts_id]
-                ),
-            }
-        )
+            idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), width))
+            parts_id.append(ids.take(idx).combine_chunks())
+            for c in carry_cols:
+                parts_carry[c].append(batch[c].take(idx).combine_chunks())
+
+        def _cat(parts):
+            return pa.concat_arrays(
+                [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]
+            )
+
+        cols = {"band": _cat(parts_band), id_col: _cat(parts_id)}
+        for c in carry_cols:
+            cols[c] = _cat(parts_carry[c])
+        return pa.table(cols)
 
     return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (numpy<2 has no bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
 def emit_bucket_pairs(ids: list, cap: int) -> tuple[list, list, bool]:
@@ -164,17 +181,27 @@ def bucket_by_keys(
 
 
 def emit_bucket_pairs_attr(
-    ids: np.ndarray, attrs: np.ndarray, cap: int, ratio: float
+    ids: np.ndarray, attrs: np.ndarray, cap: int, ratio: Optional[float] = None,
+    maxham: Optional[int] = None,
 ) -> tuple[np.ndarray, np.ndarray, bool]:
-    """Vectorized pair emission with a size-ratio prefilter: a pair is
-    emitted only if ``min(attr) >= ratio * max(attr)`` — for Jaccard at
-    threshold t this is a NECESSARY condition (|A∩B| <= min sizes,
-    |A∪B| >= max sizes), so the filter is exact-safe: every dropped
-    pair would fail the exact verify anyway. Salting chain links are
-    kept unconditionally (connectivity for CC consumers).
+    """Vectorized pair emission with an attribute prefilter, applied at
+    the earliest possible point (inside the cogroup — no extra shuffle,
+    no attach):
 
-    ``ids`` must be unique and sorted ascending with ``attrs`` aligned;
-    returns (src, dst, was_capped) as numpy arrays of ids' dtype."""
+    - ``ratio``: keep a pair only if ``min(attr) >= ratio * max(attr)``
+      — for Jaccard at threshold t this is a NECESSARY condition
+      (|A∩B| <= min sizes, |A∪B| >= max sizes), so the filter is
+      exact-safe: every dropped pair would fail the exact verify anyway.
+    - ``maxham``: attr is a 64-bit fingerprint (e.g. the full phash);
+      keep only pairs with ``popcount(a ^ b) <= maxham``. Lossless for
+      the dedup semantics when the verify requires near-identical
+      images (PSNR>=40dB dups measure <=4 phash bits apart; random
+      pairs ~32).
+
+    Salting chain links are kept unconditionally (connectivity for CC
+    consumers). ``ids`` must be unique and sorted ascending with
+    ``attrs`` aligned; returns (src, dst, was_capped) as numpy arrays
+    of ids' dtype."""
     n = len(ids)
     if n < 2:
         return ids[:0], ids[:0], False
@@ -186,7 +213,14 @@ def emit_bucket_pairs_attr(
         atc = attrs[c0 : c0 + cap]
         iu, ju = np.triu_indices(len(idc), 1)
         a, b = atc[iu], atc[ju]
-        keep = np.minimum(a, b) >= ratio * np.maximum(a, b)
+        if ratio is not None:
+            keep = np.minimum(a, b) >= ratio * np.maximum(a, b)
+        else:
+            ham = _popcount_u64(
+                (a.astype(np.int64).view(np.uint64))
+                ^ (b.astype(np.int64).view(np.uint64))
+            )
+            keep = ham <= np.uint64(maxham)
         srcs.append(idc[iu[keep]])
         dsts.append(idc[ju[keep]])
         if c0 + cap < n:  # chain link keeps the bucket connected
@@ -208,6 +242,7 @@ def cooccurrence_pairs(
     sentinel_salt: int = 0,
     attr_col: Optional[str] = None,
     attr_ratio: Optional[float] = None,
+    attr_maxham: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """(key, id) rows -> canonical candidate pairs (src < dst) for every
     key shared by >= 2 ids, with salting above ``cap``.
@@ -238,15 +273,19 @@ def cooccurrence_pairs(
     caller's tally is exact — no silent caps. Recall for true
     duplicates is carried by their other, non-degenerate keys.
 
-    ``attr_col``/``attr_ratio``: optional per-id integer attribute
-    (e.g. gram-set size) riding the same shuffle; in-bucket pairs whose
-    attrs violate ``min >= ratio * max`` are pruned BEFORE the pair
-    dedup shuffle (see emit_bucket_pairs_attr — exact-safe for
-    Jaccard-style verifies). This is the degeneracy valve for corpora
-    whose background similarity makes banding unselective."""
+    ``attr_col`` + ``attr_ratio``/``attr_maxham``: optional per-id
+    integer attribute (gram-set size, or a 64-bit fingerprint) riding
+    the same shuffle; in-bucket pairs violating ``min >= ratio * max``
+    (ratio mode) or ``hamming(a, b) <= maxham`` (fingerprint mode) are
+    pruned BEFORE the pair dedup shuffle (see emit_bucket_pairs_attr —
+    both predicates are necessary conditions for their exact verifies).
+    This is the degeneracy valve for corpora whose background
+    similarity makes banding unselective."""
     if drop_threshold is None:
         drop_threshold = 8 * cap
-    use_attr = attr_col is not None and attr_ratio is not None
+    use_attr = attr_col is not None and (
+        attr_ratio is not None or attr_maxham is not None
+    )
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         kv = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
@@ -281,7 +320,7 @@ def cooccurrence_pairs(
                     at_arr = subg[attr_col].to_numpy()
                     uids, first = np.unique(ids_arr, return_index=True)
                     src_a, dst_a, capped = emit_bucket_pairs_attr(
-                        uids, at_arr[first], cap, attr_ratio
+                        uids, at_arr[first], cap, attr_ratio, attr_maxham
                     )
                     if len(src_a):
                         srcs.append(src_a)

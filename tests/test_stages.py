@@ -135,3 +135,42 @@ def test_winnowing_no_shared_span():
 def test_winnowing_short_string():
     nm = Normalizer(simple_alphabet())
     assert len(winnow_fingerprints(nm.normalize("short"), 16, 8)) == 0
+
+
+def test_popcount_u64_matches_python():
+    from analiticcl_ray.stages.lsh import _popcount_u64
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 2**63, size=256, dtype=np.uint64)
+    xs = np.concatenate([xs, np.array([0, 1, 2**64 - 1], dtype=np.uint64)])
+    got = _popcount_u64(xs)
+    want = np.array([bin(int(x)).count("1") for x in xs], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
+def test_emit_bucket_pairs_attr_maxham_prunes_far_fingerprints():
+    from analiticcl_ray.stages.lsh import emit_bucket_pairs_attr
+
+    ids = np.array([1, 2, 3, 4], dtype=np.int64)
+    # 1 and 2 differ by 2 bits; 3 is ~32 bits from both; 4 == 1 exactly
+    base = np.int64(0x0F0F0F0F0F0F0F0F)
+    attrs = np.array(
+        [base, base ^ np.int64(0b11), np.int64(-1) ^ base, base], dtype=np.int64
+    )
+    src, dst, capped = emit_bucket_pairs_attr(ids, attrs, cap=64, maxham=8)
+    assert not capped
+    assert set(zip(src.tolist(), dst.tolist())) == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_emit_bucket_pairs_attr_maxham_keeps_chain_links():
+    from analiticcl_ray.stages.lsh import emit_bucket_pairs_attr
+
+    # two cap-chunks whose fingerprints are all mutually far apart:
+    # every in-chunk pair is pruned but the salting chain link survives,
+    # keeping the bucket connected for CC consumers
+    ids = np.arange(8, dtype=np.int64)
+    attrs = (np.int64(1) << np.arange(8, dtype=np.int64) * 8) - np.int64(1)
+    src, dst, capped = emit_bucket_pairs_attr(ids, attrs, cap=4, maxham=2)
+    assert capped
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    assert (0, 4) in pairs  # the chain link between chunk 0 and chunk 1
