@@ -127,6 +127,7 @@ def run_dedup_job(
 ) -> dict:
     """Run (or resume) the full dedup job with durable checkpoints.
     Returns the lineage record."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -282,8 +283,14 @@ def run_dedup_job(
     if not (resume and _manifest_ok(ver_dir, cfg_hash, input_hash)):
         t0 = time.perf_counter()
         pairs = ray.data.read_parquet(pairs_dir)
+        prefilter_ham = cfg.use_phash_bands and cfg.phash_max_hamming is not None
         with_cap = attach_pair_sides(
-            pairs, sigs, ["caption", "bytes_key", "bytes_key2"], method="auto"
+            pairs,
+            sigs,
+            # phash rides the caption attach for the pre-decode hamming
+            # prune (mirrors dedup_pipeline)
+            ["caption", "bytes_key", "bytes_key2"] + (["phash"] if prefilter_ham else []),
+            method="auto",
         )
         cap_ok = with_cap.map_batches(
             CaptionVerifier, fn_constructor_args=(cfg,),
@@ -307,6 +314,19 @@ def run_dedup_job(
             batch_format="pyarrow",
         )
         needs_pixels = flagged.filter(expr="bytes_equal == False")
+        if prefilter_ham:
+            # PSNR>=threshold implies near-identical phash: prune
+            # far-apart pairs before the bytes attach (see dedup_pipeline)
+            from ..stages.lsh import _popcount_u64
+
+            maxham = np.uint64(cfg.phash_max_hamming)
+
+            def _phash_near(batch: pa.Table) -> pa.Table:
+                a = batch["src_phash"].to_numpy().astype(np.int64).view(np.uint64)
+                b = batch["dst_phash"].to_numpy().astype(np.int64).view(np.uint64)
+                return batch.filter(pa.array(_popcount_u64(a ^ b) <= maxham))
+
+            needs_pixels = needs_pixels.map_batches(_phash_near, batch_format="pyarrow")
         needed: set[str] = set()
         for b in needs_pixels.select_columns(["src_id", "dst_id"]).iter_batches(
             batch_size=65536, batch_format="pyarrow"
