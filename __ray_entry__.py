@@ -127,6 +127,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle closes the same pairs with a recursive CTE
         return text.near_dup_clusters(_docs(sf_dir), n=3, threshold=0.8)
 
+    def shared_spans(sf_dir):
+        # cross-doc contamination: pairs sharing a >=30-char raw span
+        # (winnowing candidates with a deterministic guarantee, exact
+        # L-gram-set verify)
+        return text.shared_span_pairs(_docs(sf_dir), min_span=30)
+
     def decontaminate(sf_dir):
         # GPT-3-style n-gram-overlap decontamination: eval = every 10th
         # doc, train = the rest; count shared distinct 16-grams
@@ -349,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anagram_groups": anagram_groups,
         "ngram_jaccard": ngram_jaccard,
         "near_dup_clusters": near_dup_clusters,
+        "shared_spans": shared_spans,
         "decontaminate": decontaminate,
         "minhash_dedup": minhash_dedup,
         "simhash": simhash,
@@ -721,6 +728,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "shared_spans": """
+            WITH g AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 30) AS gram
+              FROM documents, unnest(generate_series(1, length(text) - 29)) AS t(i)
+              WHERE length(text) >= 30
+            )
+            SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         """,
         "decontaminate": """
             WITH seq AS (SELECT i FROM generate_series(1, 4096) t(i)),

@@ -1941,3 +1941,151 @@ def lm_perplexity(
         batch_size=4096,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------
+# cross-document shared-span detection (winnowing -> exact verify)
+# ---------------------------------------------------------------------
+
+class _SpanFingerprints:
+    """Actor: winnowed k-gram fingerprints over RAW codepoints.
+
+    Reuses the caption substring machinery (stages/substring.py —
+    Schleimer/Wilkerson/Aiken winnowing, the distributed counterpart of
+    the reference's LCS + ngram substring search, src/distance.rs:181-205
+    and src/search.rs:190-313) but on unnormalized text so the operator
+    and its SQL oracle share exact raw-substring semantics. Guarantee:
+    two docs sharing a span of >= kgram + window - 1 characters share at
+    least one emitted fingerprint."""
+
+    def __init__(self, kgram: int, window: int, seed: int = 0x5EED):
+        from ..stages.substring import winnow_fingerprints
+
+        self._winnow = winnow_fingerprints
+        self.kgram = kgram
+        self.window = window
+        self.seed = seed
+        self._memo: dict[str, np.ndarray] = {}
+
+    def _fps(self, text: str) -> np.ndarray:
+        f = self._memo.get(text)
+        if f is None:
+            if len(self._memo) > 500_000:
+                self._memo.clear()
+            codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            f = self._winnow(codes, self.kgram, self.window, self.seed)
+            self._memo[text] = f
+        return f
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_band: list[np.ndarray] = []
+        out_id: list[np.ndarray] = []
+        for i, t in enumerate(texts):
+            fps = self._fps(t)
+            if len(fps):
+                out_band.append(fps)
+                out_id.append(np.full(len(fps), ids[i], dtype=np.int64))
+        bands = np.concatenate(out_band) if out_band else np.empty(0, np.uint64)
+        dids = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "band": pa.array(bands.view(np.int64), pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+            }
+        )
+
+
+class _SharedSpanVerifier:
+    """Actor: exact "common substring of >= L chars" verdict per pair.
+
+    Per-doc L-gram sets are memoized across batches (duplicate-heavy
+    corpora repeat texts); the per-pair check is one set intersection
+    over the shorter side. Exactness: a shared L-gram IS a shared span
+    of length L."""
+
+    def __init__(self, min_span: int):
+        self.L = min_span
+        self._memo: dict[str, frozenset] = {}
+
+    def _grams(self, text: str) -> frozenset:
+        g = self._memo.get(text)
+        if g is None:
+            if len(self._memo) > 200_000:
+                self._memo.clear()
+            L = self.L
+            g = frozenset(
+                text[i : i + L] for i in range(len(text) - L + 1)
+            )
+            self._memo[text] = g
+        return g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch["src_text"].to_pylist()
+        dst = batch["dst_text"].to_pylist()
+        keep = np.empty(len(src), dtype=bool)
+        for i in range(len(src)):
+            a, b = self._grams(src[i]), self._grams(dst[i])
+            if len(b) < len(a):
+                a, b = b, a
+            keep[i] = not a.isdisjoint(b)
+        return batch.filter(pa.array(keep)).select(["src_id", "dst_id"])
+
+
+def shared_span_pairs(
+    docs: "ray.data.Dataset",
+    min_span: int = 30,
+    window: int = 8,
+    attach_method: str = "auto",
+    bucket_cap: int = 512,
+) -> "ray.data.Dataset":
+    """All doc pairs sharing a contiguous raw-text substring of at least
+    ``min_span`` characters (cross-document contamination / memorized-
+    span detection, cf. Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better").
+
+    Shape: winnowing fingerprints (actor pool; deterministic guarantee
+    for spans >= min_span, so candidates are a SUPERSET of the truth)
+    -> ONE co-occurrence shuffle -> pair dedup -> text attach
+    (broadcast/cogroup by size) -> exact L-gram-set verify in an actor
+    pool. Nothing corpus-sized touches the driver; the result is EXACT
+    (matches the DuckDB substring self-join oracle) except inside
+    fingerprint buckets larger than ``bucket_cap``, which are salted and
+    flagged via the ``capped`` pair column upstream — raise the cap if
+    exactness across mega-clusters matters more than skew safety."""
+    from ..stages.lsh import candidate_pairs, dedup_pairs
+
+    if not (1 <= window <= min_span):
+        raise ValueError("need 1 <= window <= min_span")
+    kgram = min_span - window + 1
+    band_rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        _SpanFingerprints,
+        fn_constructor_args=(kgram, window),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    cand = dedup_pairs(
+        candidate_pairs(
+            band_rows, bucket_cap, id_col="doc_id", id_dtype="int"
+        ),
+        id_dtype="int",
+    )
+    from ..stages.verify import attach_pair_sides, choose_attach_method
+
+    if attach_method == "auto":
+        attach_method = choose_attach_method(docs)
+    attached = attach_pair_sides(
+        cand,
+        docs.select_columns(["doc_id", "text"]),
+        ["text"],
+        method=attach_method,
+        id_col="doc_id",
+        concurrency=(1, 8),
+    )
+    return attached.map_batches(
+        _SharedSpanVerifier,
+        fn_constructor_args=(min_span,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

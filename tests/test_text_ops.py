@@ -696,3 +696,59 @@ def test_lm_perplexity_matches_reference_lm(ray_session):
             assert row["perplexity"] == -lp / n
         if train_mod == 2:
             assert saw_smoothing  # the held-out half exercises smoothing
+
+
+def test_shared_span_pairs_matches_sql_oracle(docs):
+    """Winnow-candidate + exact-verify output equals the DuckDB raw
+    substring self-join (the operator is exact, not approximate)."""
+    import duckdb
+
+    from analiticcl_ray.pipelines.text import shared_span_pairs
+
+    got = sorted(
+        (r["src_id"], r["dst_id"]) for r in shared_span_pairs(docs, min_span=30).take_all()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH g AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 30) AS gram
+              FROM documents, unnest(generate_series(1, length(text) - 29)) AS t(i)
+              WHERE length(text) >= 30
+            )
+            SELECT DISTINCT a.doc_id, b.doc_id
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_shared_span_pairs_guarantee_boundary(ray_session):
+    """A shared span of exactly min_span chars is found; max-29-char
+    overlap is excluded (exact semantics on both sides of the bound)."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import shared_span_pairs
+
+    span30 = "0123456789abcdefghijklmnopqrs!"  # 30 chars
+    assert len(span30) == 30
+    rows = [
+        {"doc_id": 0, "text": "AAA " + span30 + " tail zero"},
+        {"doc_id": 1, "text": "unrelated prefix " + span30 + "BBBB"},
+        # prefix must not end with doc 0/1's pre-span char (space), or
+        # the overlap would extend back to 30 chars
+        {"doc_id": 2, "text": "CCC_" + span30[:-1] + "_different ending here"},
+        {"doc_id": 3, "text": "no overlap at all in this document body"},
+    ]
+    got = sorted(
+        (r["src_id"], r["dst_id"])
+        for r in shared_span_pairs(rd.from_items(rows), min_span=30).take_all()
+    )
+    assert got == [(0, 1)]
