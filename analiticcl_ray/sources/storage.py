@@ -6,9 +6,13 @@ the shim makes Lance a one-line enable (SURVEY.md §7.0): when
 ``lance``/``pylance`` is importable, ``read_table``/``write_table``
 route through ``ray.data.read_lance`` / ``Dataset.write_lance`` (both
 present in ray[data] 2.49); otherwise they fall back to Parquet with
-the SAME schema, column pruning, and directory layout. Every pipeline
-and the runner read through this shim, so a Lance deployment changes no
-caller code.
+the SAME schema, column pruning, and directory layout. The entry-point
+table reads (bench.py, __ray_entry__) route through this shim, and
+`dedup_pipeline` takes any Dataset, so a Lance corpus changes no caller
+code. The one format-coupled component is the checkpointed runner's
+shard enumeration, which walks parquet (file, row_group) fragments; the
+Lance analog is `lance.dataset(...).get_fragments()` — same contiguous
+fragment-list sharding, different fragment API.
 
 Format resolution:
 - explicit ``fmt="lance"|"parquet"`` wins;
