@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def quality_filter(sf_dir):
         return text.quality_filter(_docs(sf_dir))
 
+    def quality_signals(sf_dir):
+        # Gopher-style stopword/punct/alpha ratios (brief: quality scoring)
+        return text.quality_signals(_docs(sf_dir))
+
     def token_counts(sf_dir):
         return text.token_counts(_docs(sf_dir))
 
@@ -348,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_clusters": exact_dup_clusters,
         "doc_stats": doc_stats,
         "quality_filter": quality_filter,
+        "quality_signals": quality_signals,
         "top_docs": top_docs,
         "doc_label_join": doc_label_join,
         "token_counts": token_counts,
@@ -566,6 +571,10 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 "
         "ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) END"
     )
+    # single source of truth for the stopword list (text._STOPWORDS)
+    from analiticcl_ray.pipelines.text import _STOPWORDS
+
+    _STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
     # Charikar SimHash rebuilt in SQL: the engine's per-gram 64-bit hash
     # is md5-first-8-bytes-LE == DuckDB's md5_number_upper, so the full
     # sign-sum construction (grams WITH multiplicity; texts shorter than
@@ -656,6 +665,45 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, n_tokens, distinct_ratio
             FROM s WHERE n_tokens >= 20 AND distinct_ratio >= 0.3
+        """,
+        "quality_signals": """
+            WITH toks AS (
+              -- trim(x) strips spaces only; pass the full ASCII
+              -- whitespace set so tab/newline-only docs count 0 tokens
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                       trim(text, ' \t\n\r' || chr(11) || chr(12)),
+                       '[ \t\n\r\f\v]+')) AS tok
+              FROM documents
+              WHERE trim(text, ' \t\n\r' || chr(11) || chr(12)) <> ''
+            ), agg AS (
+              SELECT doc_id,
+                     count(*) AS n_tokens,
+                     sum(CASE WHEN lower(tok) IN (""" + _STOPLIST + """)
+                              THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+                     sum(CASE WHEN regexp_matches(tok, '[A-Za-z]')
+                              THEN 1 ELSE 0 END)::BIGINT AS n_alpha
+              FROM toks GROUP BY doc_id
+            ), p AS (
+              -- ASCII [[:punct:]] spelled as ranges: !-/ :-@ [-` {-~
+              SELECT doc_id, length(text) AS n_chars,
+                     length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                       AS n_punct
+              FROM documents
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(a.n_stop, 0)::BIGINT AS n_stopwords,
+                   p.n_punct::BIGINT AS n_punct_chars,
+                   CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+                        ELSE a.n_stop::DOUBLE / a.n_tokens END AS stopword_ratio,
+                   CASE WHEN p.n_chars = 0 THEN 0.0
+                        ELSE p.n_punct::DOUBLE / p.n_chars END AS punct_ratio,
+                   CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+                        ELSE a.n_alpha::DOUBLE / a.n_tokens END AS alpha_token_ratio
+            FROM documents d
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+            JOIN p ON p.doc_id = d.doc_id
         """,
         "top_docs": f"""
             SELECT doc_id, {_NTOK} AS n_tokens

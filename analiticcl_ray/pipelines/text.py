@@ -218,6 +218,65 @@ def doc_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(_stats, batch_format="pyarrow")
 
 
+#: fixed English stopword list for the Gopher-style quality signals
+#: (Rae et al. 2021 §A1.1 uses a similar small closed-class list);
+#: deterministic, matched against lowercased whitespace tokens
+_STOPWORDS = (
+    "the", "a", "an", "and", "of", "to", "in", "is", "on", "for",
+    "with", "as", "by", "at", "that", "be", "it", "or", "are", "this",
+)
+
+#: ASCII punctuation as a regex class — identical to POSIX [[:punct:]]
+#: and Python's string.punctuation: !-/ :-@ [-` {-~
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
+def quality_signals(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Gopher-style per-document quality ratios (the brief's
+    "length/punct/stopword ratios"): ``stopword_ratio`` = stopword
+    tokens / tokens, ``punct_ratio`` = ASCII-punctuation chars / chars,
+    ``alpha_token_ratio`` = tokens containing [A-Za-z] / tokens (the
+    Gopher ">=80% of words contain an alphabetic character" rule).
+    Stateless vectorized map; all floats are single int/int divisions
+    so the DuckDB oracle is bit-identical."""
+
+    def _signals(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        toks = s.str.split()
+        n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+        n_chars = s.str.len().to_numpy(dtype=np.int64)
+        n_punct = s.str.count(_PUNCT_CLASS).to_numpy(dtype=np.int64)
+        n_stop = np.zeros(len(s), dtype=np.int64)
+        n_alpha = np.zeros(len(s), dtype=np.int64)
+        ex = toks.explode().dropna()
+        if len(ex):
+            sw = ex.str.lower().isin(_STOPWORDS).groupby(level=0).sum()
+            n_stop[sw.index.to_numpy()] = sw.to_numpy()
+            al = ex.str.contains("[A-Za-z]", regex=True).groupby(level=0).sum()
+            n_alpha[al.index.to_numpy()] = al.to_numpy()
+        tok_div = np.maximum(n_tokens, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "n_punct_chars": pa.array(n_punct, pa.int64()),
+                "stopword_ratio": pa.array(
+                    np.where(n_tokens > 0, n_stop / tok_div, 0.0), pa.float64()
+                ),
+                "punct_ratio": pa.array(
+                    np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0),
+                    pa.float64(),
+                ),
+                "alpha_token_ratio": pa.array(
+                    np.where(n_tokens > 0, n_alpha / tok_div, 0.0), pa.float64()
+                ),
+            }
+        )
+
+    return docs.map_batches(_signals, batch_format="pyarrow")
+
+
 def quality_filter(docs: "ray.data.Dataset", min_tokens: int = 20,
                    min_distinct_ratio: float = 0.3) -> "ray.data.Dataset":
     """Quality gate: docs passing token-count and repetition thresholds

@@ -752,3 +752,46 @@ def test_shared_span_pairs_guarantee_boundary(ray_session):
         for r in shared_span_pairs(rd.from_items(rows), min_span=30).take_all()
     )
     assert got == [(0, 1)]
+
+
+def test_quality_signals_oracle_parity(ray_session):
+    """Gopher-style stopword/punct/alpha ratios: engine vs the DuckDB
+    oracle, bit-identical, incl. empty / punct-heavy / unicode docs."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from analiticcl_ray.pipelines.text import quality_signals
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "",
+                "the quick brown fox AND a dog!!!",
+                "?!?,.;:",
+                "münchen strasse ÄÖÜ 42",
+                "  \t  ",
+            ],
+        }
+    )
+    got = (
+        quality_signals(rd.from_pandas(pdf))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(entry.oracle_sql()["quality_signals"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    row2 = got.set_index("doc_id").loc[2]
+    assert row2["n_stopwords"] == 3  # the, AND->and, a
+    assert row2["n_punct_chars"] == 3  # !!!
+    assert got.set_index("doc_id").loc[1]["stopword_ratio"] == 0.0
