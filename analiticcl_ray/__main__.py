@@ -111,9 +111,14 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if args.verb == "bench":
+        import os
         import subprocess
 
-        return subprocess.call([sys.executable, "bench.py"])
+        bench = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        )
+        return subprocess.call([sys.executable, bench])
 
     _ray_init(args.num_cpus)
     import ray.data as rd
@@ -135,9 +140,9 @@ def main(argv: list[str] | None = None) -> int:
         lineage = run_dedup_job(
             args.corpus, args.out_dir, n_shards=args.shards,
             resume=not args.no_resume,
+            stop_after=None if args.verb == "cluster" else args.verb,
         )
-        stop = {"signatures": 1, "pairs": 2, "verify": 3, "cluster": 4}[args.verb]
-        print(json.dumps({"stages": lineage["stages"][:stop]}, indent=2))
+        print(json.dumps({"stages": lineage["stages"]}, indent=2))
         return 0
 
     if args.verb == "testinput":

@@ -114,17 +114,10 @@ def cosine_dup_pairs(
     the in-group work is one numpy matmul. Shuffle volume is
     ``n_parts`` × input — the inherent cost of exact all-pairs; for
     sub-quadratic scale use ``cosine_dup_pairs_lsh``."""
-    n_keys = n_parts * (n_parts + 1) // 2
-
-    def _pair_key(p: int, q: int) -> int:
-        a, b = (p, q) if p <= q else (q, p)
-        return a * n_parts - a * (a - 1) // 2 + (b - a)
+    from ..stages.lsh import block_pair_key_lut, decode_block_pair_key
 
     # (p, q) -> canonical pair key, precomputed once for C-speed lookup
-    key_lut = np.array(
-        [[_pair_key(p, q) for q in range(n_parts)] for p in range(n_parts)],
-        dtype=np.int64,
-    )
+    key_lut = block_pair_key_lut(n_parts)
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids, emb = _emb_matrix(batch)
@@ -149,14 +142,7 @@ def cosine_dup_pairs(
         )
 
     def _cross(group: pd.DataFrame) -> pd.DataFrame:
-        key = int(group["pkey"].iloc[0])
-        # invert pair key -> (a, b)
-        a = 0
-        k = key
-        while k > n_parts - a - 1:
-            k -= n_parts - a
-            a += 1
-        b = a + k
+        a, b = decode_block_pair_key(int(group["pkey"].iloc[0]), n_parts)
         ga = group[group["part"] == a]
         out_a: list[int] = []
         out_b: list[int] = []
@@ -428,8 +414,11 @@ def kmeans_centroids(
             _partial, batch_format="pyarrow"
         ).iter_batches(batch_size=4096, batch_format="pyarrow"):
             cc = np.asarray(b["c"].to_pylist(), dtype=np.int64)
-            counts[cc] += np.asarray(b["cnt"].to_pylist(), dtype=np.int64)
-            sums[cc] += np.array(b["vsum"].to_pylist(), dtype=np.float64)
+            # iter_batches coalesces many per-block partials into one
+            # batch, so `cc` repeats centroid ids — buffered fancy-index
+            # `+=` would keep only one occurrence; np.add.at accumulates.
+            np.add.at(counts, cc, np.asarray(b["cnt"].to_pylist(), dtype=np.int64))
+            np.add.at(sums, cc, np.array(b["vsum"].to_pylist(), dtype=np.float64))
         nz = counts > 0
         cent = cent.copy()
         cent[nz] = sums[nz] / counts[nz, None]
@@ -573,52 +562,6 @@ def lsh_bucketed_topk(
         .map_groups(_group_dedup, batch_format="pandas")
     )
 
-    # exact re-rank: embeddings broadcast ONCE as a zero-copy Arrow
-    # table (plasma-shared; a Python dict would re-deserialize per
-    # actor — the measured anti-scaling pattern), cosine attached per
-    # batch via pc.index_in/take, then a per-query top-k groupby
-    from ..stages.verify import broadcast_lookup
-
-    lut_ref = broadcast_lookup(embeddings, ["embedding"], id_col="vec_id")
-
-    class _AttachCos:
-        def __init__(self):
-            tbl = ray.get(lut_ref)
-            self.ids = tbl["vec_id"].combine_chunks()
-            self.mat = _normalize_rows(
-                np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
-            )
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            # strip block metadata (pandas-origin blocks arrive with the
-            # b'pandas' blob, whose schemas are unhashable and defeat
-            # Ray's reduce-side schema dedup in the top-k groupby)
-            batch = batch.replace_schema_metadata(None)
-            if not len(batch):
-                return batch.append_column("cos", pa.array([], pa.float64()))
-            iq = pc.index_in(batch["query_id"], value_set=self.ids).to_numpy(
-                zero_copy_only=False
-            )
-            ic = pc.index_in(batch["cand_id"], value_set=self.ids).to_numpy(
-                zero_copy_only=False
-            )
-            cos = np.einsum("ij,ij->i", self.mat[iq], self.mat[ic])
-            return batch.append_column("cos", pa.array(cos, pa.float64()))
-
-    def _topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["cos", "cand_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].astype("int64").to_numpy(),
-                "neighbor_id": g["cand_id"].astype("int64").to_numpy(),
-                "rank": np.arange(len(g), dtype=np.int64),
-            }
-        )
-
-    return (
-        cands.map_batches(_AttachCos, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("query_id")
-        .map_groups(_topk, batch_format="pandas")
-    )
+    # exact re-rank shared with the IVF path (zero-copy Arrow broadcast
+    # + per-query top-k groupby)
+    return _rerank_topk(cands, embeddings, k)

@@ -43,7 +43,12 @@ from ..stages.cc import cc_label_propagation, cc_union_find
 from ..stages.lsh import candidate_pairs, dedup_pairs, exact_dup_pairs, explode_band_rows
 from ..stages.signatures import CaptionSignatures, phash_band_table
 from ..stages.substring import SubstringFingerprints
-from ..stages.verify import CaptionVerifier, ImageVerifier, attach_pair_sides
+from ..stages.verify import (
+    CaptionVerifier,
+    ImageVerifier,
+    attach_pair_sides,
+    split_exact_and_prune,
+)
 
 
 def dedup_pipeline(
@@ -201,45 +206,13 @@ def dedup_pipeline(
     metrics["t_caption_verify_s"] = round(time.perf_counter() - t1, 3)
 
     # --- image verification (bytes fetched only where needed) ----------
+    # 128-bit bytes-equality short-circuit + phash-hamming prune: one
+    # shared implementation with the checkpointed runner
+    # (stages/verify.split_exact_and_prune). At 20k rows the prune
+    # removes ~22.5k of ~22.6k pixel verifications (caption-dup pairs
+    # with distinct images).
     t2 = time.perf_counter()
-    import pyarrow.compute as pc
-
-    # exact-image short-circuit: equal 128-bit content hashes (two
-    # independent 64-bit keys, ADVICE r1) => identical bytes => dup with
-    # PSNR inf; those pairs never touch the binary column
-    def _split_exact(batch: pa.Table) -> pa.Table:
-        eq = pc.and_(
-            pc.equal(batch["src_bytes_key"], batch["dst_bytes_key"]),
-            pc.equal(batch["src_bytes_key2"], batch["dst_bytes_key2"]),
-        )
-        return batch.append_column("bytes_equal", eq)
-
-    flagged = survivors.map_batches(_split_exact, batch_format="pyarrow").materialize()
-    exact_dups = flagged.filter(expr="bytes_equal == True").map_batches(
-        lambda t: t.append_column(
-            "psnr_db", pa.array([float("inf")] * len(t), pa.float64())
-        ).select(["src_id", "dst_id", "caption_score", "psnr_db", "capped"]),
-        batch_format="pyarrow",
-    )
-    needs_pixels = flagged.filter(expr="bytes_equal == False")
-    if prefilter_ham:
-        # PSNR >= psnr_threshold implies a near-identical phash (measured
-        # <= 4 bits across seeds vs ~32 for unrelated images, same
-        # invariant as the emission-time prefilter), so non-byte-equal
-        # pairs farther than phash_max_hamming can never pass the pixel
-        # verify — prune them BEFORE the binary column is ever attached
-        # or decoded. At 20k rows this removes ~22.5k of ~22.6k pixel
-        # verifications (caption-dup pairs with distinct images).
-        from ..stages.lsh import _popcount_u64
-
-        maxham = np.uint64(cfg.phash_max_hamming)
-
-        def _phash_near(batch: pa.Table) -> pa.Table:
-            a = batch["src_phash"].to_numpy().astype(np.int64).view(np.uint64)
-            b = batch["dst_phash"].to_numpy().astype(np.int64).view(np.uint64)
-            return batch.filter(pa.array(_popcount_u64(a ^ b) <= maxham))
-
-        needs_pixels = needs_pixels.map_batches(_phash_near, batch_format="pyarrow")
+    exact_dups, needs_pixels = split_exact_and_prune(survivors, cfg)
     needed_ids: set[str] = set()
     for b in needs_pixels.select_columns(["src_id", "dst_id"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"

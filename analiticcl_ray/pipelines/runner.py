@@ -124,9 +124,15 @@ def run_dedup_job(
     cfg: Optional[DedupConfig] = None,
     n_shards: int = 8,
     resume: bool = True,
+    stop_after: Optional[str] = None,
 ) -> dict:
     """Run (or resume) the full dedup job with durable checkpoints.
-    Returns the lineage record."""
+    Returns the lineage record.
+
+    ``stop_after`` — one of ``signatures | pairs | verify | cluster``
+    (or ``None`` = run everything): execution halts after the named
+    stage's checkpoint is durable, so the CLI stage verbs genuinely
+    run only up to that stage instead of paying for the whole job."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -141,7 +147,12 @@ def run_dedup_job(
     )
     from ..stages.signatures import CaptionSignatures, phash_band_table
     from ..stages.substring import SubstringFingerprints
-    from ..stages.verify import CaptionVerifier, ImageVerifier, attach_pair_sides
+    from ..stages.verify import (
+        CaptionVerifier,
+        ImageVerifier,
+        attach_pair_sides,
+        split_exact_and_prune,
+    )
 
     cfg = cfg or DedupConfig()
     cfg_hash = _config_hash(cfg)
@@ -237,6 +248,14 @@ def run_dedup_job(
          "input_hash": input_hash}
     )
 
+    def _finish() -> dict:
+        with open(os.path.join(out_dir, "lineage.json"), "w") as f:
+            json.dump(lineage, f, indent=2)
+        return lineage
+
+    if stop_after == "signatures":
+        return _finish()
+
     sigs = ray.data.read_parquet(sig_root).select_columns(sig_cols)
     corpus = ray.data.read_parquet(files)
 
@@ -277,6 +296,8 @@ def run_dedup_job(
         manifest = json.load(open(os.path.join(pairs_dir, "_manifest.json")))
         manifest["resumed"] = True
     lineage["stages"].append(manifest)
+    if stop_after == "pairs":
+        return _finish()
 
     # ---- stage 3: verify -------------------------------------------
     ver_dir = os.path.join(out_dir, "verified")
@@ -297,36 +318,10 @@ def run_dedup_job(
             batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
         ).filter(expr="caption_dup == True")
 
-        # 128-bit bytes-equality short-circuit: equal hashes => dup with
-        # PSNR inf, binary column never fetched for those pairs
-        def _split_exact(batch: pa.Table) -> pa.Table:
-            eq = pc.and_(
-                pc.equal(batch["src_bytes_key"], batch["dst_bytes_key"]),
-                pc.equal(batch["src_bytes_key2"], batch["dst_bytes_key2"]),
-            )
-            return batch.append_column("bytes_equal", eq)
-
-        flagged = cap_ok.map_batches(_split_exact, batch_format="pyarrow").materialize()
-        exact_dups = flagged.filter(expr="bytes_equal == True").map_batches(
-            lambda t: t.append_column(
-                "psnr_db", pa.array([float("inf")] * len(t), pa.float64())
-            ).select(["src_id", "dst_id", "caption_score", "psnr_db", "capped"]),
-            batch_format="pyarrow",
-        )
-        needs_pixels = flagged.filter(expr="bytes_equal == False")
-        if prefilter_ham:
-            # PSNR>=threshold implies near-identical phash: prune
-            # far-apart pairs before the bytes attach (see dedup_pipeline)
-            from ..stages.lsh import _popcount_u64
-
-            maxham = np.uint64(cfg.phash_max_hamming)
-
-            def _phash_near(batch: pa.Table) -> pa.Table:
-                a = batch["src_phash"].to_numpy().astype(np.int64).view(np.uint64)
-                b = batch["dst_phash"].to_numpy().astype(np.int64).view(np.uint64)
-                return batch.filter(pa.array(_popcount_u64(a ^ b) <= maxham))
-
-            needs_pixels = needs_pixels.map_batches(_phash_near, batch_format="pyarrow")
+        # 128-bit bytes-equality short-circuit + phash prune — the SAME
+        # implementation as dedup_pipeline (stages/verify), so
+        # checkpointed-job results cannot drift from the flagship
+        exact_dups, needs_pixels = split_exact_and_prune(cap_ok, cfg)
         needed: set[str] = set()
         for b in needs_pixels.select_columns(["src_id", "dst_id"]).iter_batches(
             batch_size=65536, batch_format="pyarrow"
@@ -347,6 +342,8 @@ def run_dedup_job(
         manifest = json.load(open(os.path.join(ver_dir, "_manifest.json")))
         manifest["resumed"] = True
     lineage["stages"].append(manifest)
+    if stop_after == "verify":
+        return _finish()
 
     # ---- stage 4: clusters -----------------------------------------
     cl_dir = os.path.join(out_dir, "clusters")
@@ -358,7 +355,4 @@ def run_dedup_job(
         manifest = json.load(open(os.path.join(cl_dir, "_manifest.json")))
         manifest["resumed"] = True
     lineage["stages"].append(manifest)
-
-    with open(os.path.join(out_dir, "lineage.json"), "w") as f:
-        json.dump(lineage, f, indent=2)
-    return lineage
+    return _finish()

@@ -41,6 +41,42 @@ _U64 = np.uint64
 #: key space ever outgrows it.
 _MERGE_COGROUPS = 256
 
+#: RE2's ``\s`` (as DuckDB uses it) is the ASCII class [\t\n\f\r ] — it
+#: does NOT match Unicode whitespace (NBSP, U+2028, NEL, vertical tab),
+#: unlike Python's str.split()/pandas default. Probed empirically
+#: against DuckDB 1.x: regexp_split_to_array('a\xa0b','\s+') -> 1 field.
+_DUCK_WS = r"[\t\n\f\r ]+"
+
+
+def oracle_tokens(s: pd.Series) -> pd.Series:
+    """Tokenize a text Series EXACTLY as the DuckDB oracle expression
+    ``CASE WHEN trim(text)='' THEN [] ELSE
+    regexp_split_to_array(trim(text),'\\s+') END`` does: trim strips
+    SPACES only (DuckDB ``trim`` default), the split class is RE2's
+    ASCII ``\\s`` (so NBSP/U+2028 are token chars, and a leading tab
+    yields an empty leading field, as DuckDB's does), and
+    empty-after-trim means zero tokens (the ADVICE-r1 empty-doc rule).
+    Every operator whose oracle splits on ``\\s+`` must tokenize
+    through this helper — bit-parity by construction, not by luck."""
+    t = s.fillna("").str.strip(" ")
+    toks = t.str.split(_DUCK_WS, regex=True)
+    empty = t == ""
+    if empty.any():
+        toks = toks.copy()
+        toks[empty] = pd.Series([[] for _ in range(int(empty.sum()))],
+                                index=toks.index[empty])
+    return toks
+
+
+def ascii_ws_tokens(s: pd.Series) -> pd.Series:
+    """Tokenize as maximal runs of non-ASCII-whitespace characters —
+    bit-identical to the quality_signals oracle's ``trim(text, <all
+    ASCII ws>)`` + ``regexp_split_to_array(..., '[ \\t\\n\\r\\f\\v]+')``:
+    no empty fields ever, Unicode whitespace (NBSP/U+2028/NEL) stays
+    inside tokens. Differs from [[oracle_tokens]] only on docs with
+    leading/trailing non-space ASCII whitespace."""
+    return s.fillna("").str.findall(r"[^\t\n\r\f\x0b ]+")
+
 
 def _pa_clean(df: pd.DataFrame) -> pa.Table:
     """pandas -> metadata-free Arrow (the b'pandas' schema blob defeats
@@ -190,7 +226,7 @@ def doc_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     def _stats(batch: pa.Table) -> pa.Table:
         s = batch["text"].to_pandas()
-        toks = s.str.split()  # C-speed; whitespace runs; '' -> []
+        toks = oracle_tokens(s)  # oracle-exact; trim(' ') + ASCII \s
         n_tokens = toks.str.len().to_numpy(dtype=np.int64)
         n_chars = s.str.len().to_numpy(dtype=np.int64)
         ex = toks.explode().dropna()
@@ -242,7 +278,7 @@ def quality_signals(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     def _signals(batch: pa.Table) -> pa.Table:
         s = batch["text"].to_pandas()
-        toks = s.str.split()
+        toks = ascii_ws_tokens(s)
         n_tokens = toks.str.len().to_numpy(dtype=np.int64)
         n_chars = s.str.len().to_numpy(dtype=np.int64)
         n_punct = s.str.count(_PUNCT_CLASS).to_numpy(dtype=np.int64)
@@ -355,7 +391,8 @@ def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     def _partial(batch: pa.Table) -> pa.Table:
         vc = (
-            batch["text"].to_pandas().str.split().explode().dropna().value_counts()
+            oracle_tokens(batch["text"].to_pandas())
+            .explode().dropna().value_counts()
         )
         return pa.table(
             {
@@ -432,7 +469,8 @@ def anagram_groups(docs: "ray.data.Dataset", min_words: int = 1) -> "ray.data.Da
         # per-batch distinct words (C-speed explode+unique); the sort
         # runs only once per unique word
         words = (
-            batch["text"].to_pandas().str.split().explode().dropna().unique()
+            oracle_tokens(batch["text"].to_pandas())
+            .explode().dropna().unique()
         )
         return pa.table(
             {
@@ -531,13 +569,11 @@ def _batch_gram_df(
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized SWAR popcount over uint64."""
-    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-    x = (x & np.uint64(0x3333333333333333)) + (
-        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
-    )
-    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+    """int64-typed view of the single shared SWAR popcount kernel
+    (stages/lsh._popcount_u64 — one implementation, three callers)."""
+    from ..stages.lsh import _popcount_u64
+
+    return _popcount_u64(x).astype(np.int64)
 
 
 #: above this vocabulary size the packed bitmask (vocab/8 bytes per
@@ -817,14 +853,12 @@ def _dense_gram_jaccard(
     division) to the sparse path."""
     import ray
 
+    from ..stages.lsh import block_pair_key_lut, decode_block_pair_key
+
     u = len(gram_table)
     words = (u + 63) // 64
     grams_ref = ray.put(gram_table["gram"].combine_chunks())
-    n_keys = n_parts * (n_parts + 1) // 2  # noqa: F841 (documentation)
-
-    def _pair_key(p: int, q: int) -> int:
-        a, b = (p, q) if p <= q else (q, p)
-        return a * n_parts - a * (a - 1) // 2 + (b - a)
+    key_lut = block_pair_key_lut(n_parts)
 
     def _explode(batch: pa.Table) -> pa.Table:
         grams = ray.get(grams_ref)
@@ -855,9 +889,7 @@ def _dense_gram_jaccard(
         rep_sz = np.empty(nr * n_parts, dtype=np.int64)
         for q in range(n_parts):
             sl = slice(q * nr, (q + 1) * nr)
-            keys[sl] = [
-                _pair_key(int(p), q) for p in parts
-            ]
+            keys[sl] = key_lut[parts, q]
             rep_ids[sl] = ids
             rep_part[sl] = parts
             rep_sz[sl] = szs
@@ -888,13 +920,7 @@ def _dense_gram_jaccard(
         )
         if not len(group):
             return empty
-        key = int(group["pkey"].iloc[0])
-        a = 0
-        k = key
-        while k > n_parts - a - 1:
-            k -= n_parts - a
-            a += 1
-        b = a + k
+        a, b = decode_block_pair_key(int(group["pkey"].iloc[0]), n_parts)
         ga = group[group["part"] == a].drop_duplicates("doc_id")
         out_a: np.ndarray
         if a == b:
@@ -1227,9 +1253,13 @@ def minhash_dedup_pairs(
 
     from ..stages.lsh import candidate_pairs, dedup_pairs
 
-    cfg = cfg or DedupConfig()
-    if cfg.num_perm % 32 == 0:
-        cfg = dataclasses.replace(cfg, bands=32)
+    # widen banding only when the caller left cfg at the defaults — an
+    # explicit DedupConfig(bands=...) is a deliberate recall/volume
+    # trade and must not be silently overridden
+    if cfg is None:
+        cfg = DedupConfig()
+        if cfg.num_perm % 32 == 0:
+            cfg = dataclasses.replace(cfg, bands=32)
 
     sig = docs.select_columns(["doc_id", "text"]).map_batches(
         DocMinHash, fn_constructor_args=(cfg, n), batch_format="pyarrow",
@@ -1489,14 +1519,7 @@ def simhash_dup_pairs(
     def _verify(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["src_simhash"].to_pylist(), dtype=np.int64)
         b = np.asarray(batch["dst_simhash"].to_pylist(), dtype=np.int64)
-        x = (a ^ b).view(np.uint64)
-        # vectorized popcount (SWAR)
-        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-        x = (x & np.uint64(0x3333333333333333)) + (
-            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
-        )
-        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-        ham = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+        ham = _popcount64((a ^ b).view(np.uint64))
         keep = ham <= max_hamming
         return pa.table(
             {
@@ -1572,7 +1595,7 @@ class LangId:
         # distinct lowercase tokens per doc (explode once), then one
         # C-speed isin + groupby-sum per language profile
         toks = (
-            s.str.lower().str.split().explode().dropna()
+            oracle_tokens(s.str.lower()).explode().dropna()
             .to_frame("tok").reset_index().drop_duplicates()
         )
         langs = sorted(self.profiles)  # ties break alphabetically (max over sorted)
@@ -1645,7 +1668,7 @@ def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     def _stats(batch: pa.Table) -> pa.Table:
         s = batch["text"].to_pandas()
-        toks = s.str.split()
+        toks = oracle_tokens(s)
         n_tokens = toks.str.len().to_numpy(dtype=np.int64)
         ex = toks.explode().dropna()
         top_cnt = np.zeros(len(s), dtype=np.int64)
@@ -1760,7 +1783,7 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Dataset":
     n_docs = docs.count()
 
     def _tf(batch: pa.Table) -> pa.Table:
-        ex = batch["text"].to_pandas().str.split().explode().dropna()
+        ex = oracle_tokens(batch["text"].to_pandas()).explode().dropna()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         g = pd.DataFrame({"doc_id": ids[ex.index.to_numpy()], "token": ex.to_numpy()})
         tf = g.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
@@ -1836,7 +1859,7 @@ def _lm_seq_arrays(batch: pa.Table):
     from itertools import chain
 
     s = batch["text"].to_pandas()
-    toks = s.str.split()  # whitespace split; '' -> [] (matches doc_stats)
+    toks = oracle_tokens(s)  # oracle-exact split (matches doc_stats)
     n = toks.str.len().to_numpy(dtype=np.int64)
     m = n + 2
     total = int(m.sum())

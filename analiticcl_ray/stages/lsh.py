@@ -99,6 +99,31 @@ def _popcount_u64(x: np.ndarray) -> np.ndarray:
     return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
+def block_pair_key_lut(n_parts: int) -> np.ndarray:
+    """(n_parts × n_parts) LUT mapping an unordered partition pair
+    (p, q) to its canonical triangular key in [0, n_parts·(n_parts+1)/2).
+    Shared by every exact block-pair cross-product operator
+    (ann.cosine_dup_pairs, text._dense_gram_jaccard): each row is
+    replicated once per partition-pair, ONE groupby co-locates every
+    (a, b) block exactly once, and the in-group work is a matmul."""
+    lut = np.empty((n_parts, n_parts), dtype=np.int64)
+    for p in range(n_parts):
+        for q in range(n_parts):
+            a, b = (p, q) if p <= q else (q, p)
+            lut[p, q] = a * n_parts - a * (a - 1) // 2 + (b - a)
+    return lut
+
+
+def decode_block_pair_key(key: int, n_parts: int) -> tuple[int, int]:
+    """Invert ``block_pair_key_lut``: canonical key -> (a, b), a <= b."""
+    a = 0
+    k = key
+    while k > n_parts - a - 1:
+        k -= n_parts - a
+        a += 1
+    return a, a + k
+
+
 def emit_bucket_pairs(ids: list, cap: int) -> tuple[list, list, bool]:
     """Pairs for one bucket, with deterministic salting above ``cap``.
     Returns (src list, dst list, was_capped)."""

@@ -313,6 +313,61 @@ def _attach_cogroup(
     )
 
 
+def split_exact_and_prune(survivors: "ray.data.Dataset", cfg):
+    """Route caption-surviving pairs to the image phase — ONE
+    implementation shared by dedup_pipeline and the checkpointed
+    runner (they must stay result-identical):
+
+    1. 128-bit bytes-equality short-circuit: pairs whose two
+       independent 64-bit content hashes both match (ADVICE r1 — a
+       single 64-bit key has non-negligible birthday collisions at
+       1e12 rows) are exact image dups with PSNR=inf; their binary
+       column is never fetched.
+    2. phash-hamming prune (when phash candidates are enabled):
+       PSNR >= threshold implies a near-identical phash (measured
+       <= 4 bits vs ~32 for unrelated images), so non-byte-equal
+       pairs farther than ``cfg.phash_max_hamming`` can never pass
+       the pixel verify — dropped BEFORE bytes are attached/decoded.
+
+    Returns ``(exact_dups, needs_pixels)``; ``survivors`` must carry
+    src/dst ``bytes_key``/``bytes_key2`` (and ``phash`` when pruning).
+    The flagged set is materialized once so both filters read cached
+    blocks (edge-list-sized: surviving pairs only)."""
+    import pyarrow.compute as pc
+
+    def _split_exact(batch: pa.Table) -> pa.Table:
+        eq = pc.and_(
+            pc.equal(batch["src_bytes_key"], batch["dst_bytes_key"]),
+            pc.equal(batch["src_bytes_key2"], batch["dst_bytes_key2"]),
+        )
+        return batch.append_column("bytes_equal", eq)
+
+    flagged = survivors.map_batches(
+        _split_exact, batch_format="pyarrow"
+    ).materialize()
+    exact_dups = flagged.filter(expr="bytes_equal == True").map_batches(
+        lambda t: t.append_column(
+            "psnr_db", pa.array([float("inf")] * len(t), pa.float64())
+        ).select(["src_id", "dst_id", "caption_score", "psnr_db", "capped"]),
+        batch_format="pyarrow",
+    )
+    needs_pixels = flagged.filter(expr="bytes_equal == False")
+    if cfg.use_phash_bands and cfg.phash_max_hamming is not None:
+        from .lsh import _popcount_u64
+
+        maxham = np.uint64(cfg.phash_max_hamming)
+
+        def _phash_near(batch: pa.Table) -> pa.Table:
+            a = batch["src_phash"].to_numpy().astype(np.int64).view(np.uint64)
+            b = batch["dst_phash"].to_numpy().astype(np.int64).view(np.uint64)
+            return batch.filter(pa.array(_popcount_u64(a ^ b) <= maxham))
+
+        needs_pixels = needs_pixels.map_batches(
+            _phash_near, batch_format="pyarrow"
+        )
+    return exact_dups, needs_pixels
+
+
 # --------------------------------------------------------------------
 # verifier actors
 # --------------------------------------------------------------------

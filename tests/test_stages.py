@@ -174,3 +174,29 @@ def test_emit_bucket_pairs_attr_maxham_keeps_chain_links():
     assert capped
     pairs = set(zip(src.tolist(), dst.tolist()))
     assert (0, 4) in pairs  # the chain link between chunk 0 and chunk 1
+
+
+def test_block_pair_key_roundtrip():
+    """block_pair_key_lut / decode_block_pair_key are inverse and cover
+    the triangular key space exactly once (shared by the exact
+    all-pairs operators in ann and text)."""
+    import numpy as np
+
+    from analiticcl_ray.stages.lsh import (
+        block_pair_key_lut,
+        decode_block_pair_key,
+    )
+
+    for n_parts in (1, 2, 3, 8, 13):
+        lut = block_pair_key_lut(n_parts)
+        n_keys = n_parts * (n_parts + 1) // 2
+        assert lut.min() == 0 and lut.max() == n_keys - 1
+        # symmetric: unordered pairs share a key
+        assert np.array_equal(lut, lut.T)
+        seen = set()
+        for a in range(n_parts):
+            for b in range(a, n_parts):
+                k = int(lut[a, b])
+                assert decode_block_pair_key(k, n_parts) == (a, b)
+                seen.add(k)
+        assert seen == set(range(n_keys))

@@ -142,6 +142,43 @@ def test_empty_doc_token_parity(ray_session):
     assert o_tc == tc
 
 
+def test_unicode_whitespace_token_parity(ray_session):
+    """Engine tokenization (oracle_tokens) bit-matches DuckDB's
+    regexp_split_to_array(trim(x),'\\s+') on the divergent cases:
+    RE2 \\s is ASCII-only (NBSP/U+2028/NEL/VT are token chars), trim
+    strips spaces only (leading tab -> empty leading field)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from analiticcl_ray.pipelines.text import doc_stats, quality_signals
+
+    texts = ["a b", "\ta b", "a\x0bb", "a b", "a\x85b",
+             "x  y ", " lead", ""]
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(len(texts))), "text": texts,
+         "lang": ["en"] * len(texts),
+         "n_chars": [len(t) for t in texts]}
+    )
+    ds = rd.from_pandas(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    osql = entry.oracle_sql()
+
+    eng = {r["doc_id"]: r["n_tokens"] for r in doc_stats(ds).take_all()}
+    ora = con.execute(osql["doc_stats"]).df().set_index("doc_id")["n_tokens"].to_dict()
+    assert eng == ora
+    # NBSP is NOT a separator; leading tab yields the empty field
+    assert eng[0] == 1 and eng[1] == 3 and eng[2] == 1
+
+    eng_q = {r["doc_id"]: (r["n_tokens"], r["stopword_ratio"])
+             for r in quality_signals(ds).take_all()}
+    ora_q = {int(r.doc_id): (int(r.n_tokens), float(r.stopword_ratio))
+             for r in con.execute(osql["quality_signals"]).df().itertuples()}
+    assert eng_q == ora_q
+
+
 def test_testinput_has_unk(ray_session):
     """M8: per-document encodability check (reference `analiticcl
     testinput`, src/bin/analiticcl.rs:1007-1023)."""
@@ -343,6 +380,21 @@ def test_kmeans_centroids_deterministic(emb):
     c2 = kmeans_centroids(emb, nlist=8, iters=2)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_kmeans_centroids_block_layout_invariant(emb, ray_session):
+    """Partial-merge correctness (code-review r2): per-block partials
+    repeat every centroid id, so the driver merge must ACCUMULATE
+    (np.add.at), not fancy-index-assign. A layout-dependent merge
+    yields different centroids when the same rows arrive in a
+    different number of blocks."""
+    import numpy as np
+
+    from analiticcl_ray.pipelines.ann import kmeans_centroids
+
+    one = kmeans_centroids(emb.repartition(1), nlist=8, iters=2)
+    many = kmeans_centroids(emb.repartition(7), nlist=8, iters=2)
+    assert np.allclose(one, many, atol=1e-12)
 
 
 def test_token_counts_re_oracle_parity(ray_session):
