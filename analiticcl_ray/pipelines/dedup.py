@@ -174,12 +174,18 @@ def dedup_pipeline(
     pairs = strip_sentinels(pairs).materialize()
     metrics["candidate_pairs"] = pairs.count()
     metrics["capped_pairs"] = pairs.filter(expr="capped == True").count()
+    # an aggressively-prefiltered pair list can come out of the dedup
+    # shuffle in a handful of blocks, starving the verify actor pool
+    # (one task per block); widen — free no-op once the edge list is
+    # big enough to fill the pool naturally
+    from ..stages.lsh import pool_width, widen_blocks
+
+    verify_width = pool_width(verify_concurrency)
+    pairs = widen_blocks(pairs, 2 * verify_width)
     metrics["t_candidates_s"] = round(time.perf_counter() - t0, 3)
 
     # --- caption verification ------------------------------------------
     t1 = time.perf_counter()
-    # (pairs come out of the cogroup dedup in ~n_cogroups-spread blocks —
-    # already wide enough for the verify pool; no repartition barrier)
     # captions + bytes_key attach from the (already materialized) slim
     # signature table — no second corpus scan
     prefilter_ham = cfg.use_phash_bands and cfg.phash_max_hamming is not None
@@ -192,16 +198,27 @@ def dedup_pipeline(
         pairs, sigs, cap_attach_cols, method=attach_method,
         concurrency=verify_concurrency,
     )
+    # batch_size also sets the TASK size (blocks are bundled up to it),
+    # so a fixed 4096 over a well-prefiltered pair list yields fewer
+    # tasks than the pool has actors (measured: 8 tasks / 28 actors);
+    # shrink toward ~3 tasks per actor, floor 256 to keep the
+    # vectorized kernel efficient. At scale n_pairs is huge and the
+    # configured cap applies unchanged.
+    n_pairs = metrics["candidate_pairs"]
+    eff_verify_batch = min(
+        verify_batch_size, max(256, -(-n_pairs // (3 * verify_width)))
+    )
     cap_verified = with_captions.map_batches(
         CaptionVerifier,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
-        batch_size=verify_batch_size,
+        batch_size=eff_verify_batch,
         concurrency=verify_concurrency,
     )
     survivors = cap_verified.filter(
         expr="caption_dup == True"
     ).materialize()
+    survivors = widen_blocks(survivors, 2 * verify_width)
     metrics["caption_survivors"] = survivors.count()
     metrics["t_caption_verify_s"] = round(time.perf_counter() - t1, 3)
 
@@ -227,11 +244,16 @@ def dedup_pipeline(
         id_filter=needed_ids,
         concurrency=verify_concurrency,
     )
+    # same pool-filling logic; survivors bound the pixel-verify rows
+    eff_image_batch = min(
+        image_batch_size,
+        max(64, -(-metrics["caption_survivors"] // (3 * verify_width))),
+    )
     img_verified = with_bytes.map_batches(
         ImageVerifier,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
-        batch_size=image_batch_size,
+        batch_size=eff_image_batch,
         concurrency=verify_concurrency,
     )
     dup_pairs_ds = (

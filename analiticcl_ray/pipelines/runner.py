@@ -303,7 +303,12 @@ def run_dedup_job(
     ver_dir = os.path.join(out_dir, "verified")
     if not (resume and _manifest_ok(ver_dir, cfg_hash, input_hash)):
         t0 = time.perf_counter()
-        pairs = ray.data.read_parquet(pairs_dir)
+        from ..stages.lsh import widen_blocks
+
+        # the checkpointed pair list may be a handful of small files;
+        # widen so the verify actor pools (one task per block) fill —
+        # free no-op when the edge list is already many blocks
+        pairs = widen_blocks(ray.data.read_parquet(pairs_dir).materialize(), 8)
         prefilter_ham = cfg.use_phash_bands and cfg.phash_max_hamming is not None
         with_cap = attach_pair_sides(
             pairs,

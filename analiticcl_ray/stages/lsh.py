@@ -175,6 +175,31 @@ def adaptive_cogroups(
     return max(floor, -(-n_rows // rows_per_group))
 
 
+def widen_blocks(
+    ds: "ray.data.Dataset", min_blocks: int
+) -> "ray.data.Dataset":
+    """Repartition a MATERIALIZED dataset up to ``min_blocks`` blocks —
+    only when it currently has fewer. A block is Ray Data's task unit:
+    an actor-pool ``map_batches`` can launch at most one task per
+    block, so a small edge list that the pair-dedup shuffle emitted in
+    a handful of blocks would starve a verify pool of N actors (the
+    measured 3x caption-verify slowdown at 31k pairs in 6 blocks).
+    At real scale the shuffle output already exceeds ``min_blocks``
+    and this is a free no-op; when it does fire, the input is by
+    construction edge-list-sized, so the repartition is cheap."""
+    if ds.num_blocks() < min_blocks:
+        return ds.repartition(min_blocks).materialize()
+    return ds
+
+
+def pool_width(concurrency) -> int:
+    """Max actor count of a ``map_batches`` concurrency spec
+    ((min, max) tuple or plain int)."""
+    if isinstance(concurrency, tuple):
+        return int(concurrency[1])
+    return int(concurrency)
+
+
 def bucket_by_keys(
     batch: pa.Table, key_cols: list[str], n_buckets: int
 ) -> pa.Table:
@@ -254,6 +279,134 @@ def emit_bucket_pairs_attr(
     return np.concatenate(srcs), np.concatenate(dsts), capped
 
 
+def grouped_by_cogroup(ds: "ray.data.Dataset", key: str, n_cogroups: int):
+    """groupby on an integer cogroup key via HASH shuffle when this Ray
+    exposes it (``num_partitions``): hash partitioning streams blocks to
+    aggregators with no global sample+sort barrier — at cluster scale
+    the sort's sampling pass alone re-reads every block. Partition
+    count tracks the cogroup count (each partition then holds ~4
+    cogroup frames) with a floor for small inputs."""
+    npart = max(32, n_cogroups // 4)
+    try:
+        return ds.groupby(key, num_partitions=npart)
+    except TypeError:  # older Ray: sort-based groupby
+        return ds.groupby(key)
+
+
+def emit_pairs_grouped(
+    keys: np.ndarray,
+    ids: np.ndarray,
+    attrs: Optional[np.ndarray],
+    cap: int,
+    drop_threshold: int,
+    ratio: Optional[float] = None,
+    maxham: Optional[int] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list]:
+    """ALL-bucket pair emission for one cogroup, vectorized by bucket
+    SIZE CLASS: one lexsort co-locates every bucket, buckets sharing a
+    unique-id count n are gathered into a (k, n) matrix, and the
+    triangular expansion + attr prefilter run as single numpy ops per
+    distinct n (<= cap distinct classes) instead of one Python/pandas
+    iteration per bucket — the measured per-bucket overhead was ~40%
+    of the flagship candidate stage at 20k rows. Semantics are
+    bucket-for-bucket identical to emit_bucket_pairs[_attr] over a
+    pandas groupby (property-tested):
+
+    - a bucket's DROP decision uses its RAW row count (> drop_threshold
+      -> reported, not emitted);
+    - emitted pairs use the bucket's deduped ids, sorted ascending
+      (canonical src < dst);
+    - buckets above ``cap`` take the rare salted-chunk path (chain
+      links keep them connected; every pair flagged capped=True);
+    - ``ratio``/``maxham`` prefilters as in emit_bucket_pairs_attr.
+
+    Returns (src, dst, capped, dropped_raw_rowcounts)."""
+    empty = ids[:0]
+    if len(keys) == 0:
+        return empty, empty, np.zeros(0, dtype=bool), []
+    order = np.lexsort((ids, keys))
+    keys = keys[order]
+    ids = ids[order]
+    if attrs is not None:
+        attrs = attrs[order]
+    newkey = np.empty(len(keys), dtype=bool)
+    newkey[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=newkey[1:])
+    seg_id = np.cumsum(newkey) - 1
+    raw_sizes = np.bincount(seg_id)
+    dropped = raw_sizes[raw_sizes > drop_threshold].tolist()
+    row_keep = ((raw_sizes >= 2) & (raw_sizes <= drop_threshold))[seg_id]
+    # (key, id) dedup: duplicates are adjacent after the lexsort, and a
+    # segment's first row is never a duplicate, so masking newkey keeps
+    # exactly one True per surviving segment
+    dup = np.zeros(len(keys), dtype=bool)
+    dup[1:] = (~newkey[1:]) & (ids[1:] == ids[:-1])
+    row_keep &= ~dup
+    ids_u = ids[row_keep]
+    if not len(ids_u):
+        return empty, empty, np.zeros(0, dtype=bool), dropped
+    at_u = attrs[row_keep] if attrs is not None else None
+    starts = np.flatnonzero(newkey[row_keep])
+    sizes = np.diff(np.append(starts, len(ids_u)))
+    use_attr = at_u is not None and (ratio is not None or maxham is not None)
+    srcs: list = []
+    dsts: list = []
+    caps: list = []
+    for n in np.unique(sizes):
+        n = int(n)
+        if n < 2:
+            continue
+        sel = starts[sizes == n]
+        if n > cap:
+            # salted-chunk fallback; degenerate-adjacent, so rare
+            for st in sel:
+                seg_ids = ids_u[st : st + n]
+                if use_attr:
+                    s, d, capped = emit_bucket_pairs_attr(
+                        seg_ids, at_u[st : st + n], cap, ratio, maxham
+                    )
+                else:
+                    sl, dl, capped = emit_bucket_pairs(list(seg_ids), cap)
+                    s = np.asarray(sl, dtype=ids_u.dtype)
+                    d = np.asarray(dl, dtype=ids_u.dtype)
+                if len(s):
+                    srcs.append(s)
+                    dsts.append(d)
+                    caps.append(np.full(len(s), capped))
+            continue
+        idx = sel[:, None] + np.arange(n)
+        idm = ids_u[idx]
+        iu, ju = np.triu_indices(n, 1)
+        s = idm[:, iu].ravel()
+        d = idm[:, ju].ravel()
+        if use_attr:
+            am = at_u[idx]
+            a = am[:, iu].ravel()
+            b = am[:, ju].ravel()
+            if ratio is not None:
+                keep = np.minimum(a, b) >= ratio * np.maximum(a, b)
+            else:
+                ham = _popcount_u64(
+                    a.astype(np.int64).view(np.uint64)
+                    ^ b.astype(np.int64).view(np.uint64)
+                )
+                keep = ham <= np.uint64(maxham)
+            s = s[keep]
+            d = d[keep]
+        if len(s):
+            srcs.append(s)
+            dsts.append(d)
+            caps.append(np.zeros(len(s), dtype=bool))
+    if not srcs:
+        return empty, empty, np.zeros(0, dtype=bool), dropped
+    return (
+        np.concatenate(srcs),
+        np.concatenate(dsts),
+        np.concatenate(caps),
+        dropped,
+    )
+
+
 def cooccurrence_pairs(
     rows: "ray.data.Dataset",
     key_col: str,
@@ -327,99 +480,54 @@ def cooccurrence_pairs(
     id_pd_dtype = "object" if id_dtype == "str" else "int64"
 
     def _pairs_many(group: pd.DataFrame) -> pd.DataFrame:
-        counts = group[key_col].value_counts()
-        hot = counts[counts >= 2]
         cg = int(group["cogroup"].iloc[0]) if len(group) else 0
-        srcs: list = []
-        dsts: list = []
-        caps: list = []
-        dropped: list[int] = []  # per-bucket dropped row counts
-        if len(hot):
-            sub = group[group[key_col].isin(hot.index)]
-            for key, subg in sub.groupby(key_col, sort=False):
-                if len(subg) > drop_threshold:
-                    dropped.append(len(subg))
-                    continue
-                if use_attr:
-                    ids_arr = subg[id_col].to_numpy()
-                    at_arr = subg[attr_col].to_numpy()
-                    uids, first = np.unique(ids_arr, return_index=True)
-                    src_a, dst_a, capped = emit_bucket_pairs_attr(
-                        uids, at_arr[first], cap, attr_ratio, attr_maxham
-                    )
-                    if len(src_a):
-                        srcs.append(src_a)
-                        dsts.append(dst_a)
-                        caps.append(np.full(len(src_a), capped))
-                    continue
-                src, dst, capped = emit_bucket_pairs(subg[id_col].tolist(), cap)
-                if src:
-                    srcs.extend(src)
-                    dsts.extend(dst)
-                    caps.extend([capped] * len(src))
-        if use_attr:
-            # numpy accumulation path: concatenate once, sentinels ride
-            # as small trailing arrays
-            s_parts = srcs or []
-            d_parts = dsts or []
-            c_parts = caps or []
-            if dropped:
-                sent_s = []
-                sent_d = []
-                for seq, nrows in enumerate(dropped):
-                    if id_pd_dtype == "object":
-                        sent_s.append(f"{DROPPED_SENTINEL}:{sentinel_salt}:{cg}:{seq}")
-                        sent_d.append(f"1:{nrows}")
-                    else:
-                        sent_s.append(
-                            -(1 + 2 * (cg + n_cogroups * seq) + (sentinel_salt & 1))
-                        )
-                        sent_d.append(nrows)
-                s_parts = s_parts + [np.asarray(sent_s)]
-                d_parts = d_parts + [np.asarray(sent_d)]
-                c_parts = c_parts + [np.full(len(dropped), True)]
-            id_pa_type = pa.string() if id_pd_dtype == "object" else pa.int64()
-            if not s_parts:
-                return pa.table(
-                    {
-                        "src_id": pa.array([], id_pa_type),
-                        "dst_id": pa.array([], id_pa_type),
-                        "capped": pa.array([], pa.bool_()),
-                    }
-                )
-            return pa.table(
-                {
-                    "src_id": pa.array(np.concatenate(s_parts), id_pa_type),
-                    "dst_id": pa.array(np.concatenate(d_parts), id_pa_type),
-                    "capped": pa.array(np.concatenate(c_parts), pa.bool_()),
-                }
-            )
-        for seq, nrows in enumerate(dropped):
+        src, dst, capped, dropped = emit_pairs_grouped(
+            group[key_col].to_numpy(),
+            group[id_col].to_numpy(),
+            group[attr_col].to_numpy() if use_attr else None,
+            cap,
+            drop_threshold,
+            attr_ratio,
+            attr_maxham,
+        )
+        parts_s: list = [src]
+        parts_d: list = [dst]
+        parts_c: list = [capped]
+        if dropped:
             # one sentinel per dropped bucket; src_id encodes (salt,
             # cogroup, seq) so every sentinel row is globally unique —
             # across unioned passes too — and survives any downstream
             # drop_duplicates (ADVICE r1)
-            if id_pd_dtype == "object":
-                srcs.append(f"{DROPPED_SENTINEL}:{sentinel_salt}:{cg}:{seq}")
-                dsts.append(f"1:{nrows}")
-            else:
-                srcs.append(-(1 + 2 * (cg + n_cogroups * seq) + (sentinel_salt & 1)))
-                dsts.append(nrows)
-            caps.append(True)
+            sent_s: list = []
+            sent_d: list = []
+            for seq, nrows in enumerate(dropped):
+                if id_pd_dtype == "object":
+                    sent_s.append(f"{DROPPED_SENTINEL}:{sentinel_salt}:{cg}:{seq}")
+                    sent_d.append(f"1:{nrows}")
+                else:
+                    sent_s.append(
+                        -(1 + 2 * (cg + n_cogroups * seq) + (sentinel_salt & 1))
+                    )
+                    sent_d.append(nrows)
+            parts_s.append(np.asarray(sent_s))
+            parts_d.append(np.asarray(sent_d))
+            parts_c.append(np.full(len(dropped), True))
         id_pa_type = pa.string() if id_pd_dtype == "object" else pa.int64()
         return pa.table(
             {
-                "src_id": pa.array(srcs, id_pa_type),
-                "dst_id": pa.array(dsts, id_pa_type),
-                "capped": pa.array(caps, pa.bool_()),
+                "src_id": pa.array(np.concatenate(parts_s), id_pa_type),
+                "dst_id": pa.array(np.concatenate(parts_d), id_pa_type),
+                "capped": pa.array(
+                    np.concatenate(parts_c).astype(bool), pa.bool_()
+                ),
             }
         )
 
-    pairs = (
-        rows.map_batches(_bucketize, batch_format="pyarrow")
-        .groupby("cogroup")
-        .map_groups(_pairs_many, batch_format="pandas")
-    )
+    pairs = grouped_by_cogroup(
+        rows.map_batches(_bucketize, batch_format="pyarrow"),
+        "cogroup",
+        n_cogroups,
+    ).map_groups(_pairs_many, batch_format="pandas")
     if keep_sentinels:
         # caller (dedup_pipeline) tallies + strips sentinels in its final
         # pair pass — sentinel rows are globally unique, so tallying
@@ -533,11 +641,9 @@ def dedup_pairs(
             out[["src_id", "dst_id", "capped"]], preserve_index=False
         ).replace_schema_metadata(None)
 
-    return (
-        pairs.map_batches(_local, batch_format="pyarrow")
-        .groupby("cogroup")
-        .map_groups(_dedup, batch_format="pandas")
-    )
+    return grouped_by_cogroup(
+        pairs.map_batches(_local, batch_format="pyarrow"), "cogroup", n_cogroups
+    ).map_groups(_dedup, batch_format="pandas")
 
 
 def exact_dup_pairs(

@@ -200,3 +200,72 @@ def test_block_pair_key_roundtrip():
                 assert decode_block_pair_key(k, n_parts) == (a, b)
                 seen.add(k)
         assert seen == set(range(n_keys))
+
+
+def test_emit_pairs_grouped_matches_per_bucket_reference():
+    """emit_pairs_grouped (size-class vectorized) is bucket-for-bucket
+    equivalent to the per-bucket emit_bucket_pairs[_attr] loop it
+    replaced in the candidate stage, across dtypes, caps, thresholds,
+    and both prefilter modes."""
+    import numpy as np
+
+    from analiticcl_ray.stages.lsh import (
+        emit_bucket_pairs,
+        emit_bucket_pairs_attr,
+        emit_pairs_grouped,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n_rows = int(rng.integers(0, 400))
+        n_keys = max(1, int(rng.integers(1, 40)))
+        cap = int(rng.integers(2, 12))
+        drop_threshold = int(rng.integers(3, 30))
+        str_ids = bool(rng.integers(0, 2))
+        mode = ["none", "ratio", "maxham"][int(rng.integers(0, 3))]
+        keys = rng.integers(0, n_keys, size=n_rows).astype(np.int64)
+        raw_ids = rng.integers(0, 60, size=n_rows)
+        ids = (
+            np.array([f"id{int(v):03d}" for v in raw_ids], dtype=object)
+            if str_ids else raw_ids.astype(np.int64)
+        )
+        attrs = rng.integers(1, 1 << 20, size=n_rows).astype(np.int64)
+        ratio = 0.5 if mode == "ratio" else None
+        maxham = 6 if mode == "maxham" else None
+        use_attr = mode != "none"
+
+        # reference: per-bucket loop (the pre-vectorization semantics)
+        ref_pairs = set()
+        ref_capped = {}
+        ref_dropped = []
+        order = np.argsort(keys, kind="stable")
+        for k in np.unique(keys):
+            m = keys == k
+            if m.sum() < 2:
+                continue
+            if m.sum() > drop_threshold:
+                ref_dropped.append(int(m.sum()))
+                continue
+            if use_attr:
+                uids, first = np.unique(ids[m], return_index=True)
+                s, d, capped = emit_bucket_pairs_attr(
+                    uids, attrs[m][first], cap, ratio, maxham
+                )
+                s, d = list(s), list(d)
+            else:
+                s, d, capped = emit_bucket_pairs(list(ids[m]), cap)
+            for a, b in zip(s, d):
+                ref_pairs.add((a, b))
+                ref_capped[(a, b)] = ref_capped.get((a, b), False) or capped
+        src, dst, capflags, dropped = emit_pairs_grouped(
+            keys, ids, attrs if use_attr else None, cap, drop_threshold,
+            ratio, maxham,
+        )
+        got_pairs = set(zip(src.tolist(), dst.tolist()))
+        assert got_pairs == ref_pairs, (trial, mode, str_ids)
+        assert sorted(dropped) == sorted(ref_dropped), (trial, mode)
+        # canonical ordering: src < dst for every non-chain pair set
+        got_cap = {}
+        for a, b, c in zip(src.tolist(), dst.tolist(), capflags.tolist()):
+            got_cap[(a, b)] = got_cap.get((a, b), False) or c
+        assert got_cap == ref_capped, (trial, mode, str_ids)
