@@ -57,6 +57,89 @@ def hash_u64(data: bytes, seed: int = 0) -> int:
     return int(h)
 
 
+def _column_segments(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy (data_u8, starts, ends) view of a binary/string column.
+
+    No ``to_pylist``: the variable-length values already sit back-to-back
+    in the Arrow data buffer; the offsets buffer delimits the rows."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    off_dtype = (
+        np.int64
+        if (pa.types.is_large_binary(t) or pa.types.is_large_string(t))
+        else np.int32
+    )
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return data, off[:-1], off[1:]
+
+
+def hash_segments_pair(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-segment content hashing: one pass over the bytes of
+    EVERY row in the batch at numpy speed, returning TWO digests per row.
+
+    - ``h1`` equals ``hash_u64(row_bytes, seed)`` exactly for rows under
+      131072 bytes (the single-chunk regime; larger rows take a scalar
+      fallback with identical chunked semantics).
+    - ``h2`` is an INDEPENDENT second digest from the same mixed stream
+      (wraparound-sum reduction instead of xor, distinct init constant),
+      so the (h1, h2) pair carries ~128 bits: a pair collision requires
+      the same byte stream to collide under both reductions, unlike two
+      seeded reruns of the xor digest, which collide together whenever
+      the xor of the mixed stream collides (ADVICE r1 follow-up)."""
+    n = len(starts)
+    lens = ends - starts
+    h1 = np.full(n, _U64(0xCBF29CE484222325) ^ _U64(seed), dtype=np.uint64)
+    h2 = np.full(
+        n, splitmix64(np.array([_U64(0xCBF29CE484222325) ^ _U64(seed)]))[0],
+        dtype=np.uint64,
+    )
+    small = lens < 131072
+    sel = np.flatnonzero(small & (lens > 0))
+    if len(sel):
+        seg_lens = lens[sel]
+        cum = np.cumsum(seg_lens)
+        total = int(cum[-1])
+        # per-row byte positions 0..len-1, concatenated
+        pos = np.arange(total, dtype=np.int64) - np.repeat(cum - seg_lens, seg_lens)
+        idx = np.repeat(starts[sel], seg_lens) + pos
+        with np.errstate(over="ignore"):
+            mixed = splitmix64(
+                data[idx].astype(np.uint64) * _U64(0x100000001B3)
+                + pos.astype(np.uint64)
+            )
+            bounds = np.zeros(len(sel), dtype=np.int64)
+            bounds[1:] = cum[:-1]
+            x = np.bitwise_xor.reduceat(mixed, bounds)
+            s = np.add.reduceat(mixed, bounds)
+            h1[sel] = splitmix64(h1[sel] ^ x)
+            h2[sel] = splitmix64(h2[sel] ^ s)
+    for i in np.flatnonzero(~small):
+        row = data[starts[i] : ends[i]].tobytes()
+        h1[i] = hash_u64(row, seed=seed)
+        # chunk the sum digest the same way for determinism at any size
+        hh = h2[i]
+        arr = np.frombuffer(row, dtype=np.uint8).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            for chunk_i, chunk in enumerate(
+                np.array_split(arr, max(1, len(arr) // 65536))
+            ):
+                p = np.arange(len(chunk), dtype=np.uint64)
+                mixed = splitmix64(chunk * _U64(0x100000001B3) + p)
+                hh = splitmix64(hh ^ np.add.reduce(mixed))
+        h2[i] = hh
+    return h1, h2
+
+
 class CaptionSignatures:
     """Actor-pool stage: caption -> MinHash LSH band keys + content key.
 
@@ -106,7 +189,6 @@ class CaptionSignatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         captions = batch["caption"].to_pylist()
-        blobs = batch["bytes"].to_pylist()
         shingles = []
         norm_lens = np.empty(len(captions), dtype=np.int32)
         for i, c in enumerate(captions):
@@ -123,14 +205,16 @@ class CaptionSignatures:
             norm_lens[i] = hit[0]
             shingles.append(hit[1])
         bands = self._minhash_bands(shingles)
-        bytes_keys = np.array([hash_u64(b, seed=1) for b in blobs], dtype=np.uint64)
-        # second independent 64-bit hash: bytes-equality decisions use
+        # one vectorized pass over the blob bytes yields BOTH halves of
         # the 128-bit (bytes_key, bytes_key2) pair — 64-bit birthday
         # collisions are expected at 1e12 rows, 128-bit are not
-        # (ADVICE r1)
-        bytes_keys2 = np.array([hash_u64(b, seed=2) for b in blobs], dtype=np.uint64)
-        caption_keys = np.array(
-            [hash_u64(c.encode("utf-8")) for c in captions], dtype=np.uint64
+        # (ADVICE r1); no to_pylist, the Arrow data buffer is hashed
+        # in place via the offsets
+        bytes_keys, bytes_keys2 = hash_segments_pair(
+            *_column_segments(batch["bytes"]), seed=1
+        )
+        caption_keys, _ = hash_segments_pair(
+            *_column_segments(batch["caption"]), seed=0
         )
         content = caption_keys ^ bytes_keys
         # int64 bit-views: Arrow-native (Ray's conversion path rejects

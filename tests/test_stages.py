@@ -38,6 +38,42 @@ def test_hash_u64():
     assert hash_u64(b"") == hash_u64(b"")
 
 
+def test_hash_segments_pair_matches_hash_u64():
+    """Vectorized column hashing: h1 is bit-identical to the scalar
+    hash_u64 across the empty / single-chunk / multi-chunk regimes and
+    across sliced + chunked Arrow columns; h2 is deterministic and
+    independent (differs across rows where h1 differs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from analiticcl_ray.stages.signatures import (
+        _column_segments,
+        hash_segments_pair,
+    )
+
+    rng = np.random.default_rng(3)
+    sizes = list(rng.integers(0, 300, 20)) + [0, 1, 65535, 65536, 131071, 131072, 200001]
+    vals = [rng.integers(0, 256, size=int(n), dtype=np.uint8).tobytes() for n in sizes]
+    col = pa.array(vals, pa.binary())
+    h1, h2 = hash_segments_pair(*_column_segments(col), seed=1)
+    ref = np.array([hash_u64(v, seed=1) for v in vals], dtype=np.uint64)
+    assert (h1 == ref).all()
+    r1, r2 = hash_segments_pair(*_column_segments(col), seed=1)
+    assert (r1 == h1).all() and (r2 == h2).all()
+    # (h1, h2) pairs distinct for distinct inputs at this sample size
+    assert len(set(zip(h1.tolist(), h2.tolist()))) == len(set(vals))
+    # chunked + sliced columns resolve to the same hashes
+    ch = pa.chunked_array([col.slice(0, 5), col.slice(5)])
+    c1, _ = hash_segments_pair(*_column_segments(ch), seed=1)
+    assert (c1 == ref).all()
+    # string columns hash their UTF-8 bytes (== hash_u64 of .encode())
+    scol = pa.array(["abc", "", "héllo"], pa.string())
+    s1, _ = hash_segments_pair(*_column_segments(scol), seed=0)
+    assert s1[0] == np.uint64(hash_u64(b"abc"))
+    assert s1[1] == np.uint64(hash_u64(b""))
+    assert s1[2] == np.uint64(hash_u64("héllo".encode()))
+
+
 def test_caption_signatures_identical_rows_share_all_bands():
     sig = CaptionSignatures(DedupConfig())
     b = _batch(
