@@ -263,12 +263,24 @@ def run_dedup_job(
     pairs_dir = os.path.join(out_dir, "pairs")
     if not (resume and _manifest_ok(pairs_dir, cfg_hash, input_hash)):
         t0 = time.perf_counter()
+        from ..stages.lsh import adaptive_cogroups
+
+        # co-group count scales with band-row volume exactly as in
+        # dedup_pipeline: a fixed 1024 would make each co-group frame
+        # corpus/1024-sized at real scale. count() on the signature
+        # checkpoint is parquet-metadata cheap.
+        keys_per_row = cfg.bands + (
+            cfg.phash_bands if cfg.use_phash_bands else 0
+        ) + 8
+        n_cg = adaptive_cogroups(sigs.count() * keys_per_row)
         band_rows = explode_band_rows(sigs, band_cols=("bands",))
         substr = corpus.select_columns(["image_id", "caption"]).map_batches(
             SubstringFingerprints, fn_constructor_args=(cfg,),
             batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
         )
-        cands = candidate_pairs(band_rows.union(substr), cfg.bucket_cap)
+        cands = candidate_pairs(
+            band_rows.union(substr), cfg.bucket_cap, n_cogroups=n_cg
+        )
         if cfg.use_phash_bands:
             # image-side candidates: separate co-occurrence pass with
             # the tight phash degeneracy threshold (ADVICE r1)
@@ -281,6 +293,7 @@ def run_dedup_job(
                     "image_id",
                     cap=cfg.phash_bucket_cap,
                     drop_threshold=cfg.phash_drop_threshold,
+                    n_cogroups=n_cg,
                     # same emission-time hamming prefilter as
                     # dedup_pipeline (mirrored per ADVICE r1)
                     attr_col="phash",
@@ -289,8 +302,8 @@ def run_dedup_job(
             )
         exact = exact_dup_pairs(sigs, cfg.bucket_cap)
         manifest = _write_stage(
-            dedup_pairs(cands.union(exact)), pairs_dir, "pairs", cfg_hash,
-            input_hash, t0,
+            dedup_pairs(cands.union(exact), n_cogroups=max(1024, n_cg // 8)),
+            pairs_dir, "pairs", cfg_hash, input_hash, t0,
         )
     else:
         manifest = json.load(open(os.path.join(pairs_dir, "_manifest.json")))

@@ -280,17 +280,29 @@ def emit_bucket_pairs_attr(
 
 
 def grouped_by_cogroup(ds: "ray.data.Dataset", key: str, n_cogroups: int):
-    """groupby on an integer cogroup key via HASH shuffle when this Ray
-    exposes it (``num_partitions``): hash partitioning streams blocks to
+    """groupby on an integer cogroup key, optionally via HASH shuffle
+    (``num_partitions``): hash partitioning streams blocks to
     aggregators with no global sample+sort barrier — at cluster scale
     the sort's sampling pass alone re-reads every block. Partition
     count tracks the cogroup count (each partition then holds ~4
-    cogroup frames) with a floor for small inputs."""
-    npart = max(32, n_cogroups // 4)
-    try:
-        return ds.groupby(key, num_partitions=npart)
-    except TypeError:  # older Ray: sort-based groupby
-        return ds.groupby(key)
+    cogroup frames) with a floor for small inputs.
+
+    ``ANALITICCL_HASH_SHUFFLE=0`` forces the sort-based groupby (the
+    default): measured on this Ray (2.49) in local mode, the
+    hash-shuffle aggregator actors REGRESS the 1M-row candidate stage
+    at 32 CPUs (~+80% wall vs sort) — they compete with the map actors
+    for CPU slots. The flag exists so a real multi-node deployment can
+    flip it where the sort's global sampling barrier dominates
+    instead."""
+    import os
+
+    if os.environ.get("ANALITICCL_HASH_SHUFFLE", "0") == "1":
+        npart = max(32, n_cogroups // 4)
+        try:
+            return ds.groupby(key, num_partitions=npart)
+        except TypeError:  # older Ray: sort-based groupby only
+            pass
+    return ds.groupby(key)
 
 
 def emit_pairs_grouped(

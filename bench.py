@@ -151,6 +151,37 @@ def run_bench() -> dict:
     return result
 
 
+def _burn(_=None) -> int:
+    """Single-threaded matmul burner for the host-capacity probe
+    (module-level: multiprocessing must pickle it)."""
+    import numpy as np
+
+    x = np.random.rand(600, 600)
+    t0 = time.perf_counter()
+    c = 0
+    while time.perf_counter() - t0 < 2:
+        x @ x
+        c += 1
+    return c
+
+
+def probe_host_cores(n: int) -> float:
+    """Effective parallel core count the VM actually sustains right now:
+    total throughput of ``n`` concurrent single-threaded matmul burners
+    relative to one. The sandbox host is time-shared at the hypervisor
+    level (no in-VM steal counters): quiet windows sustain all 32
+    vCPUs, loaded windows as few as ~20 — which caps any measured
+    8-vs-32 speedup at effective/8 no matter what the engine does.
+    Recording the probe next to each arm makes the efficiency number
+    interpretable."""
+    from multiprocessing import Pool
+
+    one = _burn()
+    with Pool(n) as p:
+        tot = sum(p.map(_burn, range(n)))
+    return round(tot / one, 1)
+
+
 def run_scaling() -> None:
     # scaling efficiency needs enough work per core that the fixed
     # stage-graph latency (~10 s, input-size-independent) amortizes —
@@ -166,9 +197,9 @@ def run_scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_HEADLINE_ONLY="1",
             GRAFT_CORPUS_ROWS=rows,
-            # one rep per arm: the 1M-row runs are long enough to
-            # average out transient load, and the efficiency RATIO is
-            # what matters here
+            # one rep per arm per round: the 1M-row runs are long
+            # enough to average out transient load; cross-round min
+            # below sheds window-scale load instead
             GRAFT_HEADLINE_REPS=os.environ.get("GRAFT_SCALING_REPS", "1"),
         )
         out = subprocess.run(
@@ -180,20 +211,37 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo = one(lo)
-    r_hi = one(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+    # alternate lo/hi arms per round and take the min per arm: host
+    # capacity drifts on ~10-minute scales, so back-to-back arms in a
+    # single round can see different machines; min-per-arm across
+    # alternating rounds estimates the unloaded wall for BOTH arms
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    t_lo = t_hi = None
+    r_lo = r_hi = None
+    probes = []
+    for _ in range(max(1, rounds)):
+        probes.append(probe_host_cores(hi))
+        a = one(lo)
+        b = one(hi)
+        if t_lo is None or a["value"] < t_lo:
+            t_lo, r_lo = a["value"], a
+        if t_hi is None or b["value"] < t_hi:
+            t_hi, r_hi = b["value"], b
     # efficiency: speedup achieved / speedup available
     eff = (t_lo / t_hi) / (hi / lo)
     out = {
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "pairs_per_sec_8": r_lo["pairs_per_sec"],
-        "pairs_per_sec_32": r_hi["pairs_per_sec"],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"pairs_per_sec_{lo}": r_lo["pairs_per_sec"],
+        f"pairs_per_sec_{hi}": r_hi["pairs_per_sec"],
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "corpus_rows": r_lo["corpus_rows"],
+        "rounds": rounds,
+        # host capacity probe per round (effective cores of `hi` asked)
+        "host_effective_cores": probes,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_SCALING.json"), "w") as f:
