@@ -131,6 +131,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle closes the same pairs with a recursive CTE
         return text.near_dup_clusters(_docs(sf_dir), n=3, threshold=0.8)
 
+    def near_dup_keep(sf_dir):
+        # final dedup decision: keep = component representative (min
+        # doc_id) or untouched doc; one int-keyed groupby-min merge
+        return text.near_dup_keep(_docs(sf_dir), n=3, threshold=0.8)
+
+    def length_quantiles(sf_dir):
+        # exact discrete quantiles via distributed histogram (no sort)
+        return text.column_quantiles(_docs(sf_dir), col="n_chars")
+
     def shared_spans(sf_dir):
         # cross-doc contamination: pairs sharing a >=30-char raw span
         # (winnowing candidates with a deterministic guarantee, exact
@@ -360,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anagram_groups": anagram_groups,
         "ngram_jaccard": ngram_jaccard,
         "near_dup_clusters": near_dup_clusters,
+        "near_dup_keep": near_dup_keep,
+        "length_quantiles": length_quantiles,
         "shared_spans": shared_spans,
         "decontaminate": decontaminate,
         "minhash_dedup": minhash_dedup,
@@ -776,6 +787,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "near_dup_keep": """
+            WITH RECURSIVE seq AS (
+              SELECT i FROM generate_series(1, 4096) t(i)
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(text, i, 3) AS gram
+              FROM documents JOIN seq ON i <= length(text) - 2
+              WHERE length(text) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+              FROM grams g1 JOIN grams g2
+                ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON inter.a = sa.doc_id
+              JOIN sizes sb ON inter.b = sb.doc_id
+              WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+            ),
+            sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(node, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            ),
+            clusters AS (
+              SELECT node AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id = d.doc_id, TRUE) AS keep
+            FROM documents d LEFT JOIN clusters c USING (doc_id)
+        """,
+        "length_quantiles": """
+            WITH ranked AS (
+              SELECT n_chars AS v,
+                     row_number() OVER (ORDER BY n_chars) AS rn
+              FROM documents
+            ),
+            n AS (SELECT count(*) AS cnt FROM documents),
+            qs AS (
+              SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q
+            )
+            SELECT q, v AS value
+            FROM qs CROSS JOIN n
+            JOIN ranked ON rn = CAST(ceil(q * cnt) AS BIGINT)
         """,
         "shared_spans": """
             WITH g AS (

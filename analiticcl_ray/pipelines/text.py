@@ -2171,3 +2171,112 @@ def shared_span_pairs(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+# ---------------------------------------------------------------------
+# dedup keep-list (representative selection) + exact quantiles
+# ---------------------------------------------------------------------
+
+def near_dup_keep(
+    docs: "ray.data.Dataset", n: int = 3, threshold: float = 0.8
+) -> "ray.data.Dataset":
+    """The actual deduplicated-corpus decision: for every document a
+    ``keep`` flag — True iff the doc is its near-dup component's
+    representative (min doc_id) or is in no verified pair at all. This
+    is the operator a training-data pipeline runs LAST: pairs →
+    clusters → keep/drop.
+
+    Distribution shape: clusters (dup docs only) emit flag
+    ``doc_id == cluster_id``; all docs emit flag 1; a single int-keyed
+    ``groupby(doc_id).min()`` merges them — no broadcast of the dup
+    set, so it is safe even when the duplicate fraction is large (the
+    30%-dups web-crawl case where a driver-side drop-set would OOM).
+    The oracle closes the same pairs with a recursive CTE and LEFT
+    JOINs the representatives back onto documents."""
+    clusters = near_dup_clusters(docs, n=n, threshold=threshold)
+
+    def _rep_flags(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "flag": pc.cast(
+                    pc.equal(t["doc_id"], t["cluster_id"]), pa.int64()
+                ),
+            }
+        )
+
+    def _one_flags(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "flag": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    flags = clusters.map_batches(_rep_flags, batch_format="pyarrow").union(
+        docs.select_columns(["doc_id"]).map_batches(
+            _one_flags, batch_format="pyarrow"
+        )
+    )
+    merged = flags.groupby("doc_id").min("flag")
+
+    def _as_keep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "keep": pc.equal(t["min(flag)"], pa.scalar(1, pa.int64())),
+            }
+        )
+
+    return merged.map_batches(_as_keep, batch_format="pyarrow")
+
+
+def column_quantiles(
+    docs: "ray.data.Dataset",
+    col: str = "n_chars",
+    qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> "ray.data.Dataset":
+    """Exact distributed discrete quantiles of an integer column
+    (corpus length diagnostics): per-batch ``value_counts`` partials →
+    one tiny ``groupby(value).sum`` over the distinct values → the
+    driver folds the histogram (size = distinct values, bounded and
+    independent of row count — this is the scale trick: NO global sort,
+    no row shuffle; only the histogram moves). Quantile definition is
+    the discrete one (sorted value at 1-based rank ``ceil(q*N)``),
+    identical to DuckDB's ``quantile_disc``."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "value": pa.array(vals.astype(np.int64)),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        docs.select_columns([col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("value")
+        .sum("cnt")
+        .to_pandas()  # histogram only: |distinct values| rows
+        .sort_values("value")
+    )
+    values = hist["value"].to_numpy()
+    cum = hist["sum(cnt)"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = int(np.ceil(q * n)) if n else 0
+        idx = int(np.searchsorted(cum, max(rank, 1)))
+        out_q.append(float(q))
+        out_v.append(int(values[idx]) if n else 0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.int64()),
+            }
+        )
+    )

@@ -847,3 +847,45 @@ def test_quality_signals_oracle_parity(ray_session):
     assert row2["n_stopwords"] == 3  # the, AND->and, a
     assert row2["n_punct_chars"] == 3  # !!!
     assert got.set_index("doc_id").loc[1]["stopword_ratio"] == 0.0
+
+
+def test_near_dup_keep_flags(ray_session):
+    """keep = True exactly for component representatives (min doc_id)
+    and docs in no verified pair; every doc gets exactly one row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import near_dup_clusters, near_dup_keep
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = a.replace("quick", "quicc")
+    c = b.replace("river", "rivxr")
+    d = "completely different text with no overlap whatsoever in any gram"
+    pdf = pd.DataFrame({"doc_id": [10, 11, 12, 13], "text": [a, b, c, d],
+                        "lang": ["en"] * 4, "n_chars": [len(t) for t in [a, b, c, d]]})
+    ds = rd.from_pandas(pdf)
+    keep = near_dup_keep(ds, threshold=0.75).to_pandas()
+    assert sorted(keep["doc_id"]) == [10, 11, 12, 13]
+    got = dict(zip(keep["doc_id"], keep["keep"]))
+    # cluster {10,11,12} keeps only its min id; untouched 13 keeps itself
+    assert got == {10: True, 11: False, 12: False, 13: True}
+    # consistency with the cluster assignment
+    cl = near_dup_clusters(ds, threshold=0.75).to_pandas()
+    reps = set(cl["cluster_id"])
+    for doc, cid in zip(cl["doc_id"], cl["cluster_id"]):
+        assert got[doc] == (doc == cid)
+    assert reps <= {d for d, k in got.items() if k}
+
+
+def test_column_quantiles_matches_ceil_rank(docs):
+    """Histogram-fold quantiles == sorted value at 1-based rank
+    ceil(q*N) (DuckDB quantile_disc semantics), vs numpy brute force."""
+    from analiticcl_ray.pipelines.text import column_quantiles
+
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    out = column_quantiles(docs, col="n_chars", qs=qs).to_pandas()
+    vals = np.sort(docs.to_pandas()["n_chars"].to_numpy())
+    n = len(vals)
+    expect = {q: int(vals[max(int(np.ceil(q * n)), 1) - 1]) for q in qs}
+    got = dict(zip(out["q"], out["value"]))
+    assert got == {float(q): v for q, v in expect.items()}
