@@ -226,6 +226,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _emb(sf_dir)
         return ann.cosine_dup_clusters(emb, threshold=0.4)
 
+    def semantic_keep(sf_dir):
+        # SemDeDup-shaped final decision: one representative per
+        # cosine-dup component, everything else dropped
+        emb = _emb(sf_dir)
+        return ann.semantic_keep(emb, threshold=0.4)
+
     def ann_dup_pairs_lsh(sf_dir):
         # sub-quadratic scale path; per-pair miss probability at this
         # config ≈ 9e-8 (0.602^32), so it reproduces the exact oracle
@@ -388,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_dup_pairs": ann_dup_pairs,
         "ann_dup_clusters": ann_dup_clusters,
+        "semantic_keep": semantic_keep,
         "ann_dup_pairs_lsh": ann_dup_pairs_lsh,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1032,6 +1039,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(r) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "semantic_keep": """
+            WITH RECURSIVE p AS (
+              SELECT e1.vec_id AS a, e2.vec_id AS b
+              FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+              WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
+            ),
+            sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(node, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            ),
+            clusters AS (
+              SELECT node AS vec_id, min(r) AS cluster_id
+              FROM reach GROUP BY node
+            )
+            SELECT e.vec_id,
+                   coalesce(c.cluster_id = e.vec_id, TRUE) AS keep
+            FROM embeddings e LEFT JOIN clusters c USING (vec_id)
         """,
         "window_agg": """
             SELECT user_id,

@@ -565,3 +565,19 @@ def lsh_bucketed_topk(
     # exact re-rank shared with the IVF path (zero-copy Arrow broadcast
     # + per-query top-k groupby)
     return _rerank_topk(cands, embeddings, k)
+
+
+def semantic_keep(
+    embeddings: "ray.data.Dataset", threshold: float = 0.95, n_parts: int = 8
+) -> "ray.data.Dataset":
+    """SemDeDup-shaped final decision on the embedding side (Abbas et
+    al. 2023: drop all but one representative per semantic-duplicate
+    group): cosine-dup components (``cosine_dup_clusters``) reduced to
+    a (vec_id, keep) flag for EVERY vector — keep iff component
+    representative (min vec_id) or in no component. Same
+    groupby-min merge as the text-side keep-list (stages/cc.py:
+    keep_from_clusters); no driver-side drop-set."""
+    from ..stages.cc import keep_from_clusters
+
+    clusters = cosine_dup_clusters(embeddings, threshold=threshold, n_parts=n_parts)
+    return keep_from_clusters(embeddings, clusters, id_col="vec_id")

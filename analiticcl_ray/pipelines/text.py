@@ -2193,42 +2193,10 @@ def near_dup_keep(
     30%-dups web-crawl case where a driver-side drop-set would OOM).
     The oracle closes the same pairs with a recursive CTE and LEFT
     JOINs the representatives back onto documents."""
+    from ..stages.cc import keep_from_clusters
+
     clusters = near_dup_clusters(docs, n=n, threshold=threshold)
-
-    def _rep_flags(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "flag": pc.cast(
-                    pc.equal(t["doc_id"], t["cluster_id"]), pa.int64()
-                ),
-            }
-        )
-
-    def _one_flags(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "flag": pa.array(np.ones(len(t), dtype=np.int64)),
-            }
-        )
-
-    flags = clusters.map_batches(_rep_flags, batch_format="pyarrow").union(
-        docs.select_columns(["doc_id"]).map_batches(
-            _one_flags, batch_format="pyarrow"
-        )
-    )
-    merged = flags.groupby("doc_id").min("flag")
-
-    def _as_keep(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "keep": pc.equal(t["min(flag)"], pa.scalar(1, pa.int64())),
-            }
-        )
-
-    return merged.map_batches(_as_keep, batch_format="pyarrow")
+    return keep_from_clusters(docs, clusters, id_col="doc_id")
 
 
 def column_quantiles(

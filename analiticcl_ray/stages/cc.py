@@ -252,3 +252,55 @@ def cc_label_propagation(
             break
         prev = cur
     return labels
+
+
+def keep_from_clusters(
+    ids: "ray.data.Dataset",
+    clusters: "ray.data.Dataset",
+    id_col: str,
+    cluster_id_col: str = "cluster_id",
+) -> "ray.data.Dataset":
+    """Final dedup decision from a CC labeling: (id, keep) for EVERY
+    row of ``ids`` — keep iff the row is its component's representative
+    (min id) or appears in no component. Shape: clusters emit flag
+    ``id == cluster_id``, all ids emit flag 1, one int-keyed
+    ``groupby(id).min(flag)`` merges — no driver-side drop-set, safe
+    when the duplicate fraction is large."""
+    import pyarrow.compute as pc
+
+    def _rep_flags(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "flag": pc.cast(
+                    pc.equal(t[id_col], t[cluster_id_col]), pa.int64()
+                ),
+            }
+        )
+
+    def _one_flags(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "flag": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    flags = clusters.map_batches(_rep_flags, batch_format="pyarrow").union(
+        ids.select_columns([id_col]).map_batches(
+            _one_flags, batch_format="pyarrow"
+        )
+    )
+
+    def _as_keep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "keep": pc.equal(t["min(flag)"], pa.scalar(1, pa.int64())),
+            }
+        )
+
+    return (
+        flags.groupby(id_col).min("flag")
+        .map_batches(_as_keep, batch_format="pyarrow")
+    )

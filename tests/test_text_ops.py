@@ -889,3 +889,20 @@ def test_column_quantiles_matches_ceil_rank(docs):
     expect = {q: int(vals[max(int(np.ceil(q * n)), 1) - 1]) for q in qs}
     got = dict(zip(out["q"], out["value"]))
     assert got == {float(q): v for q, v in expect.items()}
+
+
+def test_semantic_keep_matches_clusters(emb):
+    """keep = True exactly for component reps (min vec_id) and
+    unclustered vectors; one row per vector."""
+    from analiticcl_ray.pipelines.ann import cosine_dup_clusters, semantic_keep
+
+    keep = semantic_keep(emb, threshold=0.4).to_pandas()
+    assert len(keep) == emb.count()
+    got = dict(zip(keep["vec_id"], keep["keep"]))
+    cl = cosine_dup_clusters(emb, threshold=0.4).to_pandas()
+    clustered = set(cl["vec_id"])
+    for vid, cid in zip(cl["vec_id"], cl["cluster_id"]):
+        assert got[vid] == (vid == cid)
+    for vid, k in got.items():
+        if vid not in clustered:
+            assert k
