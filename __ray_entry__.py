@@ -263,6 +263,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _events(sf_dir)
         return events.sessionize(ev, gap_s=1800)
 
+    def hopping_window_agg(sf_dir):
+        ev = _events(sf_dir)
+        return events.hopping_window_agg(ev, window_s=3600, hop_s=900)
+
+    def asof_join(sf_dir):
+        from analiticcl_ray.sources.storage import read_table
+
+        ev = _events(sf_dir)
+        orders = read_table(f"{sf_dir}/orders.parquet")
+        return events.asof_join_orders(ev, orders)
+
     def find_variants(sf_dir):
         # lexicon = corpus token counts; queries = fixed typo'd forms of
         # frequent tokens (deterministic); reference find_variants scoring
@@ -400,6 +411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann_lsh_topk,
         "window_agg": window_agg,
         "sessions": sessions,
+        "hopping_window_agg": hopping_window_agg,
+        "asof_join": asof_join,
         "find_variants": find_variants,
         "search_correct": search_correct,
         "context_rules": context_rules,
@@ -1066,6 +1079,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # hopping windows: every event belongs to the window_s/hop_s
+        # starts s = (floor(sec/hop) - k) * hop, k in [0, n_hops) —
+        # always inside [s, s+window) because sec - s < (k+1)*hop
+        "hopping_window_agg": """
+            WITH k AS (SELECT unnest(range(0, 4)) AS k)
+            SELECT user_id,
+                   ((epoch_us(ts) // 1000000) // 900 - k.k) * 900
+                       AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events CROSS JOIN k GROUP BY 1, 2
+        """,
+        # as-of (latest order at/before the event, per customer); ties
+        # on o_orderdate broken toward max o_orderkey — the same
+        # deterministic contract as the merge_asof sort order
+        "asof_join": """
+            SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+              SELECT e.event_id, e.user_id,
+                     coalesce(o.o_orderkey, -1) AS o_orderkey,
+                     coalesce(o.o_totalprice, 0.0) AS o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                     ) AS rn
+              FROM events e
+              LEFT JOIN orders o
+                ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
         """,
         "sessions": """
             WITH e AS (

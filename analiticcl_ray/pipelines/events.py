@@ -10,6 +10,7 @@ order never matters.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -28,34 +29,15 @@ def _bucket_by(batch: pa.Table, key_cols: list[str]) -> pa.Table:
     return bucket_by_keys(batch, key_cols, _SESSION_COGROUPS)
 
 
-def tumbling_window_agg(
-    events: "ray.data.Dataset", window_s: int = 3600
-) -> "ray.data.Dataset":
-    """Per (user, tumbling window): event count and value sum.
-    window_start = floor(epoch_seconds / window_s) * window_s as an
-    epoch integer (bit-identical to the SQL oracle's integer division)."""
+def _merge_window_partials(partial: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Merge per-block (user_id, window_start, n_events, sum_value)
+    partials through ONE int-keyed bucket cogroup: one Python call per
+    bucket, C-speed pandas groupby inside — Ray's built-in two-column
+    Aggregate was measured ~20x slower on the same merge. sum rounded
+    to 4 decimals: float summation order differs between engines in
+    the last ulp; the rounded value is the comparable contract (exact
+    aggregation is over ints only)."""
 
-    def _win(batch: pa.Table) -> pa.Table:
-        df = batch.select(["user_id", "ts", "value"]).to_pandas()
-        # unit-independent epoch seconds (pandas may carry ns or us)
-        epoch = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
-        df["window_start"] = (epoch // window_s) * window_s
-        g = (
-            df.groupby(["user_id", "window_start"], sort=False)
-            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
-            .reset_index()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
-
-    partial = events.map_batches(_win, batch_format="pyarrow")
-
-    # merge the (already block-combined) partials through ONE int-keyed
-    # bucket cogroup: one Python call per bucket, C-speed pandas groupby
-    # inside — Ray's built-in two-column Aggregate was measured ~20x
-    # slower on the same merge. sum rounded to 4 decimals: float
-    # summation order differs between engines in the last ulp; the
-    # rounded value is the comparable contract (exact aggregation is
-    # over ints only).
     def _merge_bucket(group: pd.DataFrame) -> pa.Table:
         out = (
             group.groupby(["user_id", "window_start"], sort=False)
@@ -78,6 +60,69 @@ def tumbling_window_agg(
         .groupby("bucket")
         .map_groups(_merge_bucket, batch_format="pandas")
     )
+
+
+def tumbling_window_agg(
+    events: "ray.data.Dataset", window_s: int = 3600
+) -> "ray.data.Dataset":
+    """Per (user, tumbling window): event count and value sum.
+    window_start = floor(epoch_seconds / window_s) * window_s as an
+    epoch integer (bit-identical to the SQL oracle's integer division)."""
+
+    def _win(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts", "value"]).to_pandas()
+        # unit-independent epoch seconds (pandas may carry ns or us)
+        epoch = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+        df["window_start"] = (epoch // window_s) * window_s
+        g = (
+            df.groupby(["user_id", "window_start"], sort=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    return _merge_window_partials(events.map_batches(_win, batch_format="pyarrow"))
+
+
+def hopping_window_agg(
+    events: "ray.data.Dataset", window_s: int = 3600, hop_s: int = 900
+) -> "ray.data.Dataset":
+    """Per (user, hopping/sliding window): event count and value sum.
+
+    Windows are [s, s + window_s) for every s that is a multiple of
+    ``hop_s``; each event falls into exactly window_s/hop_s windows
+    (hop_s must divide window_s). The per-batch expansion is a numpy
+    broadcast (row replicated n_hops times with shifted window starts)
+    followed by the same partial-combine + single bucket-cogroup merge
+    as the tumbling variant, so the shuffle moves pre-aggregated
+    partials only — the n_hops expansion never crosses the wire
+    unaggregated. This is the "windowed aggregate" operator Ray Data
+    has no primitive for (composed per the cogroup pattern)."""
+    if window_s % hop_s:
+        raise ValueError("hop_s must divide window_s")
+    n_hops = window_s // hop_s
+
+    def _win(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts", "value"]).to_pandas()
+        epoch = ((df["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).to_numpy()
+        base = epoch // hop_s
+        # (n, n_hops) window starts: (base - k) * hop for k in [0, n_hops)
+        ws = (base[:, None] - np.arange(n_hops)[None, :]) * hop_s
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": np.repeat(df["user_id"].to_numpy(), n_hops),
+                    "window_start": ws.ravel(),
+                    "value": np.repeat(df["value"].to_numpy(), n_hops),
+                }
+            )
+            .groupby(["user_id", "window_start"], sort=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    return _merge_window_partials(events.map_batches(_win, batch_format="pyarrow"))
 
 
 def sessionize(
@@ -127,3 +172,107 @@ def sessionize(
         .groupby("bucket")
         .map_groups(_sessions_bucket, batch_format="pandas")
     )
+
+
+def asof_join_orders(
+    events: "ray.data.Dataset", orders: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """AS-OF join: for each event, the most recent order of the same
+    customer placed at or before the event time (left semantics;
+    unmatched events get o_orderkey=-1 / o_totalprice=0.0).
+
+    Ray Data has no as-of join primitive; this composes one from the
+    same machinery as every other keyed op here: both sides are
+    hash-bucketed on the join key (ONE shuffle, sides tagged), and
+    inside each bucket a single ``pd.merge_asof(by=key)`` — a C-speed
+    sort-merge — resolves every key in the bucket at once. The
+    partitioning assumption is the usual cogroup one: all rows for a
+    key fit in one bucket frame (keys are hashed across
+    ``_SESSION_COGROUPS`` buckets, so a bucket holds ~1/256 of both
+    sides; scale the constant like stages/lsh.adaptive_cogroups for
+    bigger inputs). Ties on order date are broken toward the highest
+    o_orderkey — deterministic, matching the SQL oracle's
+    ``ORDER BY o_orderdate DESC, o_orderkey DESC`` tie-break."""
+
+    def _tag_events(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": batch["user_id"],
+                "t_us": batch["ts"].cast(pa.int64()),
+                "side": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8()
+                ),
+                "event_id": batch["event_id"],
+                "okey": pa.array(
+                    np.full(batch.num_rows, -1, dtype=np.int64), type=pa.int64()
+                ),
+                "price": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.float64), type=pa.float64()
+                ),
+            }
+        )
+        return bucket_by_keys(t, ["key"], _SESSION_COGROUPS)
+
+    def _tag_orders(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": batch["o_custkey"],
+                "t_us": batch["o_orderdate"].cast(pa.int64()),
+                "side": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int8), type=pa.int8()
+                ),
+                "event_id": pa.array(
+                    np.full(batch.num_rows, -1, dtype=np.int64), type=pa.int64()
+                ),
+                "okey": batch["o_orderkey"],
+                "price": batch["o_totalprice"],
+            }
+        )
+        return bucket_by_keys(t, ["key"], _SESSION_COGROUPS)
+
+    def _asof_bucket(group: pd.DataFrame) -> pa.Table:
+        left = group[group["side"] == 0]
+        right = group[group["side"] == 1]
+        left = left.sort_values("t_us", kind="mergesort")
+        # sort by (t_us, okey): merge_asof keeps the LAST row among
+        # equal on-values, so max okey wins a date tie
+        right = right.sort_values(["t_us", "okey"], kind="mergesort")
+        if right.empty:
+            out = left[["event_id", "key"]].copy()
+            out["o_orderkey"] = np.int64(-1)
+            out["o_totalprice"] = 0.0
+        else:
+            m = pd.merge_asof(
+                left[["t_us", "key", "event_id"]],
+                right[["t_us", "key", "okey", "price"]],
+                on="t_us",
+                by="key",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            out = pd.DataFrame(
+                {
+                    "event_id": m["event_id"],
+                    "key": m["key"],
+                    "o_orderkey": m["okey"].fillna(-1).astype("int64"),
+                    "o_totalprice": m["price"].fillna(0.0).astype(float),
+                }
+            )
+        out = out.rename(columns={"key": "user_id"})
+        out["event_id"] = out["event_id"].astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        return pa.Table.from_pandas(
+            out[["event_id", "user_id", "o_orderkey", "o_totalprice"]],
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    tagged = (
+        events.select_columns(["event_id", "user_id", "ts"])
+        .map_batches(_tag_events, batch_format="pyarrow")
+        .union(
+            orders.select_columns(
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+            ).map_batches(_tag_orders, batch_format="pyarrow")
+        )
+    )
+    return tagged.groupby("bucket").map_groups(_asof_bucket, batch_format="pandas")

@@ -310,6 +310,76 @@ def test_sessionize_gap_semantics(ray_session):
     assert out.iloc[1]["n_events"] == 1
 
 
+def test_hopping_window_membership(ray_session):
+    """Every event lands in exactly window/hop windows, each window
+    covers the event, and totals equal the tumbling aggregate's."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.events import hopping_window_agg
+
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    n = ev.count()
+    out = hopping_window_agg(ev, window_s=3600, hop_s=900).to_pandas()
+    assert out["n_events"].sum() == 4 * n
+    assert (out["window_start"] % 900 == 0).all()
+
+    # brute-force membership oracle on a single user slice
+    import pandas as pd
+
+    one = ev.filter(expr="user_id == 1").to_pandas()
+    sec = (one["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+    want = {}
+    for s in sec:
+        for k in range(4):
+            w = (s // 900 - k) * 900
+            assert w <= s < w + 3600
+            want[w] = want.get(w, 0) + 1
+    got = dict(
+        zip(
+            out[out["user_id"] == 1]["window_start"],
+            out[out["user_id"] == 1]["n_events"],
+        )
+    )
+    assert got == want
+
+
+def test_asof_join_semantics(ray_session):
+    """Backward as-of with exact-match inclusion, date-tie broken to the
+    max o_orderkey, and -1/-0.0 coalesce for unmatched events."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.events import asof_join_orders
+
+    ts = pd.to_datetime(
+        ["2026-01-10", "2026-01-01", "2025-01-01"]
+    )  # event 2 predates every order
+    ev = rd.from_pandas(
+        pd.DataFrame({"event_id": [10, 11, 12], "user_id": [1, 1, 1], "ts": ts})
+    )
+    od = pd.to_datetime(["2026-01-01", "2026-01-01", "2026-01-05"])
+    orders = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "o_orderkey": [7, 9, 8],
+                "o_custkey": [1, 1, 1],
+                "o_orderdate": od,
+                "o_totalprice": [70.0, 90.0, 80.0],
+            }
+        )
+    )
+    out = (
+        asof_join_orders(ev, orders)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[10, "o_orderkey"] == 8  # latest at/before 01-10
+    assert out.loc[11, "o_orderkey"] == 9  # exact-date match, tie -> max key
+    assert out.loc[12, "o_orderkey"] == -1  # no order yet
+    assert out.loc[12, "o_totalprice"] == 0.0
+
+
 def test_exact_dup_clusters(ray_session):
     """Content-hash pairs -> equality verify -> distributed CC: clusters
     equal the SQL window-min oracle, incl. schema-stable empty output."""
