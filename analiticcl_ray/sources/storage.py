@@ -68,14 +68,20 @@ def read_table(
                 "installed; pass fmt='parquet' or install pylance"
             )
         return ray.data.read_lance(path, columns=columns, **kwargs)
-    ds = ray.data.read_parquet(path, columns=columns, **kwargs)
-    # strip writer metadata (e.g. the b'pandas' blob pandas-written
-    # files carry): schemas with metadata are unhashable, which defeats
-    # Ray's reduce-side schema dedup; the strip is metadata-only
-    # (zero-copy)
-    return ds.map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
+    if "schema" not in kwargs:
+        # strip writer metadata (e.g. the b'pandas' blob pandas-written
+        # files carry) at the scan itself: schemas with metadata are
+        # unhashable, which defeats Ray's block-schema dedup in every
+        # downstream stage ("Failed to hash the schemas" warnings) —
+        # overriding the scan schema keeps every block metadata-free
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path, format="parquet").schema.remove_metadata()
+        if columns is not None:
+            schema = pa.schema([schema.field(c) for c in columns])
+        kwargs["schema"] = schema
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
 def write_table(

@@ -47,6 +47,7 @@ def run_bench() -> dict:
     from analiticcl_ray.pipelines import ann, events, text
     from analiticcl_ray.pipelines.dedup import dedup_pipeline
     from analiticcl_ray.sources.corpus import corpus_path
+    from analiticcl_ray.sources.storage import read_table
 
     queries: dict[str, float] = {}
 
@@ -55,7 +56,7 @@ def run_bench() -> dict:
     # warm the page cache so we measure compute+shuffle, not first read;
     # split the read into enough blocks to feed every core
     n_blocks = NUM_CPUS * 4
-    rd.read_parquet(path, override_num_blocks=n_blocks).count()
+    read_table(path, override_num_blocks=n_blocks).count()
     # best-of-N headline: the sandbox host shows ~2x run-to-run noise
     # from co-tenant load, so a single sample conflates engine speed
     # with whoever else is on the machine; min over repeats estimates
@@ -65,7 +66,7 @@ def run_bench() -> dict:
     for _ in range(max(1, n_reps)):
         t0 = time.perf_counter()
         pairs, clusters, metrics = dedup_pipeline(
-            rd.read_parquet(path, override_num_blocks=n_blocks),
+            read_table(path, override_num_blocks=n_blocks),
             signature_concurrency=(max(1, NUM_CPUS // 4), max(2, NUM_CPUS // 2)),
             verify_concurrency=(max(2, NUM_CPUS // 4), max(2, NUM_CPUS - 4)),
             verify_batch_size=4096,
@@ -88,9 +89,9 @@ def run_bench() -> dict:
             res.count()
         queries[name] = round(time.perf_counter() - t, 3)
 
-    docs = lambda: rd.read_parquet(f"{SF_DIR}/documents.parquet")
-    emb = lambda: rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
-    ev = lambda: rd.read_parquet(f"{SF_DIR}/events.parquet")
+    docs = lambda: read_table(f"{SF_DIR}/documents.parquet")
+    emb = lambda: read_table(f"{SF_DIR}/embeddings.parquet")
+    ev = lambda: read_table(f"{SF_DIR}/events.parquet")
 
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         result = {
