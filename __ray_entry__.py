@@ -274,6 +274,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         orders = read_table(f"{sf_dir}/orders.parquet")
         return events.asof_join_orders(ev, orders)
 
+    def range_join(sf_dir):
+        from analiticcl_ray.sources.storage import read_table
+
+        orders = read_table(f"{sf_dir}/orders.parquet")
+        return events.range_join_repeat_orders(orders, window_days=30)
+
     def find_variants(sf_dir):
         # lexicon = corpus token counts; queries = fixed typo'd forms of
         # frequent tokens (deterministic); reference find_variants scoring
@@ -413,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": sessions,
         "hopping_window_agg": hopping_window_agg,
         "asof_join": asof_join,
+        "range_join": range_join,
         "find_variants": find_variants,
         "search_correct": search_correct,
         "context_rules": context_rules,
@@ -1108,6 +1115,21 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN orders o
                 ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
+        """,
+        # interval self-join: repeat purchases by the same customer
+        # within 30 days; each unordered pair once (time-directional,
+        # date ties broken by key order)
+        "range_join": """
+            SELECT a.o_custkey,
+                   a.o_orderkey AS o_orderkey_a,
+                   b.o_orderkey AS o_orderkey_b,
+                   date_diff('day', a.o_orderdate, b.o_orderdate) AS gap_days
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND b.o_orderdate >= a.o_orderdate
+             AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+             AND (b.o_orderdate > a.o_orderdate
+                  OR a.o_orderkey < b.o_orderkey)
         """,
         "sessions": """
             WITH e AS (

@@ -174,6 +174,59 @@ def sessionize(
     )
 
 
+def _tag_events(batch: pa.Table) -> pa.Table:
+    """Events as the left side of a keyed temporal join: (key, t_us,
+    side=0) plus payload columns padded to the shared schema."""
+    t = pa.table(
+        {
+            "key": batch["user_id"],
+            "t_us": batch["ts"].cast(pa.int64()),
+            "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8()),
+            "event_id": batch["event_id"],
+            "okey": pa.array(
+                np.full(batch.num_rows, -1, dtype=np.int64), type=pa.int64()
+            ),
+            "price": pa.array(
+                np.zeros(batch.num_rows, dtype=np.float64), type=pa.float64()
+            ),
+        }
+    )
+    return bucket_by_keys(t, ["key"], _SESSION_COGROUPS)
+
+
+def _tag_orders(batch: pa.Table) -> pa.Table:
+    """Orders as the right side of a keyed temporal join (side=1)."""
+    t = pa.table(
+        {
+            "key": batch["o_custkey"],
+            "t_us": batch["o_orderdate"].cast(pa.int64()),
+            "side": pa.array(np.ones(batch.num_rows, dtype=np.int8), type=pa.int8()),
+            "event_id": pa.array(
+                np.full(batch.num_rows, -1, dtype=np.int64), type=pa.int64()
+            ),
+            "okey": batch["o_orderkey"],
+            "price": batch["o_totalprice"],
+        }
+    )
+    return bucket_by_keys(t, ["key"], _SESSION_COGROUPS)
+
+
+def _tagged_union(
+    events: "ray.data.Dataset", orders: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Both sides of an events⋈orders temporal join through ONE
+    bucket-hash shuffle (sides tagged, shared slim schema)."""
+    return (
+        events.select_columns(["event_id", "user_id", "ts"])
+        .map_batches(_tag_events, batch_format="pyarrow")
+        .union(
+            orders.select_columns(
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+            ).map_batches(_tag_orders, batch_format="pyarrow")
+        )
+    )
+
+
 def asof_join_orders(
     events: "ray.data.Dataset", orders: "ray.data.Dataset"
 ) -> "ray.data.Dataset":
@@ -193,42 +246,6 @@ def asof_join_orders(
     bigger inputs). Ties on order date are broken toward the highest
     o_orderkey — deterministic, matching the SQL oracle's
     ``ORDER BY o_orderdate DESC, o_orderkey DESC`` tie-break."""
-
-    def _tag_events(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "key": batch["user_id"],
-                "t_us": batch["ts"].cast(pa.int64()),
-                "side": pa.array(
-                    np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8()
-                ),
-                "event_id": batch["event_id"],
-                "okey": pa.array(
-                    np.full(batch.num_rows, -1, dtype=np.int64), type=pa.int64()
-                ),
-                "price": pa.array(
-                    np.zeros(batch.num_rows, dtype=np.float64), type=pa.float64()
-                ),
-            }
-        )
-        return bucket_by_keys(t, ["key"], _SESSION_COGROUPS)
-
-    def _tag_orders(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "key": batch["o_custkey"],
-                "t_us": batch["o_orderdate"].cast(pa.int64()),
-                "side": pa.array(
-                    np.ones(batch.num_rows, dtype=np.int8), type=pa.int8()
-                ),
-                "event_id": pa.array(
-                    np.full(batch.num_rows, -1, dtype=np.int64), type=pa.int64()
-                ),
-                "okey": batch["o_orderkey"],
-                "price": batch["o_totalprice"],
-            }
-        )
-        return bucket_by_keys(t, ["key"], _SESSION_COGROUPS)
 
     def _asof_bucket(group: pd.DataFrame) -> pa.Table:
         left = group[group["side"] == 0]
@@ -266,13 +283,88 @@ def asof_join_orders(
             preserve_index=False,
         ).replace_schema_metadata(None)
 
-    tagged = (
-        events.select_columns(["event_id", "user_id", "ts"])
-        .map_batches(_tag_events, batch_format="pyarrow")
-        .union(
-            orders.select_columns(
-                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
-            ).map_batches(_tag_orders, batch_format="pyarrow")
-        )
+    return (
+        _tagged_union(events, orders)
+        .groupby("bucket")
+        .map_groups(_asof_bucket, batch_format="pandas")
     )
-    return tagged.groupby("bucket").map_groups(_asof_bucket, batch_format="pandas")
+
+
+def range_join_repeat_orders(
+    orders: "ray.data.Dataset", window_days: int = 30
+) -> "ray.data.Dataset":
+    """RANGE (interval) self-join: every ordered pair of orders by the
+    same customer placed within ``window_days`` of each other — the
+    "repeat purchase within N days" analysis (inner semantics; pair
+    emitted once with key_a < key_b on date ties).
+
+    Ray Data has no range-join primitive; like the as-of join this
+    composes one: the single input rides ONE bucket-hash shuffle on the
+    join key, and inside each bucket a C-speed equi-``pd.merge`` on the
+    key produces per-key candidate pairs that one vectorized mask prunes
+    to the interval ``0 <= t_b - t_a <= window`` (ties resolved by
+    ``key_a < key_b`` so each unordered pair appears exactly once). The
+    within-bucket expansion is bounded by max-orders-per-customer², not
+    by bucket size — the partitioning assumption to document at scale: a
+    pathologically hot key needs its interval split into sub-ranges that
+    overlap by ``window`` (each date sub-range replica is exact by
+    construction)."""
+    win_us = int(window_days) * 86_400 * 1_000_000
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": batch["o_custkey"],
+                # unit-explicit: the absolute gap feeds the window test,
+                # so ns- vs us-carrying inputs must land on one unit
+                "t_us": batch["o_orderdate"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "okey": batch["o_orderkey"],
+            }
+        )
+        return bucket_by_keys(t, ["key"], _SESSION_COGROUPS)
+
+    empty = pa.table(
+        {
+            "o_custkey": pa.array([], type=pa.int64()),
+            "o_orderkey_a": pa.array([], type=pa.int64()),
+            "o_orderkey_b": pa.array([], type=pa.int64()),
+            "gap_days": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def _range_bucket(group: pd.DataFrame) -> pa.Table:
+        m = pd.merge(
+            group[["key", "t_us", "okey"]],
+            group[["key", "t_us", "okey"]],
+            on="key",
+            suffixes=("_a", "_b"),
+        )
+        ta = m["t_us_a"].to_numpy()
+        tb = m["t_us_b"].to_numpy()
+        gap = tb - ta
+        keep = (gap >= 0) & (gap <= win_us) & (
+            (gap > 0) | (m["okey_a"].to_numpy() < m["okey_b"].to_numpy())
+        )
+        m = m[keep]
+        if m.empty:
+            return empty
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "o_custkey": m["key"].astype("int64"),
+                    "o_orderkey_a": m["okey_a"].astype("int64"),
+                    "o_orderkey_b": m["okey_b"].astype("int64"),
+                    "gap_days": (gap[keep] // (86_400 * 1_000_000)).astype("int64"),
+                }
+            ),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    return (
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_range_bucket, batch_format="pandas")
+    )

@@ -61,7 +61,7 @@ def run_bench() -> dict:
     # from co-tenant load, so a single sample conflates engine speed
     # with whoever else is on the machine; min over repeats estimates
     # the unloaded wall time (repeats share one warm Ray session)
-    n_reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "2"))
+    n_reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "3"))
     headline = None
     for _ in range(max(1, n_reps)):
         t0 = time.perf_counter()
@@ -125,6 +125,21 @@ def run_bench() -> dict:
     timed("ann_topk", lambda: ann.cosine_topk(emb(), list(range(10)), 5))
     timed("ann_ivf_topk", lambda: ann.ivf_topk(emb(), list(range(10)), 5))
     timed("window_agg", lambda: events.tumbling_window_agg(ev()))
+    timed("hopping_window_agg", lambda: events.hopping_window_agg(ev()))
+
+    def _asof():
+        from analiticcl_ray.sources.storage import read_table as _rt
+
+        return events.asof_join_orders(ev(), _rt(f"{SF_DIR}/orders.parquet"))
+
+    timed("asof_join", _asof)
+
+    def _range():
+        from analiticcl_ray.sources.storage import read_table as _rt
+
+        return events.range_join_repeat_orders(_rt(f"{SF_DIR}/orders.parquet"))
+
+    timed("range_join", _range)
 
     def _dl():
         from analiticcl_ray.pipelines.dlpairs import dl_pairs

@@ -380,6 +380,37 @@ def test_asof_join_semantics(ray_session):
     assert out.loc[12, "o_totalprice"] == 0.0
 
 
+def test_range_join_semantics(ray_session):
+    """Interval self-join: inclusive 30-day bound, each unordered pair
+    exactly once (date ties by key order), cross-key isolation."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.events import range_join_repeat_orders
+
+    od = pd.to_datetime(
+        ["2026-01-01", "2026-01-31", "2026-02-05", "2026-01-01", "2026-01-10"]
+    )
+    orders = rd.from_pandas(
+        pd.DataFrame(
+            {
+                # cust 1: k1..k3 — (1,2) gap 30 in, (1,3) gap 35 out,
+                # (2,3) gap 5 in; cust 2: k4 same date as cust-1's k1
+                # (no cross-key pair), k5 gap 9 in; tie test: k6 shares
+                # k4's date -> (4,6) once, by key order
+                "o_orderkey": [1, 2, 3, 4, 5],
+                "o_custkey": [1, 1, 1, 2, 2],
+                "o_orderdate": od,
+            }
+        ).assign(o_totalprice=0.0)
+    )
+    out = range_join_repeat_orders(orders, window_days=30).to_pandas()
+    got = set(zip(out["o_orderkey_a"], out["o_orderkey_b"]))
+    assert got == {(1, 2), (2, 3), (4, 5)}
+    gaps = dict(zip(zip(out["o_orderkey_a"], out["o_orderkey_b"]), out["gap_days"]))
+    assert gaps[(1, 2)] == 30 and gaps[(2, 3)] == 5 and gaps[(4, 5)] == 9
+
+
 def test_exact_dup_clusters(ray_session):
     """Content-hash pairs -> equality verify -> distributed CC: clusters
     equal the SQL window-min oracle, incl. schema-stable empty output."""
