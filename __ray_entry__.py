@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def token_counts(sf_dir):
         return text.token_counts(_docs(sf_dir))
 
+    def cooccurrence_counts(sf_dir):
+        return text.cooccurrence_counts(_docs(sf_dir), window=3)
+
     def top_docs(sf_dir):
         # distributed sort + limit (deterministic total order)
         return text.top_docs(_docs(sf_dir), k=50)
@@ -388,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs": top_docs,
         "doc_label_join": doc_label_join,
         "token_counts": token_counts,
+        "cooccurrence_counts": cooccurrence_counts,
         "token_counts_re": token_counts_re,
         "anagram_groups": anagram_groups,
         "ngram_jaccard": ngram_jaccard,
@@ -752,6 +756,23 @@ def oracle_sql() -> dict[str, str]:
         "doc_label_join": f"""
             SELECT d.doc_id, {_NTOK} AS n_tokens, e.label
             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        """,
+        # skip-gram co-occurrence: unordered word pairs within 3
+        # positions inside a doc, corpus-wide instance counts
+        "cooccurrence_counts": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS word,
+                     generate_subscripts(
+                       regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT least(a.word, b.word) AS w1,
+                   greatest(a.word, b.word) AS w2,
+                   count(*) AS cnt
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+            GROUP BY 1, 2
         """,
         "token_counts": """
             SELECT token, count(*) AS cnt

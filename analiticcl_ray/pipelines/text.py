@@ -412,6 +412,77 @@ def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def cooccurrence_counts(
+    docs: "ray.data.Dataset", window: int = 3
+) -> "ray.data.Dataset":
+    """Skip-gram co-occurrence counts (word-embedding training prep):
+    for every unordered word pair within ``window`` positions inside a
+    document, the corpus-wide count of such co-occurrence instances
+    (equal-word pairs from repeats included).
+
+    Shape: the within-window pair expansion is a per-batch numpy shift
+    (positions i and i+d share a doc iff their doc indices match — no
+    per-doc Python loop), counted into a partial (w1, w2, cnt) table
+    per block (the combiner), then merged through the same small-
+    aggregate bucket cogroup as ``token_counts``. Only pre-aggregated
+    pair partials cross the wire — the per-position explosion never
+    shuffles, which is what keeps this linear-bandwidth at corpus
+    scale."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat = oracle_tokens(batch["text"].to_pandas()).explode().dropna()
+        words = flat.to_numpy(dtype=object)
+        docix = flat.index.to_numpy()
+        los, his = [], []
+        for d in range(1, window + 1):
+            if d >= len(words):
+                break
+            same = docix[d:] == docix[:-d]
+            a, b = words[:-d][same], words[d:][same]
+            swap = a > b  # object-dtype elementwise compare
+            lo, hi = a.copy(), b.copy()
+            lo[swap], hi[swap] = b[swap], a[swap]
+            los.append(lo)
+            his.append(hi)
+        if not los:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        vc = pd.DataFrame(
+            {"w1": np.concatenate(los), "w2": np.concatenate(his)}
+        ).value_counts(sort=False)
+        idx = vc.index
+        return pa.table(
+            {
+                "w1": pa.array(idx.get_level_values(0).to_numpy(dtype=object)),
+                "w2": pa.array(idx.get_level_values(1).to_numpy(dtype=object)),
+                "cnt": pa.array(vc.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def _merge(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.groupby(["w1", "w2"], sort=False)
+            .agg(cnt=("cnt", "sum"))
+            .reset_index()
+        )
+        return _pa_clean(out)
+
+    return (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["w1", "w2"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
 #: BPE-style pre-tokenizer classes (letters / digits / single symbol) —
 #: ASCII-only and lookahead-free so Python re and DuckDB's RE2
 #: (regexp_extract_all) produce identical token streams. The whitespace

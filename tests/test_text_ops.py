@@ -380,6 +380,32 @@ def test_asof_join_semantics(ray_session):
     assert out.loc[12, "o_totalprice"] == 0.0
 
 
+def test_cooccurrence_window_semantics(ray_session):
+    """Window-3 unordered pair counts vs a brute-force per-doc oracle,
+    incl. repeat-word self-pairs and cross-doc isolation."""
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import cooccurrence_counts
+
+    texts = ["a b a c", "c c d", "x"]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    )
+    want = Counter()
+    for t in texts:
+        ws = t.split()
+        for i in range(len(ws)):
+            for d in range(1, 4):
+                if i + d < len(ws):
+                    want[tuple(sorted((ws[i], ws[i + d])))] += 1
+    out = cooccurrence_counts(docs, window=3).to_pandas()
+    got = {(r.w1, r.w2): r.cnt for r in out.itertuples()}
+    assert got == dict(want)
+
+
 def test_range_join_semantics(ray_session):
     """Interval self-join: inclusive 30-day bound, each unordered pair
     exactly once (date ties by key order), cross-key isolation."""
