@@ -114,6 +114,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed sort + limit (deterministic total order)
         return text.top_docs(_docs(sf_dir), k=50)
 
+    def top_docs_per_lang(sf_dir):
+        # group-wise top-k (windowed rank) via per-batch combiner +
+        # one group-bucket cogroup
+        return text.top_docs_per_group(_docs(sf_dir), k=5, group_col="lang")
+
     def doc_label_join(sf_dir):
         # broadcast hash join of doc stats with the embeddings table
         emb = _emb(sf_dir)
@@ -389,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": quality_filter,
         "quality_signals": quality_signals,
         "top_docs": top_docs,
+        "top_docs_per_lang": top_docs_per_lang,
         "doc_label_join": doc_label_join,
         "token_counts": token_counts,
         "cooccurrence_counts": cooccurrence_counts,
@@ -773,6 +779,18 @@ def oracle_sql() -> dict[str, str]:
             FROM tok a JOIN tok b
               ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
             GROUP BY 1, 2
+        """,
+        # group-wise top-k: 5 longest docs per language, ties to the
+        # smaller doc_id
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 5
         """,
         "token_counts": """
             SELECT token, count(*) AS cnt

@@ -338,6 +338,51 @@ def top_docs(docs: "ray.data.Dataset", k: int = 50) -> "ray.data.Dataset":
     )
 
 
+def top_docs_per_group(
+    docs: "ray.data.Dataset", k: int = 5, group_col: str = "lang"
+) -> "ray.data.Dataset":
+    """Group-wise top-k: the k longest documents (by n_chars desc,
+    doc_id asc tie-break) per group — the windowed-rank primitive Ray
+    Data lacks.
+
+    Shape: a per-batch partial top-k per group (the combiner — at most
+    k rows per (block, group) ever shuffle) feeds ONE group-bucket
+    cogroup where a C-speed sort + ``groupby.head(k)`` picks the final
+    winners. No global sort: the shuffle volume is k x n_groups x
+    n_blocks rows, independent of corpus size."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", group_col, "n_chars"]).to_pandas()
+        out = (
+            df.sort_values(
+                ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+            )
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+        return _pa_clean(out)
+
+    def _final(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.sort_values(
+                ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+            )
+            .groupby(group_col, sort=False)
+            .head(k)[["doc_id", group_col, "n_chars"]]
+        )
+        return _pa_clean(out)
+
+    return (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bucket_by_keys(t, [group_col], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
 def doc_label_join(
     docs: "ray.data.Dataset", embeddings: "ray.data.Dataset"
 ) -> "ray.data.Dataset":

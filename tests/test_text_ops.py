@@ -380,6 +380,40 @@ def test_asof_join_semantics(ray_session):
     assert out.loc[12, "o_totalprice"] == 0.0
 
 
+def test_top_docs_per_group_combiner(ray_session):
+    """Group-wise top-k stays exact when groups span many blocks (the
+    per-block partial must not drop a global winner) and on ties."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import top_docs_per_group
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "lang": ["a" if i % 2 == 0 else "b" for i in range(100)],
+            "n_chars": [i // 2 for i in range(100)],  # pairwise ties
+        }
+    )
+    out = top_docs_per_group(
+        rd.from_pandas(df).repartition(10), k=3, group_col="lang"
+    ).to_pandas()
+    want = (
+        df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("lang")
+        .head(3)
+    )
+    assert (
+        out.sort_values(["lang", "doc_id"]).reset_index(drop=True)[
+            ["doc_id", "lang", "n_chars"]
+        ].equals(
+            want.sort_values(["lang", "doc_id"]).reset_index(drop=True)[
+                ["doc_id", "lang", "n_chars"]
+            ]
+        )
+    )
+
+
 def test_cooccurrence_window_semantics(ray_session):
     """Window-3 unordered pair counts vs a brute-force per-doc oracle,
     incl. repeat-word self-pairs and cross-doc isolation."""
