@@ -79,6 +79,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def exact_dedup(sf_dir):
         return text.exact_dedup(_docs(sf_dir))
 
+    def normalized_dedup(sf_dir):
+        return text.normalized_dedup(_docs(sf_dir))
+
+    def incremental_dedup(sf_dir):
+        # snapshot = even doc_ids (the "already-deduped corpus"),
+        # incoming = odd doc_ids (the "new crawl"); flag incoming docs
+        # whose text already exists in the snapshot.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _half(parity):
+            def _f(t):
+                keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), parity)
+                return t.filter(keep).replace_schema_metadata(None)
+
+            return _f
+
+        docs = _docs(sf_dir)
+        snapshot = docs.map_batches(_half(0), batch_format="pyarrow")
+        incoming = docs.map_batches(_half(1), batch_format="pyarrow")
+        ds = text.incremental_dedup(incoming, snapshot)
+        if ds.count() == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "snap_rep": pa.array([], pa.int64())}
+            )
+        return ds
+
     def exact_dup_clusters(sf_dir):
         # content-hash pairs -> equality verify -> distributed CC; the
         # SQL-checkable slice of the clustering path. Ray drops empty
@@ -109,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def cooccurrence_counts(sf_dir):
         return text.cooccurrence_counts(_docs(sf_dir), window=3)
+
+    def inverted_index(sf_dir):
+        return text.inverted_index(_docs(sf_dir))
 
     def top_docs(sf_dir):
         # distributed sort + limit (deterministic total order)
@@ -389,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "exact_dedup": exact_dedup,
+        "normalized_dedup": normalized_dedup,
+        "incremental_dedup": incremental_dedup,
         "exact_dup_clusters": exact_dup_clusters,
         "doc_stats": doc_stats,
         "quality_filter": quality_filter,
@@ -398,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_label_join": doc_label_join,
         "token_counts": token_counts,
         "cooccurrence_counts": cooccurrence_counts,
+        "inverted_index": inverted_index,
         "token_counts_re": token_counts_re,
         "anagram_groups": anagram_groups,
         "ngram_jaccard": ngram_jaccard,
@@ -684,6 +718,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT text, min(doc_id) AS rep_id, count(*) AS n_dups
             FROM documents GROUP BY text
         """,
+        # case/punctuation fold: lower -> collapse non-[a-z0-9] runs to
+        # one space -> trim (mirrors text.fold_text exactly)
+        "normalized_dedup": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS norm_text
+              FROM documents
+            )
+            SELECT norm_text, min(doc_id) AS rep_id, count(*) AS n_dups
+            FROM n GROUP BY norm_text
+        """,
+        # incoming (odd ids) deduped against the snapshot (even ids):
+        # exact text semi-join, rep = smallest matching snapshot id
+        "incremental_dedup": """
+            SELECT d.doc_id, min(s.doc_id) AS snap_rep
+            FROM documents d JOIN documents s ON d.text = s.text
+            WHERE d.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+            GROUP BY d.doc_id
+        """,
         "exact_dup_clusters": """
             WITH g AS (
               SELECT text, min(doc_id) AS cluster_id, count(*) AS n
@@ -791,6 +845,19 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM documents
             ) WHERE rn <= 5
+        """,
+        # inverted index: token -> sorted distinct doc-id postings
+        # (canonical comma-joined string)
+        "inverted_index": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT token, count(*) AS n_docs,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM tok GROUP BY token
         """,
         "token_counts": """
             SELECT token, count(*) AS cnt

@@ -338,6 +338,52 @@ def top_docs(docs: "ray.data.Dataset", k: int = 50) -> "ray.data.Dataset":
     )
 
 
+def inverted_index(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Token -> posting list over the corpus (search-index build): per
+    token, the count of containing documents and the sorted distinct
+    doc-id postings (comma-joined canonical string — engine-portable
+    and hash-comparable; a list column would hash differently between
+    Arrow and SQL engines).
+
+    Shape: per-batch (token, doc_id) distinct pairs (the combiner — a
+    token repeated inside a doc ships once per block), ONE token-bucket
+    cogroup, and a C-speed per-bucket groupby that sorts + joins each
+    posting list. Postings are per-token-sized: the hot-key concern at
+    corpus scale is a stop-word token whose posting string is the
+    corpus itself — cap or drop df > threshold tokens upstream
+    (quality pipelines never index stop-words)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = oracle_tokens(batch["text"].to_pandas())
+        ids = batch["doc_id"].to_pandas()
+        flat = toks.explode().dropna()
+        df = pd.DataFrame(
+            {"token": flat.to_numpy(dtype=object),
+             "doc_id": ids.take(flat.index).to_numpy()}
+        ).drop_duplicates()
+        return _pa_clean(df)
+
+    def _merge(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["token", "doc_id"]).sort_values(
+            ["token", "doc_id"], kind="mergesort"
+        )
+        agg = g.groupby("token", sort=False)["doc_id"].agg(
+            n_docs="size", postings=lambda s: ",".join(map(str, s))
+        ).reset_index()
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        return _pa_clean(agg)
+
+    return (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["token"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
 def top_docs_per_group(
     docs: "ray.data.Dataset", k: int = 5, group_col: str = "lang"
 ) -> "ray.data.Dataset":
@@ -2363,4 +2409,254 @@ def column_quantiles(
                 "value": pa.array(out_v, pa.int64()),
             }
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# normalization-folded exact dedup
+# ---------------------------------------------------------------------
+
+#: the fold the oracle applies: lower -> collapse every non-[a-z0-9] run
+#: to one space -> trim spaces. RE2's '[^a-z0-9]' and Python re agree
+#: codepoint-for-codepoint on this ASCII class.
+_NORM_FOLD_RX = re.compile(r"[^a-z0-9]+")
+
+
+def fold_text(s: pd.Series) -> pd.Series:
+    """Case/punctuation fold used by [[normalized_dedup]]: bit-identical
+    to DuckDB ``trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))``
+    (every non-[a-z0-9] codepoint — including all non-ASCII — collapses
+    to a space). One divergence pre-folded: U+0130 İ is the single
+    codepoint whose Python full-mapping lower() EXPANDS ('i' +
+    combining dot -> two runs -> a spurious space) while DuckDB's
+    simple mapping gives 'i'; map it to 'i' first (probed empirically,
+    test_fold_text_matches_duckdb)."""
+    return (
+        s.fillna("")
+        .str.replace("İ", "i", regex=False)
+        .str.lower()
+        .str.replace(_NORM_FOLD_RX, " ", regex=True)
+        .str.strip(" ")
+    )
+
+
+def normalized_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact dedup after case/punctuation folding — the cheap
+    text-canonicalization dedup every web-scale pipeline runs between
+    byte-exact dedup and MinHash (catches 'Hello, World!' vs
+    'hello world'). Same shuffle shape as [[exact_dedup]]: per-block
+    combiner on the folded key, one key-bucket cogroup, C-speed merge;
+    shuffle volume = distinct folded keys per block, never corpus rows."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        df["norm_text"] = fold_text(df["text"])
+        g = (
+            df.groupby("norm_text", sort=False)["doc_id"]
+            .agg(["min", "count"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "norm_text": pa.array(g["norm_text"], pa.string()),
+                "rep_id": pa.array(g["min"], pa.int64()),
+                "n_dups": pa.array(g["count"], pa.int64()),
+            }
+        )
+
+    def _merge(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.groupby("norm_text", sort=False)
+            .agg(rep_id=("rep_id", "min"), n_dups=("n_dups", "sum"))
+            .reset_index()
+        )
+        return _pa_clean(out)
+
+    return (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["norm_text"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------
+# incremental (snapshot) dedup — distributed Bloom prefilter + exact
+# hash-bucket semi-join
+# ---------------------------------------------------------------------
+
+_BLOOM_CHUNK_BYTES = 4096
+
+
+def _bloom_indices(texts: np.ndarray, m_bits: int) -> np.ndarray:
+    """Two deterministic bit positions per text (k=2 Bloom hashes):
+    pandas' fixed-key vectorized siphash, then its splitmix64 remix —
+    identical across workers and processes."""
+    h1 = pd.util.hash_array(texts, categorize=False)
+    with np.errstate(over="ignore"):
+        h2 = splitmix64(h1)
+    return np.concatenate([h1 % _U64(m_bits), h2 % _U64(m_bits)])
+
+
+def text_bloom(ds: "ray.data.Dataset", m_bits: int = 1 << 23) -> np.ndarray:
+    """Build a Bloom filter over ``text`` distributed: each block emits
+    only its TOUCHED 4-KiB bitmap chunks (sparse — a block with 10k
+    distinct texts touches ≤20k chunks' worth of bits, usually far
+    fewer chunks), chunks OR-merge in a groupby, and the driver
+    assembles ≤ m_bits/32768 small rows into the final byte array.
+    Shuffle volume is O(blocks × touched_chunks), never corpus rows;
+    the result is fixed-size (m_bits/8 bytes) regardless of input."""
+    n_chunks = (m_bits // 8 + _BLOOM_CHUNK_BYTES - 1) // _BLOOM_CHUNK_BYTES
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch["text"].to_pandas().to_numpy()
+        idx = _bloom_indices(t, m_bits)
+        byte = (idx >> _U64(3)).astype(np.int64)
+        bit = np.left_shift(
+            np.uint8(1), (idx & _U64(7)).astype(np.uint8), dtype=np.uint8
+        )
+        chunk = byte // _BLOOM_CHUNK_BYTES
+        chunks, bits_out = [], []
+        for c in np.unique(chunk):
+            sel = chunk == c
+            buf = np.zeros(_BLOOM_CHUNK_BYTES, dtype=np.uint8)
+            np.bitwise_or.at(
+                buf, byte[sel] - int(c) * _BLOOM_CHUNK_BYTES, bit[sel]
+            )
+            chunks.append(int(c))
+            bits_out.append(buf.tobytes())
+        return pa.table(
+            {
+                "chunk": pa.array(chunks, pa.int64()),
+                "bits": pa.array(bits_out, pa.binary()),
+            }
+        )
+
+    def _merge(group: pd.DataFrame) -> pa.Table:
+        acc = np.bitwise_or.reduce(
+            np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in group["bits"]]
+            )
+        )
+        return pa.table(
+            {
+                "chunk": pa.array(group["chunk"].iloc[:1].to_numpy(), pa.int64()),
+                "bits": pa.array([acc.tobytes()], pa.binary()),
+            }
+        )
+
+    rows = (
+        ds.select_columns(["text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(_merge, batch_format="pandas")
+        .take_all()  # <= n_chunks fixed-size rows, never corpus-sized
+    )
+    bloom = np.zeros(n_chunks * _BLOOM_CHUNK_BYTES, dtype=np.uint8)
+    for r in rows:
+        c = int(r["chunk"])
+        bloom[c * _BLOOM_CHUNK_BYTES:(c + 1) * _BLOOM_CHUNK_BYTES] = (
+            np.frombuffer(r["bits"], dtype=np.uint8)
+        )
+    return bloom
+
+
+def bloom_probe(
+    ds: "ray.data.Dataset", bloom_ref, m_bits: int
+) -> "ray.data.Dataset":
+    """Keep only rows whose text MIGHT be in the Bloom filter (no false
+    negatives — exactness is restored by the exact join downstream).
+    ``bloom_ref`` is a ``ray.put`` handle; workers read the numpy array
+    zero-copy from the object store."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bloom = _ray.get(bloom_ref)
+        t = batch["text"].to_pandas().to_numpy()
+        idx = _bloom_indices(t, m_bits)
+        hit2 = (
+            bloom[(idx >> _U64(3)).astype(np.int64)]
+            >> (idx & _U64(7)).astype(np.uint8)
+        ) & np.uint8(1)
+        keep = hit2[: len(t)].astype(bool) & hit2[len(t):].astype(bool)
+        return batch.filter(pa.array(keep)).replace_schema_metadata(None)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def incremental_dedup(
+    incoming: "ray.data.Dataset",
+    snapshot: "ray.data.Dataset",
+    m_bits: int = 1 << 23,
+    n_buckets: int = _MERGE_COGROUPS,
+) -> "ray.data.Dataset":
+    """Incremental corpus dedup: flag incoming documents whose exact
+    text already exists in a previously-deduped snapshot corpus — the
+    every-crawl-cycle operation of a production training-data pipeline
+    (dedup the new crawl AGAINST the corpus, not just within itself).
+
+    Returns (doc_id, snap_rep): each duplicated incoming doc with the
+    smallest snapshot doc_id holding the same text.
+
+    Shape: (1) build a fixed-size Bloom filter over the snapshot texts
+    distributed (see [[text_bloom]]) and broadcast it once via
+    ``ray.put``; (2) Bloom-probe the incoming side — at web scale the
+    overwhelming majority of new docs are NOT dups of the snapshot, so
+    this drops almost every row before any shuffle, at zero false
+    negatives; (3) build a second Bloom over the (now tiny) surviving
+    incoming texts and probe the SNAPSHOT side with it, so the huge
+    side also never enters the shuffle in bulk; (4) exact semi-join of
+    the two survivor sets in ONE text-hash bucket cogroup (both sides
+    tagged, C-speed in-bucket isin+map). Bloom false positives are
+    eliminated by step 4; recall is exact because Blooms have no false
+    negatives."""
+    import ray as _ray
+
+    snap_bloom = _ray.put(text_bloom(snapshot, m_bits))
+    inc_hits = bloom_probe(
+        incoming.select_columns(["doc_id", "text"]), snap_bloom, m_bits
+    ).materialize()  # survivor set: |dups| + fp rows, tiny vs corpus
+
+    inc_bloom = _ray.put(text_bloom(inc_hits, m_bits))
+    snap_hits = bloom_probe(
+        snapshot.select_columns(["doc_id", "text"]), inc_bloom, m_bits
+    )
+
+    def _tag(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side",
+                pa.array(np.full(len(batch), side, dtype=np.int8), pa.int8()),
+            ).replace_schema_metadata(None)
+
+        return _f
+
+    both = snap_hits.map_batches(_tag(0), batch_format="pyarrow").union(
+        inc_hits.map_batches(_tag(1), batch_format="pyarrow")
+    )
+
+    def _join(group: pd.DataFrame) -> pa.Table:
+        snap = group[group["side"] == 0].groupby("text")["doc_id"].min()
+        inc = group[group["side"] == 1]
+        hit = inc[inc["text"].isin(snap.index)]
+        return _pa_clean(
+            pd.DataFrame(
+                {
+                    "doc_id": hit["doc_id"].to_numpy(dtype=np.int64),
+                    "snap_rep": hit["text"].map(snap).to_numpy(dtype=np.int64),
+                }
+            )
+        )
+
+    return (
+        both.map_batches(
+            lambda t: bucket_by_keys(t, ["text"], n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_join, batch_format="pandas")
     )

@@ -1067,3 +1067,106 @@ def test_semantic_keep_matches_clusters(emb):
     for vid, k in got.items():
         if vid not in clustered:
             assert k
+
+
+def test_fold_text_matches_duckdb():
+    """fold_text == DuckDB trim(regexp_replace(lower(x),'[^a-z0-9]+',' ','g'))
+    on tricky inputs (Unicode case mapping, NBSP, digits, empties)."""
+    import duckdb
+    import pandas as pd
+
+    from analiticcl_ray.pipelines.text import fold_text
+
+    cases = [
+        "Hello, World!", "  MIXED-case_42  ", "", "   ", "!!!",
+        "Ångström Über STRASSE ß", "İstanbul", "a b c",
+        "tabs\tand\nnewlines", "ALL CAPS 99", "émigré café", "ΣΙΓΜΑ Σ ς",
+    ]
+    got = fold_text(pd.Series(cases, dtype=object)).tolist()
+    con = duckdb.connect()
+    df = pd.DataFrame({"x": cases})
+    want = con.execute(
+        "SELECT trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g')) FROM df"
+    ).fetchall()
+    con.close()
+    assert got == [w[0] for w in want]
+
+
+def test_normalized_dedup_folds_case_and_punct(ray_session):
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import normalized_dedup
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 10, "text": "Hello, World!"},
+            {"doc_id": 3, "text": "hello world"},
+            {"doc_id": 7, "text": "HELLO   world..."},
+            {"doc_id": 5, "text": "something else"},
+        ]
+    )
+    out = normalized_dedup(ds).to_pandas().set_index("norm_text")
+    assert out.loc["hello world", "rep_id"] == 3
+    assert out.loc["hello world", "n_dups"] == 3
+    assert out.loc["something else", "n_dups"] == 1
+
+
+def test_incremental_dedup_exact_semi_join(ray_session):
+    """Brute-force parity on a corpus with planted cross-side dups, at a
+    deliberately tiny Bloom (m_bits=256 for ~200 distinct keys, k=2) so
+    false positives are ~guaranteed — the exact join must remove every
+    one; Bloom no-false-negatives keeps recall exact."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import incremental_dedup
+
+    rng = np.random.default_rng(7)
+    texts = [f"doc body {i}" for i in range(100)]
+    snap = pd.DataFrame(
+        {"doc_id": np.arange(0, 200, 2, dtype=np.int64),
+         "text": [texts[rng.integers(0, 100)] for _ in range(100)]}
+    )
+    # incoming: half planted dups of snapshot texts, half fresh
+    inc_texts = [texts[rng.integers(0, 100)] for _ in range(50)] + [
+        f"fresh text {i}" for i in range(50)
+    ]
+    rng.shuffle(inc_texts)
+    inc = pd.DataFrame(
+        {"doc_id": np.arange(1, 201, 2, dtype=np.int64), "text": inc_texts}
+    )
+
+    got = (
+        incremental_dedup(
+            rd.from_pandas(inc), rd.from_pandas(snap), m_bits=256
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        inc.merge(snap, on="text", suffixes=("", "_s"))
+        .groupby("doc_id", as_index=False)["doc_id_s"].min()
+        .rename(columns={"doc_id_s": "snap_rep"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0  # the plant worked
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_text_bloom_no_false_negatives(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import bloom_probe, text_bloom
+    import ray
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(64, dtype=np.int64),
+         "text": [f"member {i}" for i in range(64)]}
+    )
+    ds = rd.from_pandas(df)
+    bloom = ray.put(text_bloom(ds, m_bits=1 << 14))
+    kept = bloom_probe(ds, bloom, 1 << 14).to_pandas()
+    assert len(kept) == 64  # every member passes its own filter
