@@ -82,6 +82,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def normalized_dedup(sf_dir):
         return text.normalized_dedup(_docs(sf_dir))
 
+    def source_mix(sf_dir):
+        return text.source_mix(_docs(sf_dir))
+
+    def dup_ngram_fraction(sf_dir):
+        return text.dup_ngram_fraction(_docs(sf_dir), n=3)
+
     def incremental_dedup(sf_dir):
         # snapshot = even doc_ids (the "already-deduped corpus"),
         # incoming = odd doc_ids (the "new crawl"); flag incoming docs
@@ -421,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": exact_dedup,
         "normalized_dedup": normalized_dedup,
+        "source_mix": source_mix,
+        "dup_ngram_fraction": dup_ngram_fraction,
         "incremental_dedup": incremental_dedup,
         "exact_dup_clusters": exact_dup_clusters,
         "doc_stats": doc_stats,
@@ -729,6 +737,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT norm_text, min(doc_id) AS rep_id, count(*) AS n_dups
             FROM n GROUP BY norm_text
+        """,
+        # domain-mixing table: per-source doc/token mass + proportional
+        # sampling weight (single exact-int division, like doc_stats)
+        "source_mix": f"""
+            WITH s AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_tokens,
+                   n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM s) AS weight
+            FROM s
+        """,
+        # per-doc duplicated word-3-gram fraction (distinct grams; a
+        # gram is shared if >= 2 docs contain it)
+        "dup_ngram_fraction": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS word,
+                     generate_subscripts(
+                       regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+              FROM documents WHERE trim(text) <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT a.doc_id,
+                     a.word || ' ' || b.word || ' ' || c.word AS gram
+              FROM tok a
+              JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            ),
+            df AS (SELECT gram, count(*) AS nd FROM grams GROUP BY gram)
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared,
+                   CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS shared_frac
+            FROM grams g JOIN df USING (gram)
+            GROUP BY g.doc_id
         """,
         # incoming (odd ids) deduped against the snapshot (even ids):
         # exact text semi-join, rep = smallest matching snapshot id

@@ -2660,3 +2660,125 @@ def incremental_dedup(
         .groupby("bucket")
         .map_groups(_join, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------
+# domain mixing weights (per-source token mass)
+# ---------------------------------------------------------------------
+
+def source_mix(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source document counts, token totals, and the proportional
+    sampling weight (n_tokens / corpus total) — the table a pretraining
+    run's domain-mixture sampler is configured from. Per-block combiner
+    -> one tiny groupby over |distinct sources| keys; the final weight
+    division happens on the (source-count-sized) result."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["source", "text"]).to_pandas()
+        ntok = oracle_tokens(df["text"]).str.len().astype(np.int64)
+        g = (
+            pd.DataFrame({"source": df["source"], "n": ntok})
+            .groupby("source", sort=False)
+            .agg(n_docs=("n", "size"), n_tokens=("n", "sum"))
+            .reset_index()
+        )
+        return _pa_clean(g)
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_docs", "n_tokens"])
+        .to_pandas()  # |distinct sources| rows only
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(n_tokens)": "n_tokens"})
+    )
+    total = int(agg["n_tokens"].sum())
+    agg["weight"] = agg["n_tokens"].astype(np.float64) / float(total)
+    return ray.data.from_arrow(_pa_clean(agg))
+
+
+# ---------------------------------------------------------------------
+# per-doc duplicated-n-gram fraction (corpus-internal contamination)
+# ---------------------------------------------------------------------
+
+def _word_ngram_doc_pairs(batch: pa.Table, n: int) -> pd.DataFrame:
+    """Distinct (gram, doc_id) pairs for word n-grams, fully vectorized:
+    explode the token lists once, then join n shifted views masked to
+    same-document runs (no per-row Python loop)."""
+    flat = oracle_tokens(batch["text"].to_pandas()).explode().dropna()
+    ids = batch["doc_id"].to_pandas()
+    words = flat.to_numpy(dtype=object)
+    rowpos = flat.index.to_numpy()
+    if len(words) < n:
+        return pd.DataFrame({"gram": [], "doc_id": []})
+    same = rowpos[: len(rowpos) - n + 1] == rowpos[n - 1:]
+    gram = words[: len(words) - n + 1].copy()
+    for k in range(1, n):
+        gram = gram + " "
+        gram = gram + words[k: len(words) - n + 1 + k]
+    return pd.DataFrame(
+        {
+            "gram": gram[same],
+            "doc_id": ids.take(rowpos[: len(rowpos) - n + 1][same]).to_numpy(),
+        }
+    ).drop_duplicates()
+
+
+def dup_ngram_fraction(
+    docs: "ray.data.Dataset", n: int = 3, n_buckets: int = _MERGE_COGROUPS
+) -> "ray.data.Dataset":
+    """For every document: how much of it is repeated elsewhere in the
+    corpus? Per doc, the count of its DISTINCT word ``n``-grams, the
+    count of those appearing in >= 2 documents, and the shared
+    fraction — the Lee et al. 2022-style signal a dedup policy
+    thresholds on (docs that are mostly recombinations of corpus-common
+    spans).
+
+    Shape: distinct (gram, doc) pairs per block (combiner), ONE
+    gram-bucket cogroup (each gram lives in exactly one bucket, so
+    in-bucket document frequencies are global), per-bucket per-doc
+    partial tallies, then a native doc_id groupby-sum of two ints —
+    shuffle volume is distinct pairs, then |docs per bucket| rows."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return _pa_clean(_word_ngram_doc_pairs(batch, n))
+
+    def _bucket_tally(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["gram", "doc_id"])
+        shared = g.groupby("gram", sort=False)["doc_id"].transform("size") >= 2
+        out = (
+            pd.DataFrame({"doc_id": g["doc_id"], "sh": shared})
+            .groupby("doc_id", sort=False)
+            .agg(n_grams=("sh", "size"), n_shared=("sh", "sum"))
+            .reset_index()
+        )
+        out["n_grams"] = out["n_grams"].astype(np.int64)
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return _pa_clean(out)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        ng = batch["sum(n_grams)"].to_numpy()
+        ns = batch["sum(n_shared)"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(ng, pa.int64()),
+                "n_shared": pa.array(ns, pa.int64()),
+                "shared_frac": pa.array(
+                    ns.astype(np.float64) / ng.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["gram"], n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_bucket_tally, batch_format="pandas")
+        .groupby("doc_id")
+        .sum(["n_grams", "n_shared"])
+        .map_batches(_finish, batch_format="pyarrow")
+    )

@@ -1170,3 +1170,55 @@ def test_text_bloom_no_false_negatives(ray_session):
     bloom = ray.put(text_bloom(ds, m_bits=1 << 14))
     kept = bloom_probe(ds, bloom, 1 << 14).to_pandas()
     assert len(kept) == 64  # every member passes its own filter
+
+
+def test_source_mix_weights(docs):
+    from analiticcl_ray.pipelines.text import oracle_tokens, source_mix
+
+    out = source_mix(docs).to_pandas().set_index("source")
+    pdf = docs.to_pandas()
+    ntok = oracle_tokens(pdf["text"]).str.len()
+    want = pdf.assign(n=ntok).groupby("source")["n"].agg(["size", "sum"])
+    assert abs(out["weight"].sum() - 1.0) < 1e-12
+    for src, row in want.iterrows():
+        assert out.loc[src, "n_docs"] == row["size"]
+        assert out.loc[src, "n_tokens"] == row["sum"]
+        assert out.loc[src, "weight"] == row["sum"] / want["sum"].sum()
+
+
+def test_dup_ngram_fraction_brute_force(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import dup_ngram_fraction
+
+    rows = [
+        {"doc_id": 1, "text": "a b c d e"},        # grams abc bcd cde
+        {"doc_id": 2, "text": "a b c x y"},        # shares 'a b c' with 1
+        {"doc_id": 3, "text": "q r s t"},          # unique
+        {"doc_id": 4, "text": "a b c d e"},        # exact dup of 1
+        {"doc_id": 5, "text": "xx yy"},            # < n tokens: no rows
+    ]
+    got = (
+        dup_ngram_fraction(rd.from_items(rows), n=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # brute force
+    grams = {}
+    for r in rows:
+        t = r["text"].split()
+        gs = {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+        if gs:
+            grams[r["doc_id"]] = gs
+    df = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    assert sorted(got.index) == sorted(grams)
+    for d, gs in grams.items():
+        sh = sum(df[g] >= 2 for g in gs)
+        assert got.loc[d, "n_grams"] == len(gs)
+        assert got.loc[d, "n_shared"] == sh
+        assert got.loc[d, "shared_frac"] == sh / len(gs)
