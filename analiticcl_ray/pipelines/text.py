@@ -47,18 +47,29 @@ _MERGE_COGROUPS = 256
 #: against DuckDB 1.x: regexp_split_to_array('a\xa0b','\s+') -> 1 field.
 _DUCK_WS = r"[\t\n\f\r ]+"
 
+#: what DuckDB's default ``trim()`` strips: exactly the Unicode Zs
+#: (space-separator) category — probed exhaustively over the BMP
+#: against a live DuckDB (test_oracle_parity.py); no Zs codepoints
+#: exist outside the BMP.
+_DUCK_TRIM = "\x20\xa0\u1680" + "".join(
+    map(chr, range(0x2000, 0x200B))
+) + "\u202f\u205f\u3000"
+
 
 def oracle_tokens(s: pd.Series) -> pd.Series:
     """Tokenize a text Series EXACTLY as the DuckDB oracle expression
     ``CASE WHEN trim(text)='' THEN [] ELSE
-    regexp_split_to_array(trim(text),'\\s+') END`` does: trim strips
-    SPACES only (DuckDB ``trim`` default), the split class is RE2's
-    ASCII ``\\s`` (so NBSP/U+2028 are token chars, and a leading tab
+    regexp_split_to_array(trim(text),'\\s+') END`` does: DuckDB's
+    default ``trim`` strips EXACTLY the Unicode Zs (space-separator)
+    category — space, NBSP, U+1680, U+2000-200A, U+202F, U+205F,
+    U+3000, but NOT tab/newline/NEL/U+2028 (probed exhaustively over
+    the BMP, test_oracle_parity.py); the split class is RE2's ASCII
+    ``\\s`` (so an interior NBSP is a token char, and a leading tab
     yields an empty leading field, as DuckDB's does), and
     empty-after-trim means zero tokens (the ADVICE-r1 empty-doc rule).
     Every operator whose oracle splits on ``\\s+`` must tokenize
     through this helper — bit-parity by construction, not by luck."""
-    t = s.fillna("").str.strip(" ")
+    t = s.fillna("").str.strip(_DUCK_TRIM)
     toks = t.str.split(_DUCK_WS, regex=True)
     empty = t == ""
     if empty.any():
