@@ -48,3 +48,34 @@ def test_oracle_tokens_parity_fuzz(x):
         [x],
     ).fetchone()[0]
     assert list(toks) == list(want), repr(x)
+
+
+@settings(max_examples=120, deadline=None, derandomize=True)
+@given(_TEXT)
+def test_ascii_ws_tokens_parity_fuzz(x):
+    from analiticcl_ray.pipelines.text import ascii_ws_tokens
+
+    got = list(ascii_ws_tokens(pd.Series([x], dtype=object)).iloc[0])
+    want = _CON.execute(
+        "SELECT CASE WHEN trim($1, ' \t\n\r' || chr(11) || chr(12)) = '' "
+        "THEN [] ELSE regexp_split_to_array("
+        "trim($1, ' \t\n\r' || chr(11) || chr(12)), '[ \t\n\r\f\v]+') END",
+        [x],
+    ).fetchone()[0]
+    assert got == list(want), repr(x)
+
+
+@settings(max_examples=120, deadline=None, derandomize=True)
+@given(_TEXT)
+def test_bpe_pretoken_parity_fuzz(x):
+    import re
+
+    from analiticcl_ray.pipelines.text import BPE_PRETOKEN_RE
+
+    got = re.findall(BPE_PRETOKEN_RE, x)
+    want = _CON.execute(
+        "SELECT regexp_extract_all($1, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\v]')",
+        [x],
+    ).fetchone()[0]
+    assert got == list(want), repr(x)
