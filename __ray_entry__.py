@@ -240,6 +240,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style repetition filters (top-word / dup-2-gram fracs)
         return text.repetition_stats(_docs(sf_dir))
 
+    def lexical_stats(sf_dir):
+        # TTR / hapax fraction / unigram entropy diversity signals
+        return text.lexical_stats(_docs(sf_dir))
+
     def sample_docs(sf_dir):
         # deterministic splitmix64 10% subsample
         return text.sample_docs(_docs(sf_dir), pct=10)
@@ -456,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "testinput": testinput,
         "lang_distribution": lang_distribution,
         "repetition_stats": repetition_stats,
+        "lexical_stats": lexical_stats,
         "sample_docs": sample_docs,
         "balanced_sample": balanced_sample,
         "tfidf_top_terms": tfidf_top_terms,
@@ -1088,6 +1093,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN gn.n2 IS NULL THEN 0.0
                         ELSE (gn.n2 - gn.d2) / gn.n2 END AS dup_2gram_frac
             FROM base b LEFT JOIN mx USING (doc_id) LEFT JOIN gn USING (doc_id)
+        """,
+        "lexical_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+            tc AS (SELECT doc_id, tk, count(*)::BIGINT AS c
+                   FROM tok GROUP BY 1, 2),
+            tc2 AS (
+              SELECT doc_id, c,
+                     CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+              FROM tc
+            )
+            SELECT doc_id,
+                   max(n) AS n_tokens,
+                   count(*)::BIGINT AS n_types,
+                   count(*) * 1.0 / max(n) AS ttr,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / max(n)
+                     AS hapax_frac,
+                   -(CAST(sum(CAST(round((c * 1.0 / n) * log2(c * 1.0 / n)
+                                         * 1e9) AS BIGINT)) AS BIGINT) / 1e9)
+                     AS entropy
+            FROM tc2 GROUP BY doc_id
         """,
         "sample_docs": f"""
             WITH {_splitmix_doc_cte()}

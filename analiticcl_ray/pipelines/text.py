@@ -1888,6 +1888,72 @@ def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def lexical_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document lexical-diversity signals: type/token counts,
+    type-token ratio, hapax-legomenon fraction, and unigram Shannon
+    entropy in bits — the standard diversity features for
+    pretraining-corpus quality filtering (low TTR / low entropy flags
+    templated or repetitive text). Documents with zero tokens are
+    dropped (no distribution to describe).
+
+    Pure per-row op — a document never spans batches, so this is a
+    single stateless ``map_batches`` with no shuffle. Per batch: one
+    explode + two C-speed groupbys; entropy terms ``p·log2(p)`` are
+    quantized to int64 nano-bits BEFORE summation (the lm_perplexity
+    trick) so the per-doc sum is exact and order-independent and the
+    DuckDB oracle hashes bit-identically."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ex = oracle_tokens(s).explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_types": pa.array([], pa.int64()),
+                    "ttr": pa.array([], pa.float64()),
+                    "n_hapax": pa.array([], pa.int64()),
+                    "hapax_frac": pa.array([], pa.float64()),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
+        cnt = (
+            pd.DataFrame({"d": ex.index.to_numpy(), "t": ex.to_numpy()})
+            .groupby(["d", "t"], sort=False)
+            .size()
+        )
+        c = cnt.to_numpy(dtype=np.int64)
+        d = cnt.index.get_level_values(0).to_numpy()
+        n_tok = np.bincount(d, weights=c, minlength=len(s)).astype(np.int64)
+        n_typ = np.bincount(d, minlength=len(s)).astype(np.int64)
+        n_hap = np.bincount(d[c == 1], minlength=len(s)).astype(np.int64)
+        # entropy term per (doc, type), quantized to nano-bits so the
+        # sum matches DuckDB's regardless of summation order
+        p = c * 1.0 / n_tok[d]
+        nano = np.round(p * np.log2(p) * 1e9).astype(np.int64)
+        ent_nano = np.zeros(len(s), dtype=np.int64)
+        np.add.at(ent_nano, d, nano)
+        keep = n_tok > 0
+        nt = n_tok[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_types": pa.array(n_typ[keep], pa.int64()),
+                "ttr": pa.array(n_typ[keep] * 1.0 / nt, pa.float64()),
+                "n_hapax": pa.array(n_hap[keep], pa.int64()),
+                "hapax_frac": pa.array(n_hap[keep] * 1.0 / nt, pa.float64()),
+                "entropy": pa.array(-(ent_nano[keep] / 1e9), pa.float64()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _stats, batch_format="pyarrow"
+    )
+
+
 def sample_docs(docs: "ray.data.Dataset", pct: int = 10) -> "ray.data.Dataset":
     """Deterministic content-independent sampling: keep a document iff
     ``splitmix64(doc_id) % 100 < pct``. The canonical reproducible

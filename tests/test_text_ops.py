@@ -746,6 +746,37 @@ def test_repetition_stats_edge_cases(ray_session):
     assert out[4]["dup_2gram_frac"] == 0.0
 
 
+def test_lexical_stats_edge_cases(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import lexical_stats
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": ""},            # no tokens: row dropped
+            {"doc_id": 1, "text": "word"},        # 1 type: ttr=1, entropy=0
+            {"doc_id": 2, "text": "a a a a"},     # all same: ttr=1/4, H=0
+            {"doc_id": 3, "text": "a b a b"},     # uniform 2 types: H=1 bit
+            {"doc_id": 4, "text": "x y z"},       # all hapax
+            {"doc_id": 5, "text": "a a b"},       # H = -(2/3 lg 2/3 + 1/3 lg 1/3)
+        ]
+    )
+    out = {r["doc_id"]: r for r in lexical_stats(ds).take_all()}
+    assert set(out) == {1, 2, 3, 4, 5}  # empty doc dropped
+    assert out[1]["n_types"] == 1 and out[1]["ttr"] == 1.0
+    assert out[1]["n_hapax"] == 1 and out[1]["entropy"] == 0.0
+    assert out[2]["ttr"] == 1 / 4 and out[2]["n_hapax"] == 0
+    assert out[2]["entropy"] == 0.0
+    assert out[3]["entropy"] == 1.0 and out[3]["hapax_frac"] == 0.0
+    assert out[4]["ttr"] == 1.0 and out[4]["hapax_frac"] == 1.0
+    assert abs(out[4]["entropy"] - math.log2(3)) < 1e-8
+    h5 = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert abs(out[5]["entropy"] - h5) < 1e-8
+    assert out[5]["n_hapax"] == 1 and out[5]["n_tokens"] == 3
+
+
 def test_sample_docs_deterministic_subset(docs):
     from analiticcl_ray.pipelines.text import sample_docs
 
