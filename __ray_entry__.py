@@ -316,6 +316,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _events(sf_dir)
         return events.hopping_window_agg(ev, window_s=3600, hop_s=900)
 
+    def event_transitions(sf_dir):
+        # Markov event-type transition matrix per user stream
+        ev = _events(sf_dir)
+        return events.event_transitions(ev)
+
+    def user_activity_stats(sf_dir):
+        # per-user span / distinct-types / max-gap profile (all-integer)
+        ev = _events(sf_dir)
+        return events.user_activity_stats(ev)
+
     def asof_join(sf_dir):
         from analiticcl_ray.sources.storage import read_table
 
@@ -474,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann_lsh_topk,
         "window_agg": window_agg,
         "sessions": sessions,
+        "event_transitions": event_transitions,
+        "user_activity_stats": user_activity_stats,
         "hopping_window_agg": hopping_window_agg,
         "asof_join": asof_join,
         "range_join": range_join,
@@ -1341,6 +1353,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "event_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            )
+            SELECT prev AS src_type, event_type AS dst_type,
+                   count(*)::BIGINT AS n
+            FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        "user_activity_stats": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_us
+              FROM events
+            )
+            SELECT user_id,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT event_type)::BIGINT AS n_types,
+                   CAST(min(t_us) AS BIGINT) AS first_us,
+                   CAST(max(t_us) AS BIGINT) AS last_us,
+                   CAST(max(t_us) - min(t_us) AS BIGINT) AS span_us,
+                   CAST(coalesce(max(t_us - prev_us), -1) AS BIGINT)
+                     AS max_gap_us
+            FROM e GROUP BY user_id
         """,
         # DuckDB's damerau_levenshtein is TRUE DL (not OSA) — verified on
         # the reference goldens DL("ab","ba")=1, DL("ca","abc")=2,

@@ -368,3 +368,126 @@ def range_join_repeat_orders(
         .groupby("bucket")
         .map_groups(_range_bucket, batch_format="pandas")
     )
+
+
+def event_transitions(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Markov transition counts between consecutive event types per
+    user — the standard funnel/behavior matrix over an event stream.
+    Events are ordered by (ts, event_id) within each user (total order:
+    event_id breaks ts ties deterministically), consecutive pairs are
+    counted, and counts are merged globally.
+
+    Two shuffles, both tiny: one user-bucket cogroup carrying only
+    (user_id, t_us, event_id, event_type), then a (src,dst)-bucket
+    cogroup over per-bucket partial counts — at most |types|² rows per
+    bucket leave stage one, so the final exchange is model-sized
+    regardless of corpus scale. Inside a bucket everything is one
+    C-speed sort + shifted-view compare, no per-user Python."""
+
+    def _pairs_bucket(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(
+            ["user_id", "t_us", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        same = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        et = g["event_type"].to_numpy()
+        out = (
+            pd.DataFrame({"src_type": et[:-1][same], "dst_type": et[1:][same]})
+            .groupby(["src_type", "dst_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def _to_us(batch: pa.Table) -> pa.Table:
+        # timestamp[us] -> epoch microseconds, zero-copy-ish Arrow cast
+        t = batch.select(["user_id", "event_id", "event_type"])
+        t = t.append_column(
+            "t_us", batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        return _bucket_by(t, ["user_id"])
+
+    def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.groupby(["src_type", "dst_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return (
+        events.select_columns(["user_id", "ts", "event_id", "event_type"])
+        .map_batches(_to_us, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs_bucket, batch_format="pandas")
+        .map_batches(
+            lambda t: _bucket_by(t, ["src_type", "dst_type"]),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge_bucket, batch_format="pandas")
+    )
+
+
+def user_activity_stats(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-user activity profile: event count, distinct event types,
+    activity span, and the longest inter-event gap — the features a
+    behavioral sample-weighting or bot-filtering stage needs. Every
+    output is an exact integer (microsecond epochs, no float division
+    anywhere) so the DuckDB oracle hashes bit-identically by
+    construction.
+
+    One user-bucket cogroup; inside a bucket one mergesort by
+    (user, t_us, event_id) then vectorized diff/groupby — gaps are a
+    shifted-view subtraction masked to same-user adjacencies."""
+
+    def _to_us(batch: pa.Table) -> pa.Table:
+        # timestamp[us] -> epoch microseconds, zero-copy-ish Arrow cast
+        t = batch.select(["user_id", "event_id", "event_type"])
+        t = t.append_column(
+            "t_us", batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        return _bucket_by(t, ["user_id"])
+
+    def _stats_bucket(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(
+            ["user_id", "t_us", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        u = g["user_id"].to_numpy()
+        t = g["t_us"].to_numpy()
+        gap = np.where(u[1:] == u[:-1], t[1:] - t[:-1], np.int64(-1))
+        g2 = g.iloc[1:].assign(gap=gap)  # empty when the bucket has 1 row
+        agg = g.groupby("user_id", sort=False).agg(
+            n_events=("t_us", "size"),
+            n_types=("event_type", "nunique"),
+            first_us=("t_us", "min"),
+            last_us=("t_us", "max"),
+        )
+        mg = g2.groupby("user_id", sort=False)["gap"].max()
+        agg["max_gap_us"] = mg.reindex(agg.index).fillna(-1).astype("int64")
+        # single-event users have no gap: -1 sentinel (matches the
+        # oracle's coalesce(max(gap), -1))
+        out = agg.reset_index()
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_types"] = out["n_types"].astype("int64")
+        out["span_us"] = (out["last_us"] - out["first_us"]).astype("int64")
+        out = out[
+            ["user_id", "n_events", "n_types", "first_us", "last_us",
+             "span_us", "max_gap_us"]
+        ]
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return (
+        events.select_columns(["user_id", "ts", "event_id", "event_type"])
+        .map_batches(_to_us, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_stats_bucket, batch_format="pandas")
+    )

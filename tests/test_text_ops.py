@@ -310,6 +310,68 @@ def test_sessionize_gap_semantics(ray_session):
     assert out.iloc[1]["n_events"] == 1
 
 
+def test_event_transitions_golden(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.events import event_transitions
+
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 00:00:00", "2026-01-01 00:01:00",  # u1: a->b
+            "2026-01-01 00:00:30",                          # tie-free middle
+            "2026-01-01 00:02:00",                          # u1: ...->a
+            "2026-01-01 05:00:00",                          # u2 single event
+        ]
+    )
+    ev = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "event_id": [10, 11, 12, 13, 14],
+                "user_id": [1, 1, 1, 1, 2],
+                "ts": ts,
+                "event_type": ["a", "b", "c", "a", "z"],
+            }
+        )
+    )
+    # u1 time order: a(00:00) c(00:30) b(01:00) a(02:00) -> a->c, c->b, b->a
+    out = {
+        (r["src_type"], r["dst_type"]): r["n"]
+        for r in event_transitions(ev).take_all()
+    }
+    assert out == {("a", "c"): 1, ("c", "b"): 1, ("b", "a"): 1}
+
+
+def test_user_activity_stats_golden(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.events import user_activity_stats
+
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-01 00:05:00",
+         "2026-01-01 09:00:00"]
+    )
+    ev = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [7, 7, 7, 8],
+                "ts": ts,
+                "event_type": ["a", "a", "b", "c"],
+            }
+        )
+    )
+    out = {r["user_id"]: r for r in user_activity_stats(ev).take_all()}
+    u7 = out[7]
+    assert u7["n_events"] == 3 and u7["n_types"] == 2
+    assert u7["span_us"] == 300 * 1_000_000
+    assert u7["max_gap_us"] == 240 * 1_000_000  # 00:01 -> 00:05
+    u8 = out[8]
+    assert u8["n_events"] == 1 and u8["max_gap_us"] == -1
+    assert u8["span_us"] == 0
+
+
 def test_hopping_window_membership(ray_session):
     """Every event lands in exactly window/hop windows, each window
     covers the event, and totals equal the tumbling aggregate's."""
