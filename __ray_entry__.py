@@ -256,6 +256,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc top-5 distinctive terms by tf*ln(N/df)
         return text.tfidf_top_terms(_docs(sf_dir), k=5)
 
+    def doc_freq(sf_dir):
+        # global DF/IDF vocabulary side table
+        return text.doc_freq(_docs(sf_dir))
+
     def lm_perplexity(sf_dir):
         # CCNet-style LM quality signal: bigram LM (reference T9
         # semantics, constant smoothing src/search.rs:4) trained on the
@@ -474,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": sample_docs,
         "balanced_sample": balanced_sample,
         "tfidf_top_terms": tfidf_top_terms,
+        "doc_freq": doc_freq,
         "lm_perplexity": lm_perplexity,
         "ann_topk": ann_topk,
         "ann_dup_pairs": ann_dup_pairs,
@@ -1145,6 +1150,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT sm.doc_id, sm.lang
             FROM sm JOIN c USING (lang) CROSS JOIN m
             WHERE hv % cnt::UBIGINT < mn::UBIGINT
+        """,
+        "doc_freq": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+                   FROM tok GROUP BY token),
+            n AS (SELECT count(*) AS nd FROM documents)
+            SELECT token, df, ln(nd / df) AS idf FROM df CROSS JOIN n
         """,
         "tfidf_top_terms": """
             WITH t AS (

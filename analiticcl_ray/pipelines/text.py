@@ -2009,6 +2009,51 @@ def balanced_sample(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(_keep, batch_format="pyarrow")
 
 
+def doc_freq(docs: "ray.data.Dataset", min_df: int = 1) -> "ray.data.Dataset":
+    """Global document-frequency vocabulary: one row per distinct token
+    with its DF and IDF (``ln(N/df)``) — the standing side table a
+    tf-idf scorer, stopword inducer, or tokenizer-vocab builder reads.
+    Per-batch combiner (distinct (doc, token) inside the batch is exact
+    — a document never spans batches), so the shuffle carries one row
+    per distinct token per block; merged through the shared token-bucket
+    cogroup. N is the one driver-side scalar (``docs.count()``)."""
+    n_docs = docs.count()
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ex = oracle_tokens(batch["text"].to_pandas()).explode().dropna()
+        g = (
+            pd.DataFrame({"d": ex.index.to_numpy(), "token": ex.to_numpy()})
+            .drop_duplicates()
+            .groupby("token", sort=False)
+            .size()
+            .reset_index(name="df")
+        )
+        return pa.table(
+            {
+                "token": pa.array(g["token"], pa.string()),
+                "df": pa.array(g["df"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+        out = group.groupby("token", sort=False)["df"].sum().reset_index()
+        out = out[out["df"] >= min_df]
+        out["df"] = out["df"].astype("int64")
+        out["idf"] = np.log(n_docs / out["df"].to_numpy())
+        return _pa_clean(out)
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["token"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge_bucket, batch_format="pandas")
+    )
+
+
 def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Dataset":
     """Per-document top-k distinctive terms by tf-idf
     (``tf * ln(N/df)``), ties broken by token — corpus keyword

@@ -868,6 +868,30 @@ def test_balanced_sample_equalizes_langs(docs):
     assert (per <= 1.5 * mn + 10).all()
 
 
+def test_doc_freq_golden(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import doc_freq
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "apple apple banana"},   # df counts once
+            {"doc_id": 1, "text": "banana cherry"},
+            {"doc_id": 2, "text": "cherry date"},
+        ]
+    )
+    out = {r["token"]: r for r in doc_freq(ds).take_all()}
+    assert {t: r["df"] for t, r in out.items()} == {
+        "apple": 1, "banana": 2, "cherry": 2, "date": 1
+    }
+    assert abs(out["banana"]["idf"] - math.log(3 / 2)) < 1e-12
+    # min_df prunes the tail
+    out2 = {r["token"] for r in doc_freq(ds, min_df=2).take_all()}
+    assert out2 == {"banana", "cherry"}
+
+
 def test_tfidf_top_terms_small_oracle(ray_session):
     import math
 
