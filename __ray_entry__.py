@@ -330,6 +330,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _events(sf_dir)
         return events.user_activity_stats(ev)
 
+    def pricing_summary(sf_dir):
+        # Q1-shaped wide aggregate, exact cent-quantized sums
+        from analiticcl_ray.pipelines import relational
+        from analiticcl_ray.sources.storage import read_table
+
+        return relational.pricing_summary(read_table(f"{sf_dir}/lineitem.parquet"))
+
+    def revenue_by_nation(sf_dir):
+        # broadcast-dim join rollup: orders ⋈ customer ⋈ nation
+        import pyarrow.parquet as pq
+
+        from analiticcl_ray.pipelines import relational
+        from analiticcl_ray.sources.storage import read_table
+
+        return relational.revenue_by_nation(
+            read_table(f"{sf_dir}/orders.parquet"),
+            pq.read_table(f"{sf_dir}/customer.parquet"),
+            pq.read_table(f"{sf_dir}/nation.parquet"),
+        )
+
     def asof_join(sf_dir):
         from analiticcl_ray.sources.storage import read_table
 
@@ -491,6 +511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": sessions,
         "event_transitions": event_transitions,
         "user_activity_stats": user_activity_stats,
+        "pricing_summary": pricing_summary,
+        "revenue_by_nation": revenue_by_nation,
         "hopping_window_agg": hopping_window_agg,
         "asof_join": asof_join,
         "range_join": range_join,
@@ -1383,6 +1405,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev AS src_type, event_type AS dst_type,
                    count(*)::BIGINT AS n
             FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*)::BIGINT AS n_rows,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_c,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_disc_c,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * (1 + l_tax) * 100) AS BIGINT))
+                        AS BIGINT) AS sum_charge_c
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   count(*)::BIGINT AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_c
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "user_activity_stats": """
             WITH e AS (

@@ -1,0 +1,207 @@
+"""Relational wide-aggregate and broadcast-join operators over the
+TPC-H-shaped tables — the bread-and-butter groupby/join patterns a
+100-TB pipeline mixes in with the dedup stages (per-partition revenue
+rollups, dimension enrichment before a shuffle).
+
+Money is quantized to integer cents at the row level BEFORE any sum, so
+every aggregate is an exact int64 and the DuckDB oracle hashes
+bit-identically regardless of distributed summation order (the
+lm_perplexity nano-unit trick applied to currency). Rounding contract:
+half-away-from-zero on positive values via ``floor(x + 0.5)`` — probed
+equal to DuckDB's ``round()`` on every lineitem/orders row at sf0.01
+and sf0.1, including the ~1.4% of discount products that land exactly
+on a .5 cent boundary (np.round's half-even would diverge there).
+
+Scale notes: the fact partials are per-batch combiners (one row per
+group per block leaves the map stage — group cardinality is tiny), so
+the only exchange is a model-sized bucket cogroup. Dimension sides
+(nation, customer) are the blessed broadcast case: ``ray.put`` once,
+zero-copy Arrow view per actor, int64 hash-index built per actor in
+``__init__``. At a customer dimension too large for the object store,
+swap the attach for the bucket-cogroup join in stages/verify.py
+(attach_pair_sides cogroup path) — same output contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages.lsh import bucket_by_keys
+
+_MERGE_COGROUPS = 64  # group cardinality ≤ |flag×status| / |nation|: tiny
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Positive money -> exact integer cents, DuckDB round() parity."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def _pa_clean(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def pricing_summary(
+    lineitem: "ray.data.Dataset", cutoff: str = "1998-09-02"
+) -> "ray.data.Dataset":
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus),
+    row count and exact cent-quantized sums of quantity, base price,
+    discounted price and charge, over lineitems shipped on/before
+    ``cutoff``. The per-batch combiner collapses each block to ≤ a few
+    group rows, so the shuffle is constant-sized no matter the fact
+    table's scale."""
+    cut = np.datetime64(pd.Timestamp(cutoff), "us")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"].to_numpy().astype("datetime64[us]") <= cut]
+        if not len(df):
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "sum_qty_c": pa.array([], pa.int64()),
+                    "sum_base_c": pa.array([], pa.int64()),
+                    "sum_disc_c": pa.array([], pa.int64()),
+                    "sum_charge_c": pa.array([], pa.int64()),
+                }
+            )
+        ext = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        tax = df["l_tax"].to_numpy()
+        df = df.assign(
+            qty_c=_cents(df["l_quantity"].to_numpy()),
+            base_c=_cents(ext),
+            disc_c=_cents(ext * (1.0 - disc)),
+            charge_c=_cents(ext * (1.0 - disc) * (1.0 + tax)),
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                n_rows=("qty_c", "size"),
+                sum_qty_c=("qty_c", "sum"),
+                sum_base_c=("base_c", "sum"),
+                sum_disc_c=("disc_c", "sum"),
+                sum_charge_c=("charge_c", "sum"),
+            )
+            .reset_index()
+        )
+        for c in g.columns[2:]:
+            g[c] = g[c].astype("int64")
+        return _pa_clean(g)
+
+    def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                n_rows=("n_rows", "sum"),
+                sum_qty_c=("sum_qty_c", "sum"),
+                sum_base_c=("sum_base_c", "sum"),
+                sum_disc_c=("sum_disc_c", "sum"),
+                sum_charge_c=("sum_charge_c", "sum"),
+            )
+            .reset_index()
+        )
+        for c in out.columns[2:]:
+            out[c] = out[c].astype("int64")
+        return _pa_clean(out)
+
+    return (
+        lineitem.select_columns(
+            [
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+            ]
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bucket_by_keys(
+                t, ["l_returnflag", "l_linestatus"], _MERGE_COGROUPS
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge_bucket, batch_format="pandas")
+    )
+
+
+class _NationAttach:
+    """Actor-pool stage: custkey -> nation name via two broadcast dims.
+    Zero-copy Arrow views from the object store; the int64 position
+    index (searchsorted over sorted custkeys) is built once per actor."""
+
+    def __init__(self, cust_ref, nation_ref):
+        cust = ray.get(cust_ref)
+        nation = ray.get(nation_ref)
+        ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        self.cust_keys = ck[order]
+        cnk = cust["c_nationkey"].to_numpy(zero_copy_only=False)[order]
+        nk = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+        names = np.asarray(nation["n_name"].to_pandas(), dtype=object)
+        lut = np.empty(int(nk.max()) + 1, dtype=object)
+        lut[nk] = names
+        self.cust_nation = lut[cnk]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.cust_keys, ok)
+        # inner-join semantics: drop orders with no customer row
+        valid = (pos < len(self.cust_keys)) & (
+            self.cust_keys[np.minimum(pos, len(self.cust_keys) - 1)] == ok
+        )
+        names = self.cust_nation[pos[valid]]
+        cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)[valid])
+        g = (
+            pd.DataFrame({"n_name": names, "rev_c": cents})
+            .groupby("n_name", sort=False)
+            .agg(n_orders=("rev_c", "size"), revenue_c=("rev_c", "sum"))
+            .reset_index()
+        )
+        g["n_orders"] = g["n_orders"].astype("int64")
+        g["revenue_c"] = g["revenue_c"].astype("int64")
+        return _pa_clean(g)
+
+
+def revenue_by_nation(
+    orders: "ray.data.Dataset",
+    customer: pa.Table,
+    nation: pa.Table,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Revenue rollup by customer nation: orders ⋈ customer ⋈ nation,
+    dims broadcast (never shuffled), fact streamed, per-batch combiner
+    to ≤ |nation| rows per block, one tiny bucket-cogroup merge."""
+    cust_ref = ray.put(customer.select(["c_custkey", "c_nationkey"]))
+    nation_ref = ray.put(nation.select(["n_nationkey", "n_name"]))
+
+    def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+        out = (
+            group.groupby("n_name", sort=False)
+            .agg(n_orders=("n_orders", "sum"), revenue_c=("revenue_c", "sum"))
+            .reset_index()
+        )
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["revenue_c"] = out["revenue_c"].astype("int64")
+        return _pa_clean(out)
+
+    return (
+        orders.select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(
+            _NationAttach,
+            fn_constructor_args=(cust_ref, nation_ref),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["n_name"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge_bucket, batch_format="pandas")
+    )

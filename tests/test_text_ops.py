@@ -1339,3 +1339,68 @@ def test_dup_ngram_fraction_brute_force(ray_session):
         assert got.loc[d, "n_grams"] == len(gs)
         assert got.loc[d, "n_shared"] == sh
         assert got.loc[d, "shared_frac"] == sh / len(gs)
+
+
+def test_pricing_summary_cents_golden(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.relational import pricing_summary
+
+    li = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "l_returnflag": ["A", "A", "N"],
+                "l_linestatus": ["F", "F", "O"],
+                "l_quantity": [10.0, 20.0, 5.0],
+                "l_extendedprice": [100.10, 200.25, 50.00],
+                "l_discount": [0.05, 0.10, 0.0],
+                "l_tax": [0.0, 0.10, 0.02],
+                "l_shipdate": pd.to_datetime(
+                    ["1996-01-01", "1997-01-01", "1999-01-01"]
+                ),
+            }
+        )
+    )
+    out = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in pricing_summary(li, cutoff="1998-09-02").take_all()
+    }
+    assert set(out) == {("A", "F")}  # 1999 row filtered by cutoff
+    af = out[("A", "F")]
+    assert af["n_rows"] == 2
+    assert af["sum_qty_c"] == 3000
+    assert af["sum_base_c"] == 10010 + 20025
+    # double-column semantics (what the parquet tables hold): the
+    # product is computed in binary floats BEFORE quantization, so
+    # 100.10*(1-0.05) = 95.09499999999998 -> 9509 (NOT the decimal
+    # 95.095 -> 9510); DuckDB on DOUBLE columns computes the same.
+    assert af["sum_disc_c"] == 9509 + 18023
+    # 200.25*0.9*1.1 = 198.2475 exactly -> half-away -> 19825
+    assert af["sum_charge_c"] == 9509 + 19825
+
+
+def test_revenue_by_nation_inner_join(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.relational import revenue_by_nation
+
+    orders = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "o_custkey": [1, 2, 2, 99],  # 99 has no customer row
+                "o_totalprice": [10.00, 20.00, 30.00, 1000.00],
+            }
+        )
+    )
+    customer = pa.table({"c_custkey": [1, 2], "c_nationkey": [0, 1]})
+    nation = pa.table({"n_nationkey": [0, 1], "n_name": ["AAA", "BBB"]})
+    out = {
+        r["n_name"]: r
+        for r in revenue_by_nation(orders, customer, nation).take_all()
+    }
+    assert set(out) == {"AAA", "BBB"}  # orphan order dropped (inner join)
+    assert out["AAA"]["n_orders"] == 1 and out["AAA"]["revenue_c"] == 1000
+    assert out["BBB"]["n_orders"] == 2 and out["BBB"]["revenue_c"] == 5000
