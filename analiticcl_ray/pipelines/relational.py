@@ -14,7 +14,7 @@ on a .5 cent boundary (np.round's half-even would diverge there).
 
 Scale notes: the fact partials are per-batch combiners (one row per
 group per block leaves the map stage — group cardinality is tiny), so
-the only exchange is a model-sized bucket cogroup. Dimension sides
+the only exchange is a constant-sized repartition(1) merge. Dimension sides
 (nation, customer) are the blessed broadcast case: ``ray.put`` once,
 zero-copy Arrow view per actor, int64 hash-index built per actor in
 ``__init__``. At a customer dimension too large for the object store,
@@ -31,9 +31,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..stages.lsh import bucket_by_keys
-
-_MERGE_COGROUPS = 64  # group cardinality ≤ |flag×status| / |nation|: tiny
 
 
 def _cents(x: np.ndarray) -> np.ndarray:
@@ -95,7 +92,8 @@ def pricing_summary(
             g[c] = g[c].astype("int64")
         return _pa_clean(g)
 
-    def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+    def _merge(batch: pa.Table) -> pa.Table:
+        group = batch.to_pandas()
         out = (
             group.groupby(["l_returnflag", "l_linestatus"], sort=False)
             .agg(
@@ -111,6 +109,10 @@ def pricing_summary(
             out[c] = out[c].astype("int64")
         return _pa_clean(out)
 
+    # group cardinality is a handful (|flag|×|status|), so the partials
+    # are ≤ a few rows per block: a repartition(1) merge moves almost
+    # nothing and avoids a sort-shuffle whose mostly-empty partitions
+    # would be pure overhead (and schema-warning noise) at any scale
     return (
         lineitem.select_columns(
             [
@@ -119,14 +121,8 @@ def pricing_summary(
             ]
         )
         .map_batches(_partial, batch_format="pyarrow")
-        .map_batches(
-            lambda t: bucket_by_keys(
-                t, ["l_returnflag", "l_linestatus"], _MERGE_COGROUPS
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("bucket")
-        .map_groups(_merge_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_merge, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -176,11 +172,12 @@ def revenue_by_nation(
 ) -> "ray.data.Dataset":
     """Revenue rollup by customer nation: orders ⋈ customer ⋈ nation,
     dims broadcast (never shuffled), fact streamed, per-batch combiner
-    to ≤ |nation| rows per block, one tiny bucket-cogroup merge."""
+    to ≤ |nation| rows per block, one constant-sized final merge."""
     cust_ref = ray.put(customer.select(["c_custkey", "c_nationkey"]))
     nation_ref = ray.put(nation.select(["n_nationkey", "n_name"]))
 
-    def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+    def _merge(batch: pa.Table) -> pa.Table:
+        group = batch.to_pandas()
         out = (
             group.groupby("n_name", sort=False)
             .agg(n_orders=("n_orders", "sum"), revenue_c=("revenue_c", "sum"))
@@ -190,6 +187,8 @@ def revenue_by_nation(
         out["revenue_c"] = out["revenue_c"].astype("int64")
         return _pa_clean(out)
 
+    # |nation| rows per block leave the attach stage; repartition(1)
+    # merge (see pricing_summary) — constant-sized, never a bottleneck
     return (
         orders.select_columns(["o_custkey", "o_totalprice"])
         .map_batches(
@@ -198,10 +197,6 @@ def revenue_by_nation(
             batch_format="pyarrow",
             concurrency=concurrency,
         )
-        .map_batches(
-            lambda t: bucket_by_keys(t, ["n_name"], _MERGE_COGROUPS),
-            batch_format="pyarrow",
-        )
-        .groupby("bucket")
-        .map_groups(_merge_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_merge, batch_format="pyarrow", batch_size=None)
     )

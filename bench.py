@@ -140,6 +140,29 @@ def run_bench() -> dict:
         return events.range_join_repeat_orders(_rt(f"{SF_DIR}/orders.parquet"))
 
     timed("range_join", _range)
+    timed("lexical_stats", lambda: text.lexical_stats(docs()))
+    timed("doc_freq", lambda: text.doc_freq(docs()))
+    timed("event_transitions", lambda: events.event_transitions(ev()))
+
+    def _pricing():
+        from analiticcl_ray.pipelines.relational import pricing_summary
+
+        return pricing_summary(read_table(f"{SF_DIR}/lineitem.parquet"))
+
+    timed("pricing_summary", _pricing)
+
+    def _revenue():
+        import pyarrow.parquet as pq
+
+        from analiticcl_ray.pipelines.relational import revenue_by_nation
+
+        return revenue_by_nation(
+            read_table(f"{SF_DIR}/orders.parquet"),
+            pq.read_table(f"{SF_DIR}/customer.parquet"),
+            pq.read_table(f"{SF_DIR}/nation.parquet"),
+        )
+
+    timed("revenue_by_nation", _revenue)
 
     def _dl():
         from analiticcl_ray.pipelines.dlpairs import dl_pairs
