@@ -462,6 +462,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, clusters, _ = dedup_pipeline(_corpus_ds(sf_dir))
         return clusters
 
+    def image_features(sf_dir):
+        # actor-pool decode -> grayscale stats + DCT phash per image
+        from analiticcl_ray.stages.multimodal import image_features as feats
+
+        return feats(_corpus_ds(sf_dir))
+
+    def image_resize(sf_dir):
+        # actor-pool decode -> 32x32 area resize -> PNG re-encode;
+        # projected to geometry metadata (blobs verified in pytest)
+        from analiticcl_ray.stages.multimodal import resize_images
+
+        return resize_images(_corpus_ds(sf_dir), size=32).select_columns(
+            ["image_id", "w", "h", "fmt"]
+        )
+
     return {
         "exact_dedup": exact_dedup,
         "normalized_dedup": normalized_dedup,
@@ -513,6 +528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_stats": user_activity_stats,
         "pricing_summary": pricing_summary,
         "revenue_by_nation": revenue_by_nation,
+        "image_features": image_features,
+        "image_resize": image_resize,
         "hopping_window_agg": hopping_window_agg,
         "asof_join": asof_join,
         "range_join": range_join,

@@ -42,6 +42,15 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Ray's sort-based groupby emits empty partitions as schema-less
+    # RefBundles when block count exceeds distinct keys (high-CPU runs),
+    # logging a benign "different schema" WARNING per occurrence.
+    # Probed: the map_groups UDF is never invoked for them and results
+    # hash-match the oracle — suppress the noise in bench output only.
+    import logging as _logging
+
+    _logging.getLogger("ray.data").setLevel(_logging.ERROR)
+
     import ray.data as rd
 
     from analiticcl_ray.pipelines import ann, events, text
