@@ -185,6 +185,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact discrete quantiles via distributed histogram (no sort)
         return text.column_quantiles(_docs(sf_dir), col="n_chars")
 
+    def length_quantiles_per_lang(sf_dir):
+        # stratified (per-language) exact quantiles, same histogram trick
+        return text.grouped_quantiles(_docs(sf_dir), group_col="lang", col="n_chars")
+
+    def pmi_scores(sf_dir):
+        # collocation mining: within-window PMI from exact pair+unigram counts
+        return text.pmi_scores(_docs(sf_dir), window=3)
+
     def shared_spans(sf_dir):
         # cross-doc contamination: pairs sharing a >=30-char raw span
         # (winnowing candidates with a deterministic guarantee, exact
@@ -499,6 +507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": near_dup_clusters,
         "near_dup_keep": near_dup_keep,
         "length_quantiles": length_quantiles,
+        "length_quantiles_per_lang": length_quantiles_per_lang,
+        "pmi_scores": pmi_scores,
         "shared_spans": shared_spans,
         "decontaminate": decontaminate,
         "minhash_dedup": minhash_dedup,
@@ -1078,6 +1088,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, v AS value
             FROM qs CROSS JOIN n
             JOIN ranked ON rn = CAST(ceil(q * cnt) AS BIGINT)
+        """,
+        "length_quantiles_per_lang": """
+            WITH ranked AS (
+              SELECT lang, n_chars AS v,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS cnt
+              FROM documents
+            ),
+            qs AS (
+              SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q
+            )
+            SELECT r.lang, qs.q, r.v AS value
+            FROM qs CROSS JOIN ranked r
+            WHERE r.rn = CAST(ceil(qs.q * r.cnt) AS BIGINT)
+        """,
+        "pmi_scores": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS word,
+                     generate_subscripts(
+                       regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+              FROM documents WHERE trim(text) <> ''
+            ),
+            pairs AS (
+              SELECT least(a.word, b.word) AS w1,
+                     greatest(a.word, b.word) AS w2,
+                     count(*)::BIGINT AS cnt
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+              GROUP BY 1, 2
+            ),
+            uni AS (SELECT word AS token, count(*)::BIGINT AS c
+                    FROM tok GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM pairs) AS tp,
+                           (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS tt)
+            SELECT p.w1, p.w2, p.cnt,
+                   ln((p.cnt / tp) / ((u1.c / tt) * (u2.c / tt))) AS pmi
+            FROM pairs p
+            JOIN uni u1 ON p.w1 = u1.token
+            JOIN uni u2 ON p.w2 = u2.token
+            CROSS JOIN tot
         """,
         "shared_spans": """
             WITH g AS (

@@ -2534,6 +2534,107 @@ def column_quantiles(
     )
 
 
+def grouped_quantiles(
+    docs: "ray.data.Dataset",
+    group_col: str = "lang",
+    col: str = "n_chars",
+    qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> "ray.data.Dataset":
+    """Exact per-group discrete quantiles (stratified corpus length
+    diagnostics — e.g. length percentiles per language). Same histogram
+    trick as [[column_quantiles]]: per-batch (group, value) counts →
+    one tiny two-key groupby-sum → driver folds |groups|×|distinct|
+    histogram rows, never a sort or row shuffle. Discrete definition
+    (1-based rank ``ceil(q*N_group)``) == DuckDB ``quantile_disc`` per
+    partition."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby([group_col, col], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                group_col: pa.array(g[group_col], pa.string()),
+                "value": pa.array(g[col].to_numpy(dtype=np.int64), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        docs.select_columns([group_col, col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby([group_col, "value"])
+        .sum("cnt")
+        .to_pandas()  # |groups| x |distinct values| rows only
+        .sort_values([group_col, "value"])
+    )
+    out_g, out_q, out_v = [], [], []
+    for grp, sub in hist.groupby(group_col, sort=True):
+        values = sub["value"].to_numpy()
+        cum = sub["sum(cnt)"].to_numpy().cumsum()
+        n = int(cum[-1])
+        for q in qs:
+            rank = int(np.ceil(q * n))
+            idx = int(np.searchsorted(cum, max(rank, 1)))
+            out_g.append(grp)
+            out_q.append(float(q))
+            out_v.append(int(values[idx]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out_g, pa.string()),
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.int64()),
+            }
+        )
+    )
+
+
+def pmi_scores(
+    docs: "ray.data.Dataset", window: int = 3, min_count: int = 1
+) -> "ray.data.Dataset":
+    """Pointwise mutual information for within-window word pairs — the
+    classic collocation / phrase-mining signal over a corpus.
+    ``pmi = ln((c_pair/T_pair) / ((c_1/T_tok)·(c_2/T_tok)))`` with pair
+    counts from [[cooccurrence_counts]] and unigram counts from
+    [[token_counts]]; all counts exact int64, the score one fixed-shape
+    float expression so the DuckDB oracle hashes identically.
+
+    Scale shape: the pair table is the (already pre-aggregated)
+    co-occurrence output; the unigram table is VOCABULARY-sized — the
+    blessed broadcast case (``ray.put`` once, Series hash index per
+    actor). At a vocabulary too large for the object store, swap the
+    attach for a token-bucket cogroup join (tfidf_top_terms shape).
+    The two totals are driver scalars via native ``sum()``."""
+    pairs = cooccurrence_counts(docs, window=window)
+    tok = token_counts(docs)
+    tok_tab = pa.concat_tables(
+        ray.get(ref) for ref in tok.to_arrow_refs()
+    )
+    t_tok = float(pc.sum(tok_tab["cnt"]).as_py())
+    t_pair = float(pairs.sum("cnt"))
+    counts_ref = ray.put(tok_tab)
+
+    class _Score:
+        def __init__(self):
+            tab = ray.get(counts_ref)
+            self.counts = pd.Series(
+                tab["cnt"].to_numpy(zero_copy_only=False).astype(np.float64),
+                index=pd.Index(tab["token"].to_pandas(), dtype=object),
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[df["cnt"] >= min_count]
+            c1 = df["w1"].map(self.counts).to_numpy(dtype=np.float64)
+            c2 = df["w2"].map(self.counts).to_numpy(dtype=np.float64)
+            cp = df["cnt"].to_numpy(dtype=np.float64)
+            pmi = np.log((cp / t_pair) / ((c1 / t_tok) * (c2 / t_tok)))
+            out = df[["w1", "w2", "cnt"]].assign(pmi=pmi)
+            return _pa_clean(out)
+
+    return pairs.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 4))
+
+
 # ---------------------------------------------------------------------
 # normalization-folded exact dedup
 # ---------------------------------------------------------------------

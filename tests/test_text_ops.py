@@ -1404,3 +1404,42 @@ def test_revenue_by_nation_inner_join(ray_session):
     assert set(out) == {"AAA", "BBB"}  # orphan order dropped (inner join)
     assert out["AAA"]["n_orders"] == 1 and out["AAA"]["revenue_c"] == 1000
     assert out["BBB"]["n_orders"] == 2 and out["BBB"]["revenue_c"] == 5000
+
+
+def test_grouped_quantiles_golden(ray_session):
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import grouped_quantiles
+
+    rows = [{"doc_id": i, "lang": "a", "n_chars": v}
+            for i, v in enumerate([10, 20, 30, 40])]
+    rows += [{"doc_id": 100 + i, "lang": "b", "n_chars": v}
+             for i, v in enumerate([5, 7])]
+    out = {
+        (r["lang"], r["q"]): r["value"]
+        for r in grouped_quantiles(
+            rd.from_items(rows), qs=(0.5, 1.0)
+        ).take_all()
+    }
+    # discrete quantile: value at 1-based rank ceil(q*N) per group
+    assert out[("a", 0.5)] == 20 and out[("a", 1.0)] == 40
+    assert out[("b", 0.5)] == 5 and out[("b", 1.0)] == 7
+
+
+def test_pmi_scores_golden(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import pmi_scores
+
+    # one doc "x y", one doc "x z": pairs (x,y):1, (x,z):1; unigrams
+    # x:2 y:1 z:1; T_pair=2, T_tok=4
+    ds = rd.from_items(
+        [{"doc_id": 0, "text": "x y"}, {"doc_id": 1, "text": "x z"}]
+    )
+    out = {(r["w1"], r["w2"]): r for r in pmi_scores(ds, window=3).take_all()}
+    assert set(out) == {("x", "y"), ("x", "z")}
+    want = math.log((1 / 2) / ((2 / 4) * (1 / 4)))
+    assert abs(out[("x", "y")]["pmi"] - want) < 1e-12
+    assert out[("x", "y")]["cnt"] == 1
