@@ -193,6 +193,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # collocation mining: within-window PMI from exact pair+unigram counts
         return text.pmi_scores(_docs(sf_dir), window=3)
 
+    def char_ngram_counts(sf_dir):
+        # corpus char-3-gram frequency table (packed-codepoint kernel)
+        return text.char_ngram_counts(_docs(sf_dir), n=3)
+
+    def top_terms(sf_dir):
+        # exact global heavy hitters with rank (cnt desc, token asc)
+        return text.top_terms(_docs(sf_dir), k=20)
+
+    def lang_confusion(sf_dir):
+        # lang-ID confusion matrix vs the labeled lang column
+        return text.lang_confusion(_docs(sf_dir))
+
     def shared_spans(sf_dir):
         # cross-doc contamination: pairs sharing a >=30-char raw span
         # (winnowing candidates with a deterministic guarantee, exact
@@ -509,6 +521,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": length_quantiles,
         "length_quantiles_per_lang": length_quantiles_per_lang,
         "pmi_scores": pmi_scores,
+        "char_ngram_counts": char_ngram_counts,
+        "top_terms": top_terms,
+        "lang_confusion": lang_confusion,
         "shared_spans": shared_spans,
         "decontaminate": decontaminate,
         "minhash_dedup": minhash_dedup,
@@ -1170,6 +1185,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": _fingerprints_sql(),
         "lang_id": _lang_id_sql(),
+        "lang_confusion": f"""
+            WITH pred AS ({_lang_id_sql()})
+            SELECT d.lang AS true_lang, p.pred_lang, count(*)::BIGINT AS n
+            FROM pred p JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "char_ngram_counts": """
+            WITH g AS (
+              SELECT substr(text, CAST(i AS INT), 3) AS gram
+              FROM documents,
+                   unnest(generate_series(1, length(text) - 2)) AS t(i)
+              WHERE length(text) >= 3
+            )
+            SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY gram
+        """,
+        "top_terms": """
+            WITH tc AS (
+              SELECT token, count(*) AS cnt
+              FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                      AS token
+                    FROM documents WHERE trim(text) <> '')
+              GROUP BY token
+            )
+            SELECT token, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                        AS BIGINT) AS "rank"
+            FROM tc ORDER BY "rank" LIMIT 20
+        """,
         "lang_distribution": """
             SELECT lang, count(*) AS "count()" FROM documents GROUP BY lang
         """,

@@ -685,6 +685,38 @@ def _gram_list(t: str, n: int) -> list[str]:
     return sorted({t[i : i + n] for i in range(len(t) - n + 1)}) if len(t) >= n else []
 
 
+def _packed_windows(
+    sub: list[str], n: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """All char n-gram windows of a text chunk as packed uint64 codes
+    (21 bits per codepoint) plus the doc index per window; windows that
+    cross a document boundary are masked out. The shared kernel under
+    [[_batch_gram_df]] (distinct-per-doc DF) and [[char_ngram_counts]]
+    (raw instance counts)."""
+    lens = np.fromiter((len(t) for t in sub), dtype=np.int64, count=len(sub))
+    total = int(lens.sum())
+    if total < n:
+        return None
+    cp = np.frombuffer(
+        "".join(sub).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    n_win = total - n + 1
+    packed = np.zeros(n_win, dtype=np.uint64)
+    for k in range(n):
+        packed |= cp[k : n_win + k] << np.uint64(21 * k)
+    doc_idx = np.repeat(np.arange(len(sub), dtype=np.int64), lens)
+    valid = doc_idx[:n_win] == doc_idx[n - 1 :]
+    return packed[valid], doc_idx[:n_win][valid]
+
+
+def _unpack_grams(codes, n: int) -> list[str]:
+    """Packed uint64 gram codes -> strings (Python only over UNIQUES)."""
+    shifts = [21 * k for k in range(n)]
+    return [
+        "".join(chr((int(v) >> s) & 0x1FFFFF) for s in shifts) for v in codes
+    ]
+
+
 def _batch_gram_df(
     texts: list[str], n: int, chunk: int = 256
 ) -> tuple[list[str], np.ndarray]:
@@ -710,21 +742,10 @@ def _batch_gram_df(
     agg: dict[int, int] = {}
     for c0 in range(0, len(texts), chunk):
         sub = texts[c0 : c0 + chunk]
-        lens = np.fromiter((len(t) for t in sub), dtype=np.int64, count=len(sub))
-        total = int(lens.sum())
-        if total < n:
+        pw = _packed_windows(sub, n)
+        if pw is None:
             continue
-        cp = np.frombuffer(
-            "".join(sub).encode("utf-32-le"), dtype=np.uint32
-        ).astype(np.uint64)
-        n_win = total - n + 1
-        packed = np.zeros(n_win, dtype=np.uint64)
-        for k in range(n):
-            packed |= cp[k : n_win + k] << np.uint64(21 * k)
-        doc_idx = np.repeat(np.arange(len(sub), dtype=np.int64), lens)
-        valid = doc_idx[:n_win] == doc_idx[n - 1 :]
-        p = packed[valid]
-        d = doc_idx[:n_win][valid]
+        p, d = pw
         if not len(p):
             continue
         order = np.lexsort((d, p))
@@ -734,11 +755,127 @@ def _batch_gram_df(
         uniq, df = np.unique(p_s[first], return_counts=True)
         for u, c in zip(uniq.tolist(), df.tolist()):
             agg[u] = agg.get(u, 0) + c
-    shifts = [21 * k for k in range(n)]
-    grams = [
-        "".join(chr((v >> s) & 0x1FFFFF) for s in shifts) for v in agg.keys()
-    ]
+    grams = _unpack_grams(agg.keys(), n)
     return grams, np.fromiter(agg.values(), dtype=np.int64, count=len(agg))
+
+
+def char_ngram_counts(docs: "ray.data.Dataset", n: int = 3) -> "ray.data.Dataset":
+    """Corpus-wide character n-gram frequency table — the raw material
+    for language-ID profiles and OCR/noise diagnostics. Same
+    packed-codepoint kernel as the gram-DF pass ([[_packed_windows]]):
+    windows packed to uint64, counted with one ``np.unique`` per chunk,
+    Python touching only the unique grams. Per-batch partials merge
+    through the shared gram-bucket cogroup; only (gram, cnt) rows cross
+    the wire."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas().fillna("").tolist()
+        agg: dict[int, int] = {}
+        for c0 in range(0, len(texts), 256):
+            pw = _packed_windows(texts[c0 : c0 + 256], n)
+            if pw is None:
+                continue
+            p, _ = pw
+            if not len(p):
+                continue
+            uniq, cnt = np.unique(p, return_counts=True)
+            for u, c in zip(uniq.tolist(), cnt.tolist()):
+                agg[u] = agg.get(u, 0) + c
+        return pa.table(
+            {
+                "gram": pa.array(_unpack_grams(agg.keys(), n), pa.string()),
+                "cnt": pa.array(
+                    np.fromiter(agg.values(), dtype=np.int64, count=len(agg))
+                ),
+            }
+        )
+
+    def _merge_bucket(group: pd.DataFrame) -> pa.Table:
+        out = group.groupby("gram", sort=False)["cnt"].sum().reset_index()
+        out["cnt"] = out["cnt"].astype("int64")
+        return _pa_clean(out)
+
+    return (
+        docs.select_columns(["text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["gram"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_merge_bucket, batch_format="pandas")
+    )
+
+
+def top_terms(docs: "ray.data.Dataset", k: int = 20) -> "ray.data.Dataset":
+    """Global top-k tokens by count (cnt desc, token asc tie-break) with
+    a 1-based rank — the heavy-hitters list a stopword inducer or
+    tokenizer audit reads. Exact: the merged count table takes a
+    per-block top-k combiner (each bucket cogroup holds a token's FULL
+    count, so the global top-k is a subset of the per-block top-ks),
+    then one constant-sized repartition(1) final selection."""
+    counts = token_counts(docs)
+
+    def _block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return _pa_clean(df)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return _pa_clean(df)
+
+    return (
+        counts.map_batches(_block_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def lang_confusion(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Language-ID confusion matrix: counts per (true lang label,
+    predicted lang) — the accuracy diagnostic for the [[lang_id]]
+    heuristic over a labeled corpus. The prediction rides the same
+    batch as the label (no join), the per-batch combiner emits
+    ≤ |langs|² rows per block, and the final merge is constant-sized."""
+
+    class _Confusion(LangId):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pred = LangId.__call__(self, batch)
+            df = pd.DataFrame(
+                {
+                    "true_lang": batch["lang"].to_pandas(),
+                    "pred_lang": pred["pred_lang"].to_pandas(),
+                }
+            )
+            g = (
+                df.groupby(["true_lang", "pred_lang"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            g["n"] = g["n"].astype("int64")
+            return _pa_clean(g)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        out = (
+            batch.to_pandas()
+            .groupby(["true_lang", "pred_lang"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return _pa_clean(out)
+
+    return (
+        docs.select_columns(["doc_id", "text", "lang"])
+        .map_batches(_Confusion, batch_format="pyarrow", concurrency=(1, 4))
+        .repartition(1)
+        .map_batches(_merge, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

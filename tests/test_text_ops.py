@@ -1443,3 +1443,56 @@ def test_pmi_scores_golden(ray_session):
     want = math.log((1 / 2) / ((2 / 4) * (1 / 4)))
     assert abs(out[("x", "y")]["pmi"] - want) < 1e-12
     assert out[("x", "y")]["cnt"] == 1
+
+
+def test_char_ngram_counts_golden(ray_session):
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import char_ngram_counts
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "abcab"},  # abc bca cab
+            {"doc_id": 1, "text": "abc"},    # abc
+            {"doc_id": 2, "text": "xy"},     # too short: no grams
+        ]
+    )
+    out = {r["gram"]: r["cnt"] for r in char_ngram_counts(ds, n=3).take_all()}
+    assert out == {"abc": 2, "bca": 1, "cab": 1}
+
+
+def test_top_terms_rank_and_ties(ray_session):
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import top_terms
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "b b a a c"},
+            {"doc_id": 1, "text": "b d"},
+        ]
+    )
+    rows = sorted(top_terms(ds, k=3).take_all(), key=lambda r: r["rank"])
+    # b:3, a:2, c:1, d:1 -> tie at cnt=1 broken by token asc (c before d)
+    assert [(r["token"], r["cnt"], r["rank"]) for r in rows] == [
+        ("b", 3, 1), ("a", 2, 2), ("c", 1, 3)
+    ]
+
+
+def test_lang_confusion_counts(ray_session):
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import lang_confusion
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "lang": "en", "text": "the value of the table"},
+            {"doc_id": 1, "lang": "en", "text": "zzz qqq www"},  # -> unknown
+            {"doc_id": 2, "lang": "fr", "text": "le la les et un"},
+        ]
+    )
+    out = {
+        (r["true_lang"], r["pred_lang"]): r["n"]
+        for r in lang_confusion(ds).take_all()
+    }
+    assert out == {("en", "en"): 1, ("en", "unknown"): 1, ("fr", "fr"): 1}
