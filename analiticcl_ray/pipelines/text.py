@@ -2744,9 +2744,12 @@ def pmi_scores(
     The two totals are driver scalars via native ``sum()``."""
     pairs = cooccurrence_counts(docs, window=window)
     tok = token_counts(docs)
-    tok_tab = pa.concat_tables(
-        ray.get(ref) for ref in tok.to_arrow_refs()
-    )
+    # drop empty blocks before the concat: a zero-row block may carry a
+    # degenerate (column-less) schema that pa.concat_tables rejects
+    tok_tabs = [
+        t for t in ray.get(tok.to_arrow_refs()) if t.num_rows > 0
+    ]
+    tok_tab = pa.concat_tables(tok_tabs)
     t_tok = float(pc.sum(tok_tab["cnt"]).as_py())
     t_pair = float(pairs.sum("cnt"))
     counts_ref = ray.put(tok_tab)
