@@ -272,6 +272,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-language class-balanced deterministic downsample
         return text.balanced_sample(_docs(sf_dir))
 
+    def split_assign(sf_dir):
+        # deterministic train/val/test split doc+token mass
+        return text.split_assign(_docs(sf_dir))
+
+    def chunk_docs(sf_dir):
+        # context-length chunking into 64-token windows
+        return text.chunk_docs(_docs(sf_dir), window=64)
+
+    def pack_sequences(sf_dir):
+        # concat-and-split packing: global token offsets via
+        # distributed prefix sum, 128-token training sequences
+        return text.pack_sequences(_docs(sf_dir), seq_len=128)
+
+    def quantize_stats(sf_dir):
+        # per-vector int8 quantization audit (integer invariants)
+        return ann.quantize_stats(_emb(sf_dir))
+
     def tfidf_top_terms(sf_dir):
         # per-doc top-5 distinctive terms by tf*ln(N/df)
         return text.tfidf_top_terms(_docs(sf_dir), k=5)
@@ -537,6 +554,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_stats": lexical_stats,
         "sample_docs": sample_docs,
         "balanced_sample": balanced_sample,
+        "split_assign": split_assign,
+        "chunk_docs": chunk_docs,
+        "pack_sequences": pack_sequences,
+        "quantize_stats": quantize_stats,
         "tfidf_top_terms": tfidf_top_terms,
         "doc_freq": doc_freq,
         "lm_perplexity": lm_perplexity,
@@ -1284,6 +1305,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT sm.doc_id, sm.lang
             FROM sm JOIN c USING (lang) CROSS JOIN m
             WHERE hv % cnt::UBIGINT < mn::UBIGINT
+        """,
+        "split_assign": f"""
+            WITH {_splitmix_doc_cte()},
+            a AS (
+              SELECT d.doc_id,
+                     CASE WHEN hv % 1000 < 900 THEN 'train'
+                          WHEN hv % 1000 < 950 THEN 'val'
+                          ELSE 'test' END AS split,
+                     {_NTOK} AS n
+              FROM documents d JOIN sm ON sm.doc_id = d.doc_id
+            )
+            SELECT split, count(*)::BIGINT AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS n_tokens
+            FROM a GROUP BY split
+        """,
+        "chunk_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            )
+            SELECT doc_id, i AS chunk_id,
+                   array_to_string(toks[(i*64+1):((i+1)*64)], ' ')
+                     AS chunk_text,
+                   len(toks[(i*64+1):((i+1)*64)])::BIGINT AS n_tokens
+            FROM t, LATERAL unnest(generate_series(
+                     0, CAST(ceil(len(toks) / 64.0) AS BIGINT) - 1)) AS g(i)
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, {_NTOK} AS n_tokens FROM documents
+            ),
+            nz AS (SELECT * FROM t WHERE n_tokens > 0),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS tok_offset
+              FROM nz
+            )
+            SELECT doc_id, n_tokens, tok_offset,
+                   (tok_offset // 128)::BIGINT AS first_seq,
+                   ((tok_offset + n_tokens - 1) // 128)::BIGINT AS last_seq
+            FROM o
+        """,
+        "quantize_stats": """
+            WITH u AS (
+              SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                     list_max(list_transform(
+                       embedding, v -> abs(CAST(v AS DOUBLE)))) AS m
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id,
+                     CASE WHEN m = 0 THEN 0
+                          ELSE CAST(floor(x * 127 / m + 0.5) AS BIGINT)
+                     END AS q
+              FROM u
+            )
+            SELECT vec_id,
+                   CAST(sum(q) AS BIGINT) AS code_sum,
+                   CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sat,
+                   CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero
+            FROM q GROUP BY vec_id
         """,
         "doc_freq": """
             WITH t AS (

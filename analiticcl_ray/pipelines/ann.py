@@ -581,3 +581,39 @@ def semantic_keep(
 
     clusters = cosine_dup_clusters(embeddings, threshold=threshold, n_parts=n_parts)
     return keep_from_clusters(embeddings, clusters, id_col="vec_id")
+
+
+def quantize_stats(embeddings: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-vector symmetric int8 quantization summary — the prep/audit
+    step for product-quantized ANN indexes and fp8/int8 embedding
+    storage: quantize each vector with its own scale (q_i =
+    floor(x_i*127/max|x| + 0.5), the round-half-up int8 code) and
+    report integer invariants of the code vector: ``code_sum``,
+    saturation count ``n_sat`` (|q|=127) and dead-zone count
+    ``n_zero``. Integer outputs make the op EXACTLY oracle-checkable:
+    both engines do the identical float64 expression (parquet float32
+    values are exact in float64; products with 127 are exact; the
+    single rounded division is the same operation in both), then all
+    aggregation is int64. Map-only, no shuffle; an all-zero vector
+    quantizes to all-zero codes."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        ids, emb = _emb_matrix(batch)  # float64, exact from float32
+        m = np.abs(emb).max(axis=1, keepdims=True)
+        safe = np.where(m == 0, 1.0, m)
+        q = np.floor(emb * 127.0 / safe + 0.5).astype(np.int64)
+        q[np.broadcast_to(m == 0, q.shape)] = 0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "code_sum": pa.array(q.sum(axis=1), pa.int64()),
+                "n_sat": pa.array(
+                    (np.abs(q) == 127).sum(axis=1).astype(np.int64), pa.int64()
+                ),
+                "n_zero": pa.array(
+                    (q == 0).sum(axis=1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return embeddings.map_batches(_stats, batch_format="pyarrow")

@@ -2146,6 +2146,159 @@ def balanced_sample(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(_keep, batch_format="pyarrow")
 
 
+def split_assign(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Deterministic train/val/test split summary: assign each doc via
+    ``splitmix64(doc_id) % 1000`` (<900 train, <950 val, else test) and
+    report per-split doc and token mass — the reproducible-holdout op
+    every pretraining run needs (content-independent, stable across
+    runs / cluster sizes / row order). Per-batch combiner partials →
+    a 3-key groupby; shuffle volume is 3 rows per block."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64
+        )
+        h = splitmix64(ids) % _U64(1000)
+        split = np.where(h < 900, "train", np.where(h < 950, "val", "test"))
+        ntok = oracle_tokens(batch["text"].to_pandas()).str.len().to_numpy(
+            dtype=np.int64
+        )
+        g = (
+            pd.DataFrame({"split": split, "n": ntok})
+            .groupby("split", sort=False)
+            .agg(n_docs=("n", "size"), n_tokens=("n", "sum"))
+            .reset_index()
+        )
+        return _pa_clean(g)
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("split")
+        .sum(["n_docs", "n_tokens"])
+        .to_pandas()  # ≤3 rows
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(n_tokens)": "n_tokens"})
+    )
+    return ray.data.from_arrow(_pa_clean(agg))
+
+
+def chunk_docs(docs: "ray.data.Dataset", window: int = 64) -> "ray.data.Dataset":
+    """Context-length chunking: split every document into consecutive
+    ``window``-token chunks — the standard prep step that turns
+    variable-length documents into model-sized training rows. Output
+    one row per (doc, chunk): ``(doc_id, chunk_id, chunk_text,
+    n_tokens)``; the final chunk may be short, empty docs emit no
+    chunks. Map-only (no shuffle): tokenization + position arithmetic
+    are vectorized (explode + run-start subtraction), the per-chunk
+    join is output-sized."""
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ex = oracle_tokens(batch["text"].to_pandas()).explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.asarray(
+            batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        rowpos = ex.index.to_numpy(dtype=np.int64)
+        idx = np.arange(len(rowpos), dtype=np.int64)
+        newdoc = np.empty(len(rowpos), dtype=bool)
+        newdoc[0] = True
+        newdoc[1:] = rowpos[1:] != rowpos[:-1]
+        start_idx = np.maximum.accumulate(np.where(newdoc, idx, 0))
+        chunk = (idx - start_idx) // np.int64(window)
+        df = pd.DataFrame(
+            {
+                "doc_id": ids[rowpos],
+                "chunk_id": chunk,
+                "tok": ex.to_numpy(dtype=object),
+            }
+        )
+        g = (
+            df.groupby(["doc_id", "chunk_id"], sort=False)
+            .agg(chunk_text=("tok", " ".join), n_tokens=("tok", "size"))
+            .reset_index()
+        )
+        g["n_tokens"] = g["n_tokens"].astype(np.int64)
+        return _pa_clean(g)
+
+    return docs.map_batches(_chunks, batch_format="pyarrow")
+
+
+def pack_sequences(
+    docs: "ray.data.Dataset", seq_len: int = 128, bucket_shift: int = 12
+) -> "ray.data.Dataset":
+    """Concat-and-split sequence packing (GPT-style): conceptually
+    concatenate all documents in ``doc_id`` order and cut the stream
+    into ``seq_len``-token training sequences; report, per document,
+    its global token offset and the first/last sequence it lands in.
+    Empty docs are excluded (they occupy no tokens).
+
+    Scale shape — a distributed prefix sum, never a global sort:
+    stage 1 reduces each doc to two ints (map-only); stage 2 folds
+    per-RANGE-bucket token sums (``doc_id >> bucket_shift``, so bucket
+    order == doc order) into a driver-side exclusive prefix — bucket
+    count = n_docs/4096, raise ``bucket_shift`` at trillion-doc scale;
+    stage 3 cumsums within each bucket cogroup and adds its bucket
+    base. Shuffle volume: 16 bytes per doc."""
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        n = oracle_tokens(batch["text"].to_pandas()).str.len().to_numpy(
+            dtype=np.int64
+        )
+        keep = n > 0
+        ids, n = ids[keep], n[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "bucket": pa.array(ids >> np.int64(bucket_shift), pa.int64()),
+            }
+        )
+
+    counts = docs.map_batches(_counts, batch_format="pyarrow").materialize()
+
+    bs = (
+        counts.groupby("bucket").sum("n_tokens").to_pandas()
+        .rename(columns={"sum(n_tokens)": "s"})
+        .sort_values("bucket")
+    )
+    base = bs["s"].cumsum().shift(1, fill_value=0).astype(np.int64)
+    offsets_ref = ray.put(
+        dict(zip(bs["bucket"].to_numpy(dtype=np.int64), base.to_numpy()))
+    )
+    L = np.int64(seq_len)
+
+    def _assign(group: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(offsets_ref)
+        g = group.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        off = (
+            np.int64(offsets[int(g["bucket"].iloc[0])])
+            + np.cumsum(n)
+            - n
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "n_tokens": n,
+                "tok_offset": off,
+                "first_seq": off // L,
+                "last_seq": (off + n - 1) // L,
+            }
+        )
+
+    return counts.groupby("bucket").map_groups(_assign)
+
+
 def doc_freq(docs: "ray.data.Dataset", min_df: int = 1) -> "ray.data.Dataset":
     """Global document-frequency vocabulary: one row per distinct token
     with its DF and IDF (``ln(N/df)``) — the standing side table a

@@ -1496,3 +1496,104 @@ def test_lang_confusion_counts(ray_session):
         for r in lang_confusion(ds).take_all()
     }
     assert out == {("en", "en"): 1, ("en", "unknown"): 1, ("fr", "fr"): 1}
+
+
+def test_chunk_docs_boundaries(ray_session):
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import chunk_docs
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "t1 t2 t3 t4 t5"},  # window 2 -> 3 chunks
+            {"doc_id": 2, "text": "   "},             # empty -> no chunks
+            {"doc_id": 3, "text": "only"},
+        ]
+    )
+    out = chunk_docs(ds, window=2).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 1, 1, 3]
+    assert list(out["chunk_id"]) == [0, 1, 2, 0]
+    assert list(out["chunk_text"]) == ["t1 t2", "t3 t4", "t5", "only"]
+    assert list(out["n_tokens"]) == [2, 2, 1, 1]
+
+
+def test_chunk_docs_reconstructs_tokens(docs):
+    from analiticcl_ray.pipelines.text import chunk_docs, oracle_tokens
+
+    out = chunk_docs(docs, window=7).to_pandas()
+    rebuilt = (
+        out.sort_values(["doc_id", "chunk_id"])
+        .groupby("doc_id")["chunk_text"]
+        .agg(" ".join)
+    )
+    full = docs.select_columns(["doc_id", "text"]).to_pandas()
+    toks = oracle_tokens(full["text"]).str.join(" ")
+    expect = dict(zip(full["doc_id"], toks))
+    for did, joined in rebuilt.items():
+        assert joined == expect[did]
+
+
+def test_pack_sequences_is_global_prefix_sum(docs):
+    import numpy as np
+
+    from analiticcl_ray.pipelines.text import oracle_tokens, pack_sequences
+
+    # force several blocks so offsets must cross block boundaries;
+    # small bucket_shift so many cogroups exercise the merge
+    out = (
+        pack_sequences(docs.repartition(7), seq_len=16, bucket_shift=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    full = docs.select_columns(["doc_id", "text"]).to_pandas()
+    n = oracle_tokens(full["text"]).str.len().to_numpy(dtype=np.int64)
+    ref = (
+        full.assign(n=n)[lambda d: d["n"] > 0]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    off = ref["n"].cumsum().shift(1, fill_value=0).to_numpy(dtype=np.int64)
+    assert list(out["doc_id"]) == list(ref["doc_id"])
+    assert list(out["tok_offset"]) == list(off)
+    assert list(out["first_seq"]) == list(off // 16)
+    assert list(out["last_seq"]) == list((off + ref["n"].to_numpy() - 1) // 16)
+
+
+def test_split_assign_partitions_everything(docs):
+    from analiticcl_ray.pipelines.text import oracle_tokens, split_assign
+
+    out = split_assign(docs).to_pandas().set_index("split")
+    assert set(out.index) <= {"train", "val", "test"}
+    assert int(out["n_docs"].sum()) == docs.count()
+    full_tokens = int(
+        oracle_tokens(docs.select_columns(["text"]).to_pandas()["text"])
+        .str.len()
+        .sum()
+    )
+    assert int(out["n_tokens"].sum()) == full_tokens
+    # ~90/5/5 with loose bounds
+    assert out.loc["train", "n_docs"] > 0.7 * docs.count()
+
+
+def test_quantize_stats_known_vectors(ray_session):
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.ann import quantize_stats
+
+    ds = rd.from_items(
+        [
+            {"vec_id": 0, "embedding": [0.0, 0.0, 0.0]},      # all-zero
+            {"vec_id": 1, "embedding": [1.0, -1.0, 0.5]},     # sat both ends
+            {"vec_id": 2, "embedding": [2.0, 0.0, -0.25]},
+        ]
+    )
+    out = quantize_stats(ds).to_pandas().set_index("vec_id").sort_index()
+    assert out.loc[0, "code_sum"] == 0 and out.loc[0, "n_zero"] == 3
+    assert out.loc[0, "n_sat"] == 0
+    # vec 1: codes 127, -127, 64 (floor(63.5+0.5))
+    assert out.loc[1, "code_sum"] == 64 and out.loc[1, "n_sat"] == 2
+    # vec 2: codes 127, 0, -16 (floor(-15.875+0.5) = -16)
+    assert out.loc[2, "code_sum"] == 111
+    assert out.loc[2, "n_sat"] == 1 and out.loc[2, "n_zero"] == 1
