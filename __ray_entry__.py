@@ -289,6 +289,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-vector int8 quantization audit (integer invariants)
         return ann.quantize_stats(_emb(sf_dir))
 
+    def length_histogram(sf_dir):
+        # power-of-two token-length histogram (data-card summary)
+        return text.length_histogram(_docs(sf_dir))
+
+    def dup_rate_by_source(sf_dir):
+        # per-source near-dup drop rate (dedup analytics rollup)
+        return text.dup_rate_by_source(_docs(sf_dir))
+
+    def split_contamination(sf_dir):
+        # cross-split leakage check: held-out docs (splitmix64 split,
+        # same assignment as split_assign) sharing a 16-gram with any
+        # train doc — the train/test contamination audit
+        import numpy as np
+        import pyarrow as pa
+
+        from analiticcl_ray.stages.signatures import splitmix64
+
+        def _half(is_train):
+            def _f(t: pa.Table) -> pa.Table:
+                ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.uint64)
+                hv = splitmix64(ids) % np.uint64(1000)
+                mask = (hv < 900) if is_train else (hv >= 900)
+                return t.filter(pa.array(mask)).replace_schema_metadata(None)
+
+            return _f
+
+        docs = _docs(sf_dir)
+        train = docs.map_batches(_half(True), batch_format="pyarrow")
+        heldout = docs.map_batches(_half(False), batch_format="pyarrow")
+        # decontaminate flags its FIRST argument's docs: held-out docs
+        # sharing distinct 16-grams with the train side
+        return text.decontaminate(heldout, train, n=16)
+
     def tfidf_top_terms(sf_dir):
         # per-doc top-5 distinctive terms by tf*ln(N/df)
         return text.tfidf_top_terms(_docs(sf_dir), k=5)
@@ -558,6 +591,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": chunk_docs,
         "pack_sequences": pack_sequences,
         "quantize_stats": quantize_stats,
+        "length_histogram": length_histogram,
+        "dup_rate_by_source": dup_rate_by_source,
+        "split_contamination": split_contamination,
         "tfidf_top_terms": tfidf_top_terms,
         "doc_freq": doc_freq,
         "lm_perplexity": lm_perplexity,
@@ -1373,6 +1409,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_zero
             FROM q GROUP BY vec_id
+        """,
+        "length_histogram": f"""
+            WITH t AS (
+              SELECT {_NTOK} AS n FROM documents
+            ),
+            b AS (
+              SELECT CASE WHEN n = 0 THEN 0
+                          ELSE length(bin(n::BIGINT)) END::BIGINT
+                       AS bucket_bits,
+                     n
+              FROM t
+            )
+            SELECT bucket_bits,
+                   CASE WHEN bucket_bits = 0 THEN 0
+                        ELSE (1::BIGINT << (bucket_bits::INT - 1)) END
+                     AS lo,
+                   ((1::BIGINT << bucket_bits::INT) - 1) AS hi,
+                   count(*)::BIGINT AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS n_tokens
+            FROM b GROUP BY bucket_bits
+        """,
+        "dup_rate_by_source": """
+            WITH RECURSIVE seq AS (
+              SELECT i FROM generate_series(1, 4096) t(i)
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(text, i, 3) AS gram
+              FROM documents JOIN seq ON i <= length(text) - 2
+              WHERE length(text) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+              FROM grams g1 JOIN grams g2
+                ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON inter.a = sa.doc_id
+              JOIN sizes sb ON inter.b = sb.doc_id
+              WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+            ),
+            sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(node, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            ),
+            clusters AS (
+              SELECT node AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY node
+            )
+            SELECT d.source,
+                   count(*)::BIGINT AS n_docs,
+                   CAST(sum(CASE WHEN coalesce(c.cluster_id = d.doc_id, TRUE)
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+                   CAST(sum(CASE WHEN coalesce(c.cluster_id = d.doc_id, TRUE)
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                     * 1.0 / count(*) AS drop_rate
+            FROM documents d LEFT JOIN clusters c USING (doc_id)
+            GROUP BY d.source
+        """,
+        "split_contamination": f"""
+            WITH {_splitmix_doc_cte()},
+            seq AS (SELECT i FROM generate_series(1, 4096) t(i)),
+            g AS (
+              SELECT DISTINCT d.doc_id, substr(d.text, i, 16) AS gram
+              FROM documents d JOIN seq ON i <= length(d.text) - 15
+              WHERE length(d.text) >= 16
+            ),
+            e AS (
+              SELECT DISTINCT gram FROM g JOIN sm USING (doc_id)
+              WHERE hv % 1000 < 900
+            ),
+            t AS (
+              SELECT g.* FROM g JOIN sm USING (doc_id)
+              WHERE hv % 1000 >= 900
+            )
+            SELECT t.doc_id, count(*) AS n_shared
+            FROM t JOIN e USING (gram)
+            GROUP BY t.doc_id
         """,
         "doc_freq": """
             WITH t AS (

@@ -2299,6 +2299,114 @@ def pack_sequences(
     return counts.groupby("bucket").map_groups(_assign)
 
 
+def length_histogram(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Power-of-two token-length histogram — the data-card /
+    batch-shape-planning summary (how much mass sits in each length
+    doubling). Bucket = bit_length(n_tokens) (0 for empty docs), with
+    the integer [lo, hi] range materialized per bucket. Exact integer
+    math only: bit_length via ``np.frexp`` exponents (int64 < 2^53 is
+    exact in float64). Per-batch combiner → ≤64-key groupby; shuffle
+    volume ≤ 64 rows per block."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = oracle_tokens(batch["text"].to_pandas()).str.len().to_numpy(
+            dtype=np.int64
+        )
+        bl = np.zeros(len(n), dtype=np.int64)
+        nz = n > 0
+        _, e = np.frexp(n[nz].astype(np.float64))
+        bl[nz] = e.astype(np.int64)
+        g = (
+            pd.DataFrame({"bucket_bits": bl, "n": n})
+            .groupby("bucket_bits", sort=False)
+            .agg(n_docs=("n", "size"), n_tokens=("n", "sum"))
+            .reset_index()
+        )
+        return _pa_clean(g)
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket_bits")
+        .sum(["n_docs", "n_tokens"])
+        .to_pandas()  # ≤64 rows
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(n_tokens)": "n_tokens"})
+    )
+    b = agg["bucket_bits"].to_numpy(dtype=np.int64)
+    agg["lo"] = np.where(b == 0, 0, np.int64(1) << np.maximum(b - 1, 0))
+    agg["hi"] = (np.int64(1) << b) - 1
+    return ray.data.from_arrow(_pa_clean(agg))
+
+
+def dup_rate_by_source(
+    docs: "ray.data.Dataset", n: int = 3, threshold: float = 0.8
+) -> "ray.data.Dataset":
+    """Dedup analytics rollup: how much of each source survives
+    near-dup dedup — per source, total docs, docs the keep-list drops,
+    and the drop rate (the one float = a single division of exact
+    ints). The report a pipeline owner reads after a dedup run to spot
+    a boilerplate-heavy source. Composition: [[near_dup_keep]] (every
+    doc gets a keep flag) joined back to ``source`` through ONE
+    doc_id-bucket cogroup (no broadcast of either side), then a
+    source-keyed combiner merge."""
+    keep = near_dup_keep(docs, n=n, threshold=threshold)
+
+    def _keep_side(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dropped": pc.cast(pc.invert(t["keep"]), pa.int64()),
+                "source": pa.array([None] * len(t), pa.string()),
+            }
+        )
+        return bucket_by_keys(out, ["doc_id"], _MERGE_COGROUPS)
+
+    def _src_side(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dropped": pa.array([None] * len(t), pa.int64()),
+                "source": t["source"],
+            }
+        )
+        return bucket_by_keys(out, ["doc_id"], _MERGE_COGROUPS)
+
+    both = keep.map_batches(_keep_side, batch_format="pyarrow").union(
+        docs.select_columns(["doc_id", "source"]).map_batches(
+            _src_side, batch_format="pyarrow"
+        )
+    )
+
+    def _join(g: pd.DataFrame) -> pa.Table:
+        left = g.loc[g["source"].isna(), ["doc_id", "dropped"]]
+        right = g.loc[g["source"].notna(), ["doc_id", "source"]]
+        m = right.merge(left, on="doc_id", how="left")
+        part = (
+            m.groupby("source", sort=False)
+            .agg(
+                n_docs=("doc_id", "size"),
+                n_dropped=("dropped", "sum"),
+            )
+            .reset_index()
+        )
+        part["n_dropped"] = part["n_dropped"].astype(np.int64)
+        return _pa_clean(part)
+
+    agg = (
+        both.groupby("bucket")
+        .map_groups(_join, batch_format="pandas")
+        .groupby("source")
+        .sum(["n_docs", "n_dropped"])
+        .to_pandas()  # |distinct sources| rows
+        .rename(
+            columns={"sum(n_docs)": "n_docs", "sum(n_dropped)": "n_dropped"}
+        )
+    )
+    agg["drop_rate"] = agg["n_dropped"].astype(np.float64) / agg[
+        "n_docs"
+    ].astype(np.float64)
+    return ray.data.from_arrow(_pa_clean(agg))
+
+
 def doc_freq(docs: "ray.data.Dataset", min_df: int = 1) -> "ray.data.Dataset":
     """Global document-frequency vocabulary: one row per distinct token
     with its DF and IDF (``ln(N/df)``) — the standing side table a

@@ -1597,3 +1597,40 @@ def test_quantize_stats_known_vectors(ray_session):
     # vec 2: codes 127, 0, -16 (floor(-15.875+0.5) = -16)
     assert out.loc[2, "code_sum"] == 111
     assert out.loc[2, "n_sat"] == 1 and out.loc[2, "n_zero"] == 1
+
+
+def test_length_histogram_buckets(ray_session):
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import length_histogram
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": ""},                 # 0 tokens -> bucket 0
+            {"doc_id": 1, "text": "a"},                # 1 -> bucket 1 [1,1]
+            {"doc_id": 2, "text": "a b c"},            # 3 -> bucket 2 [2,3]
+            {"doc_id": 3, "text": "a b c d e f g h"},  # 8 -> bucket 4 [8,15]
+        ]
+    )
+    out = length_histogram(ds).to_pandas().set_index("bucket_bits").sort_index()
+    assert list(out.index) == [0, 1, 2, 4]
+    assert out.loc[2, "lo"] == 2 and out.loc[2, "hi"] == 3
+    assert out.loc[4, "lo"] == 8 and out.loc[4, "hi"] == 15
+    assert int(out["n_docs"].sum()) == 4
+    assert int(out["n_tokens"].sum()) == 12
+
+
+def test_dup_rate_by_source_consistent_with_keep(docs):
+    from analiticcl_ray.pipelines.text import dup_rate_by_source, near_dup_keep
+
+    out = dup_rate_by_source(docs).to_pandas()
+    keep = near_dup_keep(docs).to_pandas()
+    src = docs.select_columns(["doc_id", "source"]).to_pandas()
+    ref = keep.merge(src, on="doc_id")
+    assert int(out["n_docs"].sum()) == docs.count()
+    total_dropped = int((~ref["keep"]).sum())
+    assert int(out["n_dropped"].sum()) == total_dropped
+    per_src = ref.groupby("source")["keep"].agg(lambda s: int((~s).sum()))
+    got = out.set_index("source")["n_dropped"]
+    for s, v in per_src.items():
+        assert got.get(s, 0) == v
