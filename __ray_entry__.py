@@ -382,6 +382,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _events(sf_dir)
         return events.tumbling_window_agg(ev, window_s=3600)
 
+    def funnel_counts(sf_dir):
+        # ordered view -> click -> purchase funnel, greedy semantics
+        return events.funnel_counts(
+            _events(sf_dir), steps=("view", "click", "purchase")
+        )
+
+    def retention_cohorts(sf_dir):
+        # first-event-day cohorts x active-day offsets (epoch days)
+        return events.retention_cohorts(_events(sf_dir))
+
     def sessions(sf_dir):
         ev = _events(sf_dir)
         return events.sessionize(ev, gap_s=1800)
@@ -605,6 +615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "window_agg": window_agg,
+        "funnel_counts": funnel_counts,
+        "retention_cohorts": retention_cohorts,
         "sessions": sessions,
         "event_transitions": event_transitions,
         "user_activity_stats": user_activity_stats,
@@ -1636,6 +1648,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id,
                    coalesce(c.cluster_id = e.vec_id, TRUE) AS keep
             FROM embeddings e LEFT JOIN clusters c USING (vec_id)
+        """,
+        "funnel_counts": """
+            WITH u1 AS (
+              SELECT user_id, min(epoch_us(ts)) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            u2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t
+              FROM events e JOIN u1 ON e.user_id = u1.user_id
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t
+              GROUP BY 1
+            ),
+            u3 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t
+              FROM events e JOIN u2 ON e.user_id = u2.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t
+              GROUP BY 1
+            )
+            SELECT 1::BIGINT AS stage, 'view' AS step,
+                   count(*)::BIGINT AS n_users FROM u1
+            UNION ALL
+            SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM u2
+            UNION ALL
+            SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM u3
+        """,
+        "retention_cohorts": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            c AS (
+              SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1
+            )
+            SELECT c.cohort_day::BIGINT AS cohort_day,
+                   (ud.day - c.cohort_day)::BIGINT AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM ud JOIN c USING (user_id)
+            GROUP BY 1, 2
         """,
         "window_agg": """
             SELECT user_id,

@@ -491,3 +491,137 @@ def user_activity_stats(events: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby("bucket")
         .map_groups(_stats_bucket, batch_format="pandas")
     )
+
+
+def funnel_counts(
+    events: "ray.data.Dataset",
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> "ray.data.Dataset":
+    """Ordered funnel analysis (the classic product-analytics op): how
+    many users complete each prefix of ``steps`` IN ORDER, greedy
+    semantics — t1 = user's first step-1 event, t_k = first step-k
+    event strictly after t_{k-1}. Output one row per stage:
+    (stage, step, n_users), n_users non-increasing with stage.
+
+    Shape: filter to funnel event types at the read (nothing else
+    shuffles), ONE user-bucket cogroup co-locates each user's funnel
+    events; inside the bucket the greedy chain is |steps| vectorized
+    pandas passes (mask → compare against the previous stage's per-user
+    time → groupby-min). Per-bucket output is |steps| partial counts;
+    the final merge is constant-sized. All time math on integer epoch
+    µs — exact."""
+    step_list = list(steps)
+    stepset = set(step_list)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts", "event_type"]).to_pandas()
+        df = df[df["event_type"].isin(stepset)]
+        t_us = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "t_us": t_us.astype("int64"),
+                "event_type": df["event_type"],
+            }
+        )
+        return _bucket_by(
+            pa.Table.from_pandas(out, preserve_index=False), ["user_id"]
+        )
+
+    def _funnel_bucket(group: pd.DataFrame) -> pa.Table:
+        prev: pd.Series | None = None  # per-user time of previous stage
+        counts: list[int] = []
+        for k, step in enumerate(step_list):
+            sub = group[group["event_type"] == step]
+            if prev is not None:
+                after = sub["user_id"].map(prev)
+                sub = sub[after.notna() & (sub["t_us"] > after)]
+            cur = sub.groupby("user_id", sort=False)["t_us"].min()
+            counts.append(len(cur))
+            prev = cur
+        return pa.table(
+            {
+                "stage": pa.array(
+                    np.arange(1, len(step_list) + 1, dtype=np.int64), pa.int64()
+                ),
+                "step": pa.array(step_list, pa.string()),
+                "n_users": pa.array(np.asarray(counts, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        events.map_batches(_project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_funnel_bucket, batch_format="pandas")
+    )
+    agg = (
+        partials.groupby(["stage", "step"])
+        .sum("n_users")
+        .to_pandas()  # |steps| rows
+        .rename(columns={"sum(n_users)": "n_users"})
+    )
+    agg["n_users"] = agg["n_users"].astype("int64")
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+    )
+
+
+def retention_cohorts(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Cohort retention matrix: users grouped by the epoch-day of their
+    first event (the cohort), counted on each later active day as a
+    day offset — the table behind every retention curve. Output
+    (cohort_day, day_offset, n_users), all int64 (epoch days).
+
+    Shape: per-batch combiner reduces events to distinct (user, day)
+    pairs, ONE user-bucket cogroup makes the per-user min-day global
+    (bucketing is by user, so a user's whole history is in one group),
+    per-bucket (cohort, offset) partial counts → constant-ish final
+    merge. Shuffle volume = distinct user-days, never raw events."""
+
+    def _days(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts"]).to_pandas()
+        day = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(days=1)
+        out = (
+            pd.DataFrame(
+                {"user_id": df["user_id"].astype("int64"),
+                 "day": day.astype("int64")}
+            )
+            .drop_duplicates()
+        )
+        return _bucket_by(
+            pa.Table.from_pandas(out, preserve_index=False), ["user_id"]
+        )
+
+    def _cohort_bucket(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id", sort=False)["day"].transform("min")
+        part = (
+            pd.DataFrame(
+                {
+                    "cohort_day": cohort.astype("int64"),
+                    "day_offset": (g["day"] - cohort).astype("int64"),
+                }
+            )
+            .groupby(["cohort_day", "day_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        part["n_users"] = part["n_users"].astype("int64")
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    partials = (
+        events.map_batches(_days, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_cohort_bucket, batch_format="pandas")
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["cohort_day", "day_offset", "n_users"])
+
+    return (
+        partials.groupby(["cohort_day", "day_offset"])
+        .sum("n_users")
+        .map_batches(_rename, batch_format="pyarrow")
+    )

@@ -1634,3 +1634,64 @@ def test_dup_rate_by_source_consistent_with_keep(docs):
     got = out.set_index("source")["n_dropped"]
     for s, v in per_src.items():
         assert got.get(s, 0) == v
+
+
+def test_funnel_counts_greedy_order(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.events import funnel_counts
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1 completes the full funnel in order
+        {"user_id": 1, "ts": t0 + 1 * s, "event_type": "view"},
+        {"user_id": 1, "ts": t0 + 2 * s, "event_type": "click"},
+        {"user_id": 1, "ts": t0 + 3 * s, "event_type": "purchase"},
+        # user 2: click BEFORE first view -> stops at stage 1
+        {"user_id": 2, "ts": t0 + 5 * s, "event_type": "click"},
+        {"user_id": 2, "ts": t0 + 6 * s, "event_type": "view"},
+        # user 3: purchase before click -> stops at stage 2
+        {"user_id": 3, "ts": t0 + 1 * s, "event_type": "view"},
+        {"user_id": 3, "ts": t0 + 2 * s, "event_type": "purchase"},
+        {"user_id": 3, "ts": t0 + 3 * s, "event_type": "click"},
+        # user 4: never views
+        {"user_id": 4, "ts": t0 + 1 * s, "event_type": "purchase"},
+    ]
+    out = (
+        funnel_counts(rd.from_items(rows))
+        .to_pandas()
+        .set_index("stage")
+        .sort_index()
+    )
+    assert list(out["step"]) == ["view", "click", "purchase"]
+    assert list(out["n_users"]) == [3, 2, 1]
+
+
+def test_retention_cohorts_offsets(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.events import retention_cohorts
+
+    d = pd.Timedelta(days=1)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: cohort day0, active day0 + day2 (two events same day
+        # count once)
+        {"user_id": 1, "ts": t0},
+        {"user_id": 1, "ts": t0 + pd.Timedelta(hours=3)},
+        {"user_id": 1, "ts": t0 + 2 * d},
+        # user 2: cohort day1, active day1 only
+        {"user_id": 2, "ts": t0 + d},
+    ]
+    day0 = (t0 - pd.Timestamp(0)) // d
+    out = (
+        retention_cohorts(rd.from_items(rows))
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["cohort_day"], out["day_offset"], out["n_users"]))
+    assert got == [(day0, 0, 1), (day0, 2, 1), (day0 + 1, 0, 1)]
