@@ -322,6 +322,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sharing distinct 16-grams with the train side
         return text.decontaminate(heldout, train, n=16)
 
+    def prep_corpus(sf_dir):
+        # the end-to-end training-data prep composition: quality gate →
+        # exact dedup → near dedup → deterministic split, reported as
+        # the per-(split, source) doc/token mass corpus card
+        return text.prep_corpus(_docs(sf_dir))
+
     def tfidf_top_terms(sf_dir):
         # per-doc top-5 distinctive terms by tf*ln(N/df)
         return text.tfidf_top_terms(_docs(sf_dir), k=5)
@@ -578,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": ngram_jaccard,
         "near_dup_clusters": near_dup_clusters,
         "near_dup_keep": near_dup_keep,
+        "prep_corpus": prep_corpus,
         "length_quantiles": length_quantiles,
         "length_quantiles_per_lang": length_quantiles_per_lang,
         "pmi_scores": pmi_scores,
@@ -1158,6 +1165,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(c.cluster_id = d.doc_id, TRUE) AS keep
             FROM documents d LEFT JOIN clusters c USING (doc_id)
+        """,
+        "prep_corpus": f"""
+            WITH RECURSIVE {_splitmix_doc_cte()},
+            q AS (
+              SELECT doc_id, text, source, {_NTOK} AS n_tokens
+              FROM documents
+              WHERE {_NTOK} >= 20
+                AND {_NDIS}::DOUBLE / {_NTOK} >= 0.3
+            ),
+            e AS (
+              SELECT q.doc_id, q.text, q.source, q.n_tokens
+              FROM q JOIN (
+                SELECT text, min(doc_id) AS m FROM q GROUP BY text
+              ) g ON q.text = g.text AND q.doc_id = g.m
+            ),
+            seq AS (SELECT i FROM generate_series(1, 4096) t(i)),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(text, i, 3) AS gram
+              FROM e JOIN seq ON i <= length(text) - 2
+              WHERE length(text) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+              FROM grams g1 JOIN grams g2
+                ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON inter.a = sa.doc_id
+              JOIN sizes sb ON inter.b = sb.doc_id
+              WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+            ),
+            sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(node, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            ),
+            clusters AS (
+              SELECT node AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY node
+            ),
+            kept AS (
+              SELECT e.doc_id, e.source, e.n_tokens
+              FROM e LEFT JOIN clusters c USING (doc_id)
+              WHERE coalesce(c.cluster_id = e.doc_id, TRUE)
+            ),
+            a AS (
+              SELECT k.source, k.n_tokens,
+                     CASE WHEN hv % 1000 < 900 THEN 'train'
+                          WHEN hv % 1000 < 950 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM kept k JOIN sm ON sm.doc_id = k.doc_id
+            )
+            SELECT split, source, count(*)::BIGINT AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM a GROUP BY split, source
         """,
         "length_quantiles": """
             WITH ranked AS (

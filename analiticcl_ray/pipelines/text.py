@@ -2299,6 +2299,133 @@ def pack_sequences(
     return counts.groupby("bucket").map_groups(_assign)
 
 
+def prep_corpus(
+    docs: "ray.data.Dataset",
+    min_tokens: int = 20,
+    min_distinct_ratio: float = 0.3,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> "ray.data.Dataset":
+    """The end-to-end training-data prep pipeline as ONE composition —
+    what an actual pretraining run executes, chained from this module's
+    operators: quality gate → exact dedup → near dedup →
+    deterministic split, reported as the final per-(split, source)
+    doc/token mass (the corpus card of the data that would ship).
+
+    Stages and their scale shapes:
+    1. quality gate — map-only (token count + distinct ratio, the
+       [[quality_filter]] thresholds), text never shuffles here;
+    2. exact dedup — survivors bucket-hash ONCE on text; in-group
+       keep = min doc_id per identical text (this is the single time
+       the text column crosses the wire, and it also positions stage 3);
+    3. near dedup — [[near_dup_keep]] over the exact-dedup survivors
+       (n-gram Jaccard pairs → distributed CC → keep flags), joined
+       back through a doc_id-bucket cogroup against the SLIM
+       (doc_id, source, n_tokens) projection — text is already gone;
+    4. split + rollup — splitmix64 split assignment ([[split_assign]]
+       semantics), per-batch combiner → ≤ 3·|sources|-row merge."""
+
+    def _quality(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "text", "source"]).to_pandas()
+        toks = oracle_tokens(df["text"])
+        nt = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode().dropna()
+        nd_g = ex.groupby(level=0).nunique()
+        nd = np.zeros(len(df), dtype=np.int64)
+        nd[nd_g.index.to_numpy()] = nd_g.to_numpy()
+        ratio = np.where(nt > 0, nd / np.maximum(nt, 1), 0.0)
+        keep = (nt >= min_tokens) & (ratio >= min_distinct_ratio)
+        out = df.loc[keep, ["doc_id", "text", "source"]].assign(
+            n_tokens=nt[keep]
+        )
+        return _pa_clean(out)
+
+    kept1 = docs.map_batches(_quality, batch_format="pyarrow")
+
+    def _dedup_bucket(g: pd.DataFrame) -> pa.Table:
+        keep = (
+            g.groupby("text", sort=False)["doc_id"].transform("min")
+            == g["doc_id"]
+        )
+        return _pa_clean(g.loc[keep, ["doc_id", "text", "source", "n_tokens"]])
+
+    kept2 = (
+        kept1.map_batches(
+            lambda t: bucket_by_keys(t, ["text"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_dedup_bucket, batch_format="pandas")
+        .materialize()  # consumed twice: near-dup pairs + the slim join
+    )
+
+    keep3 = near_dup_keep(kept2, n=n, threshold=threshold)
+
+    def _slim_side(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_tokens": t["n_tokens"],
+                "keep": pa.array([None] * len(t), pa.bool_()),
+            }
+        )
+        return bucket_by_keys(out, ["doc_id"], _MERGE_COGROUPS)
+
+    def _keep_side(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": pa.array([None] * len(t), pa.string()),
+                "n_tokens": pa.array([None] * len(t), pa.int64()),
+                "keep": t["keep"],
+            }
+        )
+        return bucket_by_keys(out, ["doc_id"], _MERGE_COGROUPS)
+
+    both = kept2.map_batches(_slim_side, batch_format="pyarrow").union(
+        keep3.map_batches(_keep_side, batch_format="pyarrow")
+    )
+
+    def _rollup_bucket(g: pd.DataFrame) -> pa.Table:
+        left = g.loc[g["source"].notna(), ["doc_id", "source", "n_tokens"]]
+        flags = g.loc[g["source"].isna(), ["doc_id", "keep"]]
+        m = left.merge(flags, on="doc_id", how="left")
+        m = m[m["keep"].astype("boolean").fillna(True).to_numpy(dtype=bool)]
+        ids = np.asarray(m["doc_id"].to_numpy(), dtype=np.uint64)
+        h = splitmix64(ids) % _U64(1000)
+        m = m.assign(
+            split=np.where(h < 900, "train", np.where(h < 950, "val", "test"))
+        )
+        part = (
+            m.groupby(["split", "source"], sort=False)
+            .agg(n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"))
+            .reset_index()
+        )
+        part["n_docs"] = part["n_docs"].astype(np.int64)
+        part["n_tokens"] = part["n_tokens"].astype(np.int64)
+        return _pa_clean(part)
+
+    def _final_merge(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby(["split", "source"], sort=False)[["n_docs", "n_tokens"]]
+            .sum()
+            .reset_index()
+        )
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_tokens"] = g["n_tokens"].astype(np.int64)
+        return _pa_clean(g)
+
+    # the rollup is ≤ 3·|sources| rows per bucket — merge the partials
+    # on one task (repartition(1)) instead of a groupby shuffle
+    return (
+        both.groupby("bucket")
+        .map_groups(_rollup_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final_merge, batch_format="pandas", batch_size=None)
+    )
+
+
 def length_histogram(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Power-of-two token-length histogram — the data-card /
     batch-shape-planning summary (how much mass sits in each length

@@ -1695,3 +1695,84 @@ def test_retention_cohorts_offsets(ray_session):
     )
     got = list(zip(out["cohort_day"], out["day_offset"], out["n_users"]))
     assert got == [(day0, 0, 1), (day0, 2, 1), (day0 + 1, 0, 1)]
+
+
+def test_prep_corpus_matches_brute_force(ray_session):
+    """The end-to-end prep composition (quality gate -> exact dedup ->
+    near dedup -> splitmix split -> per-(split,source) rollup) matches
+    a driver-side pandas brute force on a corpus engineered to hit
+    every stage: a quality reject, an exact-dup pair, a near-dup
+    triple, a whitespace-only doc, multiple sources."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import oracle_tokens, prep_corpus
+    from analiticcl_ray.stages.signatures import splitmix64
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "clear river bank today while birds sing above the old "
+            "stone bridge and wind moves softly through green trees")
+    near1 = base.replace("quick", "quicc")
+    near2 = base.replace("river", "rivxr")
+    rows = [
+        (1, base, "sA"),
+        (2, near1, "sA"),          # near-dup of 1
+        (3, near2, "sB"),          # near-dup of 1 (transitive via grams)
+        (4, base, "sB"),           # exact dup of 1 -> dropped at stage 2
+        (5, "short doc", "sA"),    # quality reject: < 20 tokens
+        (6, "a a a a a a a a a a a a a a a a a a a a a a", "sB"),
+        #    ^ 22 tokens but distinct_ratio 1/22 < 0.3 -> reject
+        (7, "   \t ", "sA"),       # whitespace-only -> reject
+        (8, "every one of these twenty distinct plain words appears "
+            "exactly once so this document clears both quality gates "
+            "comfortably today", "sB"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    got = (
+        prep_corpus(rd.from_pandas(pdf), min_tokens=20, threshold=0.8)
+        .to_pandas()
+        .sort_values(["split", "source"])
+        .reset_index(drop=True)
+    )
+
+    # brute force
+    toks = oracle_tokens(pdf["text"])
+    nt = toks.str.len()
+    nd = toks.apply(lambda t: len(set(t)))
+    q = pdf[(nt >= 20) & (nd / nt.clip(lower=1) >= 0.3)].copy()
+    q["n_tokens"] = nt[q.index]
+    q = q[q.groupby("text")["doc_id"].transform("min") == q["doc_id"]]
+
+    def grams(t):
+        return {t[i:i + 3] for i in range(len(t) - 2)}
+
+    gs = {r.doc_id: grams(r.text) for r in q.itertuples()}
+    parent = {d: d for d in gs}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    ids = sorted(gs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(gs[a] & gs[b])
+            if inter / (len(gs[a]) + len(gs[b]) - inter) >= 0.8:
+                ra, rb = find(a), find(b)
+                parent[max(ra, rb)] = min(ra, rb)
+    q = q[[find(d) == d for d in q["doc_id"]]]
+    hv = splitmix64(q["doc_id"].to_numpy(dtype=np.uint64)) % np.uint64(1000)
+    q["split"] = np.where(hv < 900, "train", np.where(hv < 950, "val", "test"))
+    want = (
+        q.groupby(["split", "source"])
+        .agg(n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"))
+        .reset_index()
+        .astype({"n_docs": np.int64, "n_tokens": np.int64})
+        .sort_values(["split", "source"])
+        .reset_index(drop=True)
+    )
+    # stage assertions baked into the fixture: 4 (exact dup), 5/6/7
+    # (quality) and two of {1,2,3} (near-dup) are gone
+    assert set(q["doc_id"]) == {1, 8}
+    pd.testing.assert_frame_equal(got[want.columns], want, check_exact=True)
