@@ -280,6 +280,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # context-length chunking into 64-token windows
         return text.chunk_docs(_docs(sf_dir), window=64)
 
+    def chunk_dedup(sf_dir):
+        # sub-document exact dedup (ExactSubstr at 16-token chunk
+        # granularity): global first occurrence survives, docs
+        # reassembled from surviving chunks
+        return text.chunk_dedup(_docs(sf_dir), window=16)
+
     def pack_sequences(sf_dir):
         # concat-and-split packing: global token offsets via
         # distributed prefix sum, 128-token training sequences
@@ -605,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": sample_docs,
         "balanced_sample": balanced_sample,
         "split_assign": split_assign,
+        "chunk_dedup": chunk_dedup,
         "chunk_docs": chunk_docs,
         "pack_sequences": pack_sequences,
         "quantize_stats": quantize_stats,
@@ -1447,6 +1454,36 @@ def oracle_sql() -> dict[str, str]:
                    len(toks[(i*64+1):((i+1)*64)])::BIGINT AS n_tokens
             FROM t, LATERAL unnest(generate_series(
                      0, CAST(ceil(len(toks) / 64.0) AS BIGINT) - 1)) AS g(i)
+        """,
+        "chunk_dedup": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, i AS chunk_id,
+                     array_to_string(toks[(i*16+1):((i+1)*16)], ' ')
+                       AS chunk_text,
+                     len(toks[(i*16+1):((i+1)*16)])::BIGINT AS n_tokens
+              FROM t, LATERAL unnest(generate_series(
+                       0, CAST(ceil(len(toks) / 16.0) AS BIGINT) - 1)) AS g(i)
+            ),
+            f AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY chunk_text ORDER BY doc_id, chunk_id
+                     ) AS rn
+              FROM c
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_chunks,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END)
+                     AS BIGINT) AS n_tokens_kept,
+                   string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                              ORDER BY chunk_id) AS text_kept
+            FROM f GROUP BY doc_id
         """,
         "pack_sequences": f"""
             WITH t AS (

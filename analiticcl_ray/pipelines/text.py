@@ -2230,6 +2230,76 @@ def chunk_docs(docs: "ray.data.Dataset", window: int = 64) -> "ray.data.Dataset"
     return docs.map_batches(_chunks, batch_format="pyarrow")
 
 
+def chunk_dedup(
+    docs: "ray.data.Dataset", window: int = 16, n_cogroups: int | None = None
+) -> "ray.data.Dataset":
+    """Sub-document exact dedup (the ExactSubstr idea of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", at
+    fixed ``window``-token chunk granularity): an occurrence of a chunk
+    survives iff it is the GLOBAL first occurrence of that exact chunk
+    text (lexicographic min ``(doc_id, chunk_id)``) — catching both
+    cross-document boilerplate and within-document repetition that
+    whole-doc dedup misses. Output, one row per non-empty doc:
+    ``(doc_id, n_chunks, n_kept, n_tokens_kept, text_kept)`` with
+    ``text_kept`` the surviving chunks rejoined in order (NULL when
+    every chunk was dropped).
+
+    Distribution shape: [[chunk_docs]] explode (map-only) → ONE
+    chunk_text-bucket shuffle where the first-occurrence decision is a
+    C-speed sort + ``duplicated`` per bucket → one doc_id-bucket
+    cogroup to reassemble. Chunk text crosses the wire twice (identity
+    decision + reassembly) — unavoidable for global-first semantics
+    with reconstruction; counts-only consumers can drop ``text_kept``
+    upstream."""
+    from ..stages.lsh import adaptive_cogroups, bucket_by_keys
+
+    nb = n_cogroups or adaptive_cogroups(None)
+    chunks = chunk_docs(docs, window=window)
+
+    def _flag(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["chunk_text", "doc_id", "chunk_id"], kind="mergesort"
+        )
+        keep = ~g["chunk_text"].duplicated().to_numpy()
+        out = g.assign(keep=keep)[
+            ["doc_id", "chunk_id", "chunk_text", "n_tokens", "keep"]
+        ]
+        return _pa_clean(out)
+
+    flagged = (
+        chunks.map_batches(
+            lambda t: bucket_by_keys(t, ["chunk_text"], nb),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_flag, batch_format="pandas")
+    )
+
+    def _assemble(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "chunk_id"], kind="mergesort")
+        kept = g[g["keep"]]
+        agg = g.groupby("doc_id", sort=False).size().rename("n_chunks").to_frame()
+        kg = kept.groupby("doc_id", sort=False)
+        agg["n_kept"] = kg.size().reindex(agg.index, fill_value=0)
+        agg["n_tokens_kept"] = kg["n_tokens"].sum().reindex(
+            agg.index, fill_value=0
+        )
+        agg["text_kept"] = kg["chunk_text"].agg(" ".join).reindex(agg.index)
+        out = agg.reset_index()
+        for c in ("n_chunks", "n_kept", "n_tokens_kept"):
+            out[c] = out[c].astype(np.int64)
+        return _pa_clean(out)
+
+    return (
+        flagged.map_batches(
+            lambda t: bucket_by_keys(t, ["doc_id"], nb),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_assemble, batch_format="pandas")
+    )
+
+
 def pack_sequences(
     docs: "ray.data.Dataset", seq_len: int = 128, bucket_shift: int = 12
 ) -> "ray.data.Dataset":

@@ -1776,3 +1776,43 @@ def test_prep_corpus_matches_brute_force(ray_session):
     # (quality) and two of {1,2,3} (near-dup) are gone
     assert set(q["doc_id"]) == {1, 8}
     pd.testing.assert_frame_equal(got[want.columns], want, check_exact=True)
+
+
+def test_chunk_dedup_global_first_occurrence(ray_session):
+    """An occurrence of a chunk survives iff it is the global first
+    (min doc_id, then min chunk_id); within-doc repeats drop too; docs
+    whose every chunk is seen earlier get NULL text_kept; empty docs
+    emit no row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import chunk_dedup
+
+    A = " ".join(f"a{i}" for i in range(4))   # chunk A
+    B = " ".join(f"b{i}" for i in range(4))   # chunk B
+    C = " ".join(f"c{i}" for i in range(4))   # chunk C
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{A} {B} {A}",   # A, B, then A again (within-doc repeat)
+                f"{B} {C}",       # B seen in doc 1 -> dropped; C kept
+                f"{A} {B}",       # nothing new -> all dropped
+                "",               # empty -> no output row
+            ],
+        }
+    )
+    out = (
+        chunk_dedup(rd.from_pandas(pdf), window=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "n_chunks"] == 3 and out.loc[1, "n_kept"] == 2
+    assert out.loc[1, "text_kept"] == f"{A} {B}"
+    assert out.loc[2, "n_chunks"] == 2 and out.loc[2, "n_kept"] == 1
+    assert out.loc[2, "text_kept"] == C
+    assert out.loc[3, "n_kept"] == 0 and pd.isna(out.loc[3, "text_kept"])
+    assert out.loc[3, "n_tokens_kept"] == 0
+    assert out.loc[1, "n_tokens_kept"] == 8
