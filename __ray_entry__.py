@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def source_mix(sf_dir):
         return text.source_mix(_docs(sf_dir))
 
+    def source_overlap(sf_dir):
+        # cross-source exact-overlap matrix: distinct texts shared by
+        # each source pair (the can-these-crawls-mix audit)
+        return text.source_overlap(_docs(sf_dir))
+
     def dup_ngram_fraction(sf_dir):
         return text.dup_ngram_fraction(_docs(sf_dir), n=3)
 
@@ -573,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": exact_dedup,
         "normalized_dedup": normalized_dedup,
         "source_mix": source_mix,
+        "source_overlap": source_overlap,
         "dup_ngram_fraction": dup_ngram_fraction,
         "incremental_dedup": incremental_dedup,
         "exact_dup_clusters": exact_dup_clusters,
@@ -918,6 +924,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_docs, n_tokens,
                    n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM s) AS weight
             FROM s
+        """,
+        # cross-source exact-overlap matrix (distinct shared texts per
+        # unordered source pair; diagonal = per-source distinct texts)
+        "source_overlap": """
+            WITH d AS (SELECT DISTINCT text, source FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared_texts
+            FROM d a JOIN d b ON a.text = b.text AND a.source <= b.source
+            GROUP BY 1, 2
         """,
         # per-doc duplicated word-3-gram fraction (distinct grams; a
         # gram is shared if >= 2 docs contain it)

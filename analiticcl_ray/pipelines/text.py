@@ -3517,6 +3517,68 @@ def source_mix(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return ray.data.from_arrow(_pa_clean(agg))
 
 
+def source_overlap(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Cross-source exact-overlap matrix: for every unordered source
+    pair, how many DISTINCT texts appear in both — the
+    which-crawls-share-content audit that decides whether two data
+    sources can be mixed without re-deduplicating. One row per
+    ``(source_a, source_b)`` with ``source_a <= source_b``; the
+    diagonal (``source_a = source_b``) is the distinct-text count of
+    that source, so off-diagonal cells read directly as containment
+    fractions against it.
+
+    Distribution shape: per-batch distinct ``(text, source)`` combiner
+    (duplicate docs collapse before the wire) → one text-bucket
+    cogroup where each text's source set expands to pairs via a
+    C-speed self-merge → per-bucket partial counts → the
+    ≤|sources|²-row merge on one task (repartition(1), the
+    constant-cardinality pattern)."""
+    from ..stages.lsh import bucket_by_keys
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.select(["text", "source"])
+            .to_pandas()
+            .drop_duplicates()
+        )
+        return _pa_clean(df)
+
+    def _pairs_bucket(g: pd.DataFrame) -> pa.Table:
+        d = g[["text", "source"]].drop_duplicates()
+        m = d.merge(d, on="text")
+        m = m[m["source_x"] <= m["source_y"]]
+        out = (
+            m.groupby(["source_x", "source_y"], sort=False)
+            .size()
+            .rename("n_shared_texts")
+            .reset_index()
+            .rename(columns={"source_x": "source_a", "source_y": "source_b"})
+        )
+        out["n_shared_texts"] = out["n_shared_texts"].astype(np.int64)
+        return _pa_clean(out)
+
+    def _final_merge(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby(["source_a", "source_b"], sort=False)["n_shared_texts"]
+            .sum()
+            .astype(np.int64)
+            .reset_index()
+        )
+        return _pa_clean(g)
+
+    return (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["text"], _MERGE_COGROUPS),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_pairs_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final_merge, batch_format="pandas", batch_size=None)
+    )
+
+
 # ---------------------------------------------------------------------
 # per-doc duplicated-n-gram fraction (corpus-internal contamination)
 # ---------------------------------------------------------------------

@@ -1816,3 +1816,29 @@ def test_chunk_dedup_global_first_occurrence(ray_session):
     assert out.loc[3, "n_kept"] == 0 and pd.isna(out.loc[3, "text_kept"])
     assert out.loc[3, "n_tokens_kept"] == 0
     assert out.loc[1, "n_tokens_kept"] == 8
+
+
+def test_source_overlap_matrix(ray_session):
+    """Diagonal = per-source distinct texts; off-diagonal = distinct
+    texts shared by the pair; duplicate docs collapse first."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import source_overlap
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(7),
+            "text": ["t1", "t1", "t2", "t1", "t3", "t2", "t3"],
+            "source": ["A", "A", "A", "B", "B", "C", "B"],
+        }
+    )
+    out = source_overlap(rd.from_pandas(pdf)).to_pandas()
+    got = {
+        (r.source_a, r.source_b): r.n_shared_texts for r in out.itertuples()
+    }
+    # A={t1,t2}, B={t1,t3}, C={t2}
+    assert got == {
+        ("A", "A"): 2, ("B", "B"): 2, ("C", "C"): 1,
+        ("A", "B"): 1, ("A", "C"): 1,
+    }
