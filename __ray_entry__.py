@@ -447,6 +447,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pq.read_table(f"{sf_dir}/nation.parquet"),
         )
 
+    def shipping_priority(sf_dir):
+        # Q3-shaped BIG-BIG join: lineitem ⋈ orders co-bucketed on
+        # orderkey (one cogroup), customer segment broadcast, exact
+        # cent revenue, deterministic top-10
+        import pyarrow.parquet as pq
+
+        from analiticcl_ray.pipelines import relational
+        from analiticcl_ray.sources.storage import read_table
+
+        return relational.shipping_priority(
+            read_table(f"{sf_dir}/lineitem.parquet"),
+            read_table(f"{sf_dir}/orders.parquet"),
+            pq.read_table(f"{sf_dir}/customer.parquet"),
+        )
+
     def asof_join(sf_dir):
         from analiticcl_ray.sources.storage import read_table
 
@@ -642,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_stats": user_activity_stats,
         "pricing_summary": pricing_summary,
         "revenue_by_nation": revenue_by_nation,
+        "shipping_priority": shipping_priority,
         "image_features": image_features,
         "image_resize": image_resize,
         "hopping_window_agg": hopping_window_agg,
@@ -1920,6 +1936,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue_c DESC, l.l_orderkey
+            LIMIT 10
         """,
         "user_activity_stats": """
             WITH e AS (

@@ -200,3 +200,150 @@ def revenue_by_nation(
         .repartition(1)
         .map_batches(_merge, batch_format="pyarrow", batch_size=None)
     )
+
+
+class _SegmentOrders:
+    """Actor-pool stage: keep orders placed before ``cutoff`` by
+    customers in the broadcast segment-custkey set (sorted int64 array,
+    ``ray.put`` once, searchsorted membership per batch)."""
+
+    def __init__(self, keys_ref, cutoff_us):
+        self.keys = ray.get(keys_ref)
+        self.cutoff = cutoff_us
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.keys, ck)
+        hit = (
+            (od < self.cutoff)
+            & (pos < len(self.keys))
+            & (self.keys[np.minimum(pos, len(self.keys) - 1)] == ck)
+        )
+        out = batch.select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).filter(pa.array(hit))
+        return out.append_column(
+            "rev_c", pa.array([None] * len(out), pa.int64())
+        ).replace_schema_metadata(None)
+
+
+def shipping_priority(
+    lineitem: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    customer: pa.Table,
+    segment: str = "BUILDING",
+    cutoff: str = "1995-03-15",
+    k: int = 10,
+    n_cogroups: int | None = None,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """TPC-H Q3-shaped shipping priority: top-``k`` unshipped orders of
+    one market segment by outstanding revenue — the BIG-BIG join this
+    module otherwise lacks (lineitem ⋈ orders are both fact-sized, so
+    neither side can broadcast).
+
+    Distribution shape: customer is the only broadcast (a sorted int64
+    custkey array of the segment). The lineitem side collapses FIRST
+    (per-batch combiner: filter + groupby orderkey sum of row-level
+    cent-quantized revenue — one row per order per block leaves the
+    map stage), then BOTH slim sides bucket-hash on orderkey and meet
+    in ONE cogroup where an inner pandas merge + per-bucket top-k
+    partial runs at C speed. Only ≤ k rows per bucket reach the
+    constant-sized final merge. No side ever materializes on the
+    driver; the bucket count scales via ``adaptive_cogroups``."""
+    from ..stages.lsh import adaptive_cogroups, bucket_by_keys
+
+    nb = n_cogroups or adaptive_cogroups(None)
+    cut = np.datetime64(pd.Timestamp(cutoff), "us")
+    cdf = customer.select(["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = np.sort(
+        cdf.loc[cdf["c_mktsegment"] == segment, "c_custkey"].to_numpy(
+            dtype=np.int64
+        )
+    )
+    keys_ref = ray.put(keys)
+
+    def _line_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        m = sd > cut
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)[m]
+        rev = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[m])
+        )
+        g = (
+            pd.DataFrame({"o_orderkey": okey, "rev_c": rev})
+            .groupby("o_orderkey", sort=False)["rev_c"]
+            .sum()
+            .reset_index()
+        )
+        g["rev_c"] = g["rev_c"].astype(np.int64)
+        g["o_orderdate"] = pd.Series(
+            [pd.NaT] * len(g), dtype="datetime64[us]"
+        )
+        g["o_orderpriority"] = pd.Series([None] * len(g), dtype=object)
+        return _pa_clean(
+            g[["o_orderkey", "o_orderdate", "o_orderpriority", "rev_c"]]
+        )
+
+    line_side = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(_line_partial, batch_format="pyarrow")
+
+    order_side = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        _SegmentOrders,
+        fn_constructor_args=(keys_ref, cut),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def _align(t: pa.Table) -> pa.Table:
+        t = t.select(["o_orderkey", "o_orderdate", "o_orderpriority", "rev_c"])
+        return bucket_by_keys(t, ["o_orderkey"], nb)
+
+    both = line_side.map_batches(_align, batch_format="pyarrow").union(
+        order_side.map_batches(_align, batch_format="pyarrow")
+    )
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_c", "l_orderkey"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+
+    def _join_bucket(g: pd.DataFrame) -> pa.Table:
+        rv = g["rev_c"]
+        o = g.loc[rv.isna(), ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+        l = (
+            g.loc[rv.notna(), ["o_orderkey", "rev_c"]]
+            .groupby("o_orderkey", sort=False)["rev_c"]
+            .sum()
+            .reset_index()
+        )
+        m = o.merge(l, on="o_orderkey").rename(
+            columns={"o_orderkey": "l_orderkey", "rev_c": "revenue_c"}
+        )
+        m["revenue_c"] = m["revenue_c"].astype(np.int64)
+        return _pa_clean(
+            _topk(m)[
+                ["l_orderkey", "revenue_c", "o_orderdate", "o_orderpriority"]
+            ]
+        )
+
+    def _final(df: pd.DataFrame) -> pa.Table:
+        return _pa_clean(_topk(df).reset_index(drop=True))
+
+    return (
+        both.groupby("bucket")
+        .map_groups(_join_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final, batch_format="pandas", batch_size=None)
+    )

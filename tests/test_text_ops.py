@@ -1842,3 +1842,37 @@ def test_source_overlap_matrix(ray_session):
         ("A", "A"): 2, ("B", "B"): 2, ("C", "C"): 1,
         ("A", "B"): 1, ("A", "C"): 1,
     }
+
+
+def test_shipping_priority_matches_duckdb(ray_session):
+    """Q3-shaped big-big cogroup join == DuckDB on the sf0.001 tables
+    (exact cent revenue, deterministic revenue-desc/orderkey-asc
+    top-10)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from analiticcl_ray.pipelines.relational import shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    got = shipping_priority(
+        rd.read_parquet(f"{sf}/lineitem.parquet"),
+        rd.read_parquet(f"{sf}/orders.parquet"),
+        pq.read_table(f"{sf}/customer.parquet"),
+    ).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    want = con.execute(entry.oracle_sql()["shipping_priority"]).df()
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want[got.columns].reset_index(drop=True),
+        check_exact=True,
+        check_dtype=False,
+    )
