@@ -300,6 +300,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-vector int8 quantization audit (integer invariants)
         return ann.quantize_stats(_emb(sf_dir))
 
+    def label_centroids(sf_dir):
+        # per-(label, dim) exact nano-quantized centroid accumulators
+        # (the class-mean table for semantic-dedup / clustering audits)
+        return ann.label_centroids(_emb(sf_dir))
+
     def length_histogram(sf_dir):
         # power-of-two token-length histogram (data-card summary)
         return text.length_histogram(_docs(sf_dir))
@@ -636,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": chunk_docs,
         "pack_sequences": pack_sequences,
         "quantize_stats": quantize_stats,
+        "label_centroids": label_centroids,
         "length_histogram": length_histogram,
         "dup_rate_by_source": dup_rate_by_source,
         "split_contamination": split_contamination,
@@ -1555,6 +1561,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_zero
             FROM q GROUP BY vec_id
+        """,
+        "label_centroids": """
+            WITH u AS (
+              SELECT label::BIGINT AS label,
+                     CAST(unnest(embedding) AS DOUBLE) AS x,
+                     generate_subscripts(embedding, 1)::BIGINT AS pos
+              FROM embeddings
+            )
+            SELECT label, pos - 1 AS dim,
+                   count(*)::BIGINT AS n_vecs,
+                   CAST(sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_q
+            FROM u GROUP BY 1, 2
         """,
         "length_histogram": f"""
             WITH t AS (

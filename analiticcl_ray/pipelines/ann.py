@@ -638,3 +638,54 @@ def quantize_stats(embeddings: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return embeddings.map_batches(_stats, batch_format="pyarrow")
+
+
+def label_centroids(embeddings: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-(label, dim) EXACT centroid accumulators — the class-mean
+    side table a semantic-dedup / clustering audit reads (centroid =
+    sum_q / n_vecs / 1e9 downstream). Coordinates are nano-quantized
+    (``floor(x*1e9 + 0.5)`` on the exact float64 view of the float32
+    input — the quantize_stats trick) so every aggregate is an int64
+    and the DuckDB oracle hashes bit-identically regardless of
+    distributed summation order.
+
+    Distribution shape: per-batch combiner (one lexsort + reduceat per
+    block — |labels|·dim rows leave the map stage) → constant-sized
+    repartition(1) merge; no row-level shuffle at any scale."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _list_matrix(batch["embedding"])
+        q = np.floor(emb * 1e9 + 0.5).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        lab_s, q_s = labels[order], q[order]
+        starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        sums = np.add.reduceat(q_s, starts, axis=0)
+        counts = np.diff(np.r_[starts, len(lab_s)])
+        n_lab, d = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(lab_s[starts], d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n_lab)),
+                "n_vecs": pa.array(np.repeat(counts, d).astype(np.int64)),
+                "sum_q": pa.array(sums.reshape(-1), pa.int64()),
+            }
+        )
+
+    def _merge(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby(["label", "dim"], sort=False)[["n_vecs", "sum_q"]]
+            .sum()
+            .astype(np.int64)
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        embeddings.select_columns(["label", "embedding"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_merge, batch_format="pandas", batch_size=None)
+    )

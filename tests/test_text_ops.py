@@ -1876,3 +1876,35 @@ def test_shipping_priority_matches_duckdb(ray_session):
         check_exact=True,
         check_dtype=False,
     )
+
+
+def test_label_centroids_exact_sums(ray_session):
+    """Nano-quantized per-(label, dim) sums equal a numpy brute force
+    regardless of batch/block partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.ann import label_centroids
+
+    rng = np.random.default_rng(7)
+    n, d = 100, 5
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    labels = rng.integers(0, 3, n)
+    ds = rd.from_items(
+        [
+            {"vec_id": i, "embedding": emb[i].tolist(), "label": int(labels[i])}
+            for i in range(n)
+        ]
+    ).repartition(7)
+    out = (
+        label_centroids(ds)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    q = np.floor(emb.astype(np.float64) * 1e9 + 0.5).astype(np.int64)
+    for lab in range(3):
+        sub = q[labels == lab]
+        got = out[out["label"] == lab]
+        assert (got["n_vecs"] == len(sub)).all()
+        assert list(got["sum_q"]) == list(sub.sum(axis=0))
