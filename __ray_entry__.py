@@ -467,6 +467,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pq.read_table(f"{sf_dir}/customer.parquet"),
         )
 
+    def local_supplier_volume(sf_dir):
+        # Q5-shaped six-table join: dims pre-resolved into broadcast
+        # nat_key LUTs, nation equality folded into the cogroup join
+        # key, lineitem pre-combined per batch
+        import pyarrow.parquet as pq
+
+        from analiticcl_ray.pipelines import relational
+        from analiticcl_ray.sources.storage import read_table
+
+        return relational.local_supplier_volume(
+            read_table(f"{sf_dir}/lineitem.parquet"),
+            read_table(f"{sf_dir}/orders.parquet"),
+            pq.read_table(f"{sf_dir}/customer.parquet"),
+            pq.read_table(f"{sf_dir}/supplier.parquet"),
+            pq.read_table(f"{sf_dir}/nation.parquet"),
+            pq.read_table(f"{sf_dir}/region.parquet"),
+        )
+
+    def promo_revenue(sf_dir):
+        # Q14-shaped promo revenue share: part broadcast LUT, one
+        # partial row per lineitem block, single exact-int division
+        import pyarrow.parquet as pq
+
+        from analiticcl_ray.pipelines import relational
+        from analiticcl_ray.sources.storage import read_table
+
+        return relational.promo_revenue(
+            read_table(f"{sf_dir}/lineitem.parquet"),
+            pq.read_table(f"{sf_dir}/part.parquet"),
+        )
+
     def asof_join(sf_dir):
         from analiticcl_ray.sources.storage import read_table
 
@@ -664,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": pricing_summary,
         "revenue_by_nation": revenue_by_nation,
         "shipping_priority": shipping_priority,
+        "local_supplier_volume": local_supplier_volume,
+        "promo_revenue": promo_revenue,
         "image_features": image_features,
         "image_resize": image_resize,
         "hopping_window_agg": hopping_window_agg,
@@ -1971,6 +2004,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue_c DESC, l.l_orderkey
             LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   count(*)::BIGINT AS n_items,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        "promo_revenue": """
+            WITH f AS (
+              SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 100) AS BIGINT) AS rev_c,
+                     (p.p_type = 'PROMO') AS is_promo
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+                AND l.l_shipdate < TIMESTAMP '1995-10-01'
+            )
+            SELECT count(*)::BIGINT AS n_items,
+                   CAST(sum(CASE WHEN is_promo THEN rev_c ELSE 0 END)
+                        AS BIGINT) AS promo_rev_c,
+                   CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+                   CAST(sum(CASE WHEN is_promo THEN rev_c ELSE 0 END)
+                        AS DOUBLE)
+                     / CAST(sum(rev_c) AS DOUBLE) AS promo_frac
+            FROM f
         """,
         "user_activity_stats": """
             WITH e AS (

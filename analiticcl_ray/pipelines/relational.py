@@ -347,3 +347,277 @@ def shipping_priority(
         .repartition(1)
         .map_batches(_final, batch_format="pandas", batch_size=None)
     )
+
+
+class _OrderNationSide:
+    """Actor-pool stage for the orders side of local_supplier_volume:
+    date-range filter, custkey -> customer nation via the broadcast
+    LUT, keep only nations inside the target region. Emits the slim
+    ``(o_orderkey, nat_key)`` join side (rev_c/n_items null markers)."""
+
+    def __init__(self, cust_ref, lo_us, hi_us):
+        keys, nats = ray.get(cust_ref)
+        self.keys, self.nats = keys, nats
+        self.lo, self.hi = lo_us, hi_us
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.keys, ck)
+        ok = (
+            (od >= self.lo)
+            & (od < self.hi)
+            & (pos < len(self.keys))
+            & (self.keys[np.minimum(pos, len(self.keys) - 1)] == ck)
+        )
+        nat = self.nats[pos[ok]]  # -1 when outside the region
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)[ok]
+        m = nat >= 0
+        nulls = pa.array([None] * int(m.sum()), pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey[m], pa.int64()),
+                "nat_key": pa.array(nat[m], pa.int64()),
+                "rev_c": nulls,
+                "n_items": nulls,
+            }
+        )
+
+
+class _LineSupplierSide:
+    """Actor-pool stage for the lineitem side: suppkey -> supplier
+    nation via the broadcast LUT, keep region nations, row-level cent
+    revenue, then a per-batch combiner to one row per
+    ``(l_orderkey, nat_key)`` per block."""
+
+    def __init__(self, supp_ref):
+        keys, nats = ray.get(supp_ref)
+        self.keys, self.nats = keys, nats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.keys, sk)
+        ok = (pos < len(self.keys)) & (
+            self.keys[np.minimum(pos, len(self.keys) - 1)] == sk
+        )
+        nat = self.nats[pos[ok]]
+        m = nat >= 0
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)[ok][m]
+        rev = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[ok][m]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[ok][m])
+        )
+        g = (
+            pd.DataFrame({"o_orderkey": okey, "nat_key": nat[m], "rev_c": rev})
+            .groupby(["o_orderkey", "nat_key"], sort=False)["rev_c"]
+            .agg(["sum", "size"])
+            .reset_index()
+            .rename(columns={"sum": "rev_c", "size": "n_items"})
+        )
+        g["rev_c"] = g["rev_c"].astype(np.int64)
+        g["n_items"] = g["n_items"].astype(np.int64)
+        return _pa_clean(g[["o_orderkey", "nat_key", "rev_c", "n_items"]])
+
+
+def local_supplier_volume(
+    lineitem: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    customer: pa.Table,
+    supplier: pa.Table,
+    nation: pa.Table,
+    region: pa.Table,
+    r_name: str = "ASIA",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+    n_cogroups: int | None = None,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """TPC-H Q5-shaped local supplier volume: per nation of one region,
+    revenue from lineitems whose SUPPLIER and ordering CUSTOMER share
+    that nation — the six-table join (region ⋈ nation ⋈ supplier ⋈
+    customer ⋈ orders ⋈ lineitem) that exercises every remaining
+    TPC-H dim table.
+
+    Distribution shape: all four dims broadcast as two sorted-key LUTs
+    that PRE-RESOLVE the nation/region filter (custkey→nat_key and
+    suppkey→nat_key, -1 outside the region — so region/nation never
+    appear in the stream at all). The nation-equality condition
+    becomes part of the join key: both fact sides emit
+    ``(o_orderkey, nat_key)`` and meet in ONE orderkey-bucket cogroup
+    (the shipping_priority big-big idiom); the lineitem side is
+    per-batch pre-combined, and only ≤|nations| partial rows per
+    bucket reach the constant-sized final merge."""
+    from ..stages.lsh import adaptive_cogroups, bucket_by_keys
+
+    nb = n_cogroups or adaptive_cogroups(None)
+    lo = np.datetime64(pd.Timestamp(date_lo), "us")
+    hi = np.datetime64(pd.Timestamp(date_hi), "us")
+
+    rdf = region.to_pandas()
+    ndf = nation.to_pandas()
+    rkey = rdf.loc[rdf["r_name"] == r_name, "r_regionkey"]
+    in_region = ndf["n_regionkey"].isin(set(rkey))
+    region_nations = ndf.loc[in_region, "n_nationkey"].to_numpy(np.int64)
+    nat_names = dict(
+        zip(ndf.loc[in_region, "n_nationkey"], ndf.loc[in_region, "n_name"])
+    )
+
+    def _lut(tbl: pa.Table, key: str, nat: str):
+        df = tbl.select([key, nat]).to_pandas()
+        keys = df[key].to_numpy(np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        nats = df[nat].to_numpy(np.int64)[order]
+        nats = np.where(np.isin(nats, region_nations), nats, -1)
+        return keys, nats
+
+    cust_ref = ray.put(_lut(customer, "c_custkey", "c_nationkey"))
+    supp_ref = ray.put(_lut(supplier, "s_suppkey", "s_nationkey"))
+
+    order_side = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        _OrderNationSide,
+        fn_constructor_args=(cust_ref, lo, hi),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    line_side = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        _LineSupplierSide,
+        fn_constructor_args=(supp_ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    both = order_side.map_batches(
+        lambda t: bucket_by_keys(t, ["o_orderkey"], nb),
+        batch_format="pyarrow",
+    ).union(
+        line_side.map_batches(
+            lambda t: bucket_by_keys(t, ["o_orderkey"], nb),
+            batch_format="pyarrow",
+        )
+    )
+
+    def _join_bucket(g: pd.DataFrame) -> pa.Table:
+        rv = g["rev_c"]
+        o = g.loc[rv.isna(), ["o_orderkey", "nat_key"]]
+        l = g.loc[rv.notna(), ["o_orderkey", "nat_key", "rev_c", "n_items"]]
+        m = o.merge(l, on=["o_orderkey", "nat_key"])
+        out = (
+            m.groupby("nat_key", sort=False)[["rev_c", "n_items"]]
+            .sum()
+            .astype(np.int64)
+            .reset_index()
+        )
+        return _pa_clean(out)
+
+    def _final(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby("nat_key", sort=False)[["rev_c", "n_items"]]
+            .sum()
+            .astype(np.int64)
+            .reset_index()
+        )
+        g["n_name"] = g["nat_key"].map(nat_names)
+        g = g.rename(columns={"rev_c": "revenue_c"})
+        return _pa_clean(g[["n_name", "n_items", "revenue_c"]])
+
+    return (
+        both.groupby("bucket")
+        .map_groups(_join_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final, batch_format="pandas", batch_size=None)
+    )
+
+
+class _PromoAttach:
+    """Actor-pool stage: partkey -> is-promo flag via the broadcast
+    part LUT (sorted keys + bool array), date-window filter, then a
+    per-batch combiner to ONE partial row (promo/total cent sums)."""
+
+    def __init__(self, part_ref, lo_us, hi_us):
+        keys, promo = ray.get(part_ref)
+        self.keys, self.promo = keys, promo
+        self.lo, self.hi = lo_us, hi_us
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.keys, pk)
+        ok = (
+            (sd >= self.lo)
+            & (sd < self.hi)
+            & (pos < len(self.keys))
+            & (self.keys[np.minimum(pos, len(self.keys) - 1)] == pk)
+        )
+        rev = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[ok])
+        )
+        is_promo = self.promo[pos[ok]]
+        return pa.table(
+            {
+                "n_items": pa.array([int(ok.sum())], pa.int64()),
+                "promo_rev_c": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total_rev_c": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+
+def promo_revenue(
+    lineitem: "ray.data.Dataset",
+    part: pa.Table,
+    date_lo: str = "1995-09-01",
+    date_hi: str = "1995-10-01",
+    promo_type: str = "PROMO",
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """TPC-H Q14-shaped promotion effect: the share of one month's
+    revenue coming from promo parts. part broadcasts as a sorted
+    (partkey, is_promo) LUT; each lineitem block collapses to ONE
+    partial row, so the only exchange is the constant-sized
+    repartition(1) merge. The promo fraction is a single division of
+    two exact int64 cent totals on the final row — deterministic, so
+    the DuckDB oracle hash-matches."""
+    pdf = part.select(["p_partkey", "p_type"]).to_pandas()
+    keys = pdf["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(keys, kind="stable")
+    part_ref = ray.put(
+        (
+            keys[order],
+            (pdf["p_type"].to_numpy(dtype=object)[order] == promo_type),
+        )
+    )
+    lo = np.datetime64(pd.Timestamp(date_lo), "us")
+    hi = np.datetime64(pd.Timestamp(date_hi), "us")
+
+    def _final(df: pd.DataFrame) -> pa.Table:
+        s = df[["n_items", "promo_rev_c", "total_rev_c"]].sum().astype(np.int64)
+        out = pd.DataFrame([s])
+        out["promo_frac"] = (
+            float(s["promo_rev_c"]) / float(s["total_rev_c"])
+            if s["total_rev_c"]
+            else 0.0
+        )
+        return _pa_clean(out)
+
+    return (
+        lineitem.select_columns(
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        )
+        .map_batches(
+            _PromoAttach,
+            fn_constructor_args=(part_ref, lo, hi),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        .repartition(1)
+        .map_batches(_final, batch_format="pandas", batch_size=None)
+    )

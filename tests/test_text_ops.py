@@ -1908,3 +1908,64 @@ def test_label_centroids_exact_sums(ray_session):
         got = out[out["label"] == lab]
         assert (got["n_vecs"] == len(sub)).all()
         assert list(got["sum_q"]) == list(sub.sum(axis=0))
+
+
+def _duck_parity(name, got, tables, sf="/root/testdata/sf0.001"):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    want = con.execute(entry.oracle_sql()[name]).df()
+    cols = list(got.columns)
+    g = got.sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_exact=True, check_dtype=False)
+
+
+def test_local_supplier_volume_matches_duckdb(ray_session):
+    """Q5-shaped six-table join == DuckDB at sf0.001: dims pre-resolved
+    to broadcast nat_key LUTs, nation equality folded into the
+    cogroup join key."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.relational import local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    got = local_supplier_volume(
+        rd.read_parquet(f"{sf}/lineitem.parquet"),
+        rd.read_parquet(f"{sf}/orders.parquet"),
+        pq.read_table(f"{sf}/customer.parquet"),
+        pq.read_table(f"{sf}/supplier.parquet"),
+        pq.read_table(f"{sf}/nation.parquet"),
+        pq.read_table(f"{sf}/region.parquet"),
+    ).to_pandas()
+    _duck_parity(
+        "local_supplier_volume",
+        got,
+        ["lineitem", "orders", "customer", "supplier", "nation", "region"],
+    )
+
+
+def test_promo_revenue_matches_duckdb(ray_session):
+    """Q14-shaped promo share == DuckDB at sf0.001 (exact cent sums +
+    one deterministic final division)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.relational import promo_revenue
+
+    sf = "/root/testdata/sf0.001"
+    got = promo_revenue(
+        rd.read_parquet(f"{sf}/lineitem.parquet"),
+        pq.read_table(f"{sf}/part.parquet"),
+    ).to_pandas()
+    assert got["total_rev_c"].iloc[0] > 0
+    _duck_parity("promo_revenue", got, ["lineitem", "part"])
