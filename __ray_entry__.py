@@ -392,6 +392,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             emb, query_ids=list(range(10)), k=5, nlist=16, nprobe=8
         )
 
+    def kmeans_assign(sf_dir):
+        # SemDeDup-style semantic bucketing: deterministic cosine
+        # k-means assignment + cluster sizes (rows-only oracle;
+        # exact numpy parity in tests)
+        return ann.kmeans_assign(_emb(sf_dir))
+
     def ann_lsh_topk(sf_dir):
         emb = _emb(sf_dir)
         # short codes + many tables: these embeddings are angularly
@@ -686,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_dup_pairs_lsh": ann_dup_pairs_lsh,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "kmeans_assign": kmeans_assign,
         "window_agg": window_agg,
         "funnel_counts": funnel_counts,
         "retention_cohorts": retention_cohorts,

@@ -689,3 +689,77 @@ def label_centroids(embeddings: "ray.data.Dataset") -> "ray.data.Dataset":
         .repartition(1)
         .map_batches(_merge, batch_format="pandas", batch_size=None)
     )
+
+
+def kmeans_assign(
+    embeddings: "ray.data.Dataset",
+    nlist: int = 16,
+    iters: int = 3,
+    seed: int = 0x5EED,
+) -> "ray.data.Dataset":
+    """Per-vector cosine k-means cluster assignment + cluster sizes —
+    the SemDeDup-style semantic bucketing op exposed first-class (the
+    IVF coarse quantizer, ``kmeans_centroids``, made queryable).
+    Output one row per vector: ``(vec_id, cluster, cluster_size,
+    sim_q)`` where ``sim_q`` is the nano-quantized cosine to the
+    assigned centroid (int64 — order-independent, test-exact).
+
+    Distribution shape: centroids are the broadcast side state
+    (nlist×dim floats); assignment is one stateless map pass; cluster
+    sizes come back through a ≤nlist-row combiner merge joined in-map
+    on a second pass over the broadcast sizes — no row-level shuffle
+    at any scale."""
+    cent = kmeans_centroids(embeddings, nlist=nlist, iters=iters, seed=seed)
+    ref = ray.put(cent)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids, emb = _emb_matrix(batch)
+        emb = _normalize_rows(emb)
+        sims = emb @ c.T
+        a = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(a)), a]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "sim_q": pa.array(
+                    np.floor(best * 1e9 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    assigned = embeddings.map_batches(_assign, batch_format="pyarrow")
+
+    # cluster sizes: per-batch bincount partials -> driver fold
+    # (nlist rows) -> broadcast lookup in a second stateless pass
+    def _sizes(batch: pa.Table) -> pa.Table:
+        cnt = np.bincount(
+            batch["cluster"].to_numpy(zero_copy_only=False), minlength=nlist
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(nlist, dtype=np.int64)),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    sizes = np.zeros(nlist, dtype=np.int64)
+    for b in assigned.map_batches(_sizes, batch_format="pyarrow").iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        np.add.at(
+            sizes,
+            b["cluster"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    sizes_ref = ray.put(sizes)
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        s = ray.get(sizes_ref)
+        cl = batch["cluster"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "cluster_size", pa.array(s[cl], pa.int64())
+        ).replace_schema_metadata(None)
+
+    return assigned.map_batches(_attach, batch_format="pyarrow")

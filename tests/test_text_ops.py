@@ -1969,3 +1969,48 @@ def test_promo_revenue_matches_duckdb(ray_session):
     ).to_pandas()
     assert got["total_rev_c"].iloc[0] > 0
     _duck_parity("promo_revenue", got, ["lineitem", "part"])
+
+
+def test_kmeans_assign_matches_numpy(ray_session):
+    """Distributed deterministic k-means assignment == a driver-side
+    numpy replica of the same seeded Lloyd iterations, exactly
+    (including nano-quantized cosine and cluster sizes)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.ann import kmeans_assign
+
+    sf = "/root/testdata/sf0.001"
+    emb_ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+    nlist, iters, seed = 8, 3, 0x5EED
+    out = (
+        kmeans_assign(emb_ds, nlist=nlist, iters=iters, seed=seed)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    df = emb_ds.to_pandas().sort_values("vec_id")
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = rng.standard_normal((nlist, X.shape[1]))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    for _ in range(iters):
+        a = np.argmax(Xn @ cent.T, axis=1)
+        new = cent.copy()
+        for c in range(nlist):
+            m = a == c
+            if m.any():
+                new[c] = Xn[m].sum(axis=0) / m.sum()
+        cent = new / np.linalg.norm(new, axis=1, keepdims=True)
+    sims = Xn @ cent.T
+    a = np.argmax(sims, axis=1)
+    best = sims[np.arange(len(a)), a]
+    sizes = np.bincount(a, minlength=nlist)
+
+    assert list(out["cluster"]) == list(a)
+    assert list(out["cluster_size"]) == list(sizes[a])
+    assert list(out["sim_q"]) == list(
+        np.floor(best * 1e9 + 0.5).astype(np.int64)
+    )
