@@ -96,6 +96,7 @@ def dedup_pipeline(
         )
         sig_cols += ["phash_bands", "phash"]
     sigs = sigs.select_columns(sig_cols).materialize()
+    metrics["t_signatures_s"] = round(time.perf_counter() - t0, 3)
     phash_rows = (
         # the full 64-bit phash rides the band rows so pair emission can
         # hamming-prefilter inside the cogroup (no extra shuffle)
@@ -169,7 +170,11 @@ def dedup_pipeline(
                 attr_maxham=cfg.phash_max_hamming,
             )
         )
+    t_ps = time.perf_counter()
     pairs = dedup_pairs(cands, n_cogroups=max(1024, n_cg // 8)).materialize()
+    # this single materialize executes band explode + substring pool +
+    # both co-occurrence shuffles + the dedup shuffle
+    metrics["t_pair_shuffle_s"] = round(time.perf_counter() - t_ps, 3)
     # sentinel tally + strip over the (edge-list-sized) materialized
     # pairs; sentinel rows are globally unique (one per dropped bucket,
     # cogroup id encoded in src_id) so the post-dedup tally is exact

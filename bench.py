@@ -76,7 +76,13 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         pairs, clusters, metrics = dedup_pipeline(
             read_table(path, override_num_blocks=n_blocks),
-            signature_concurrency=(max(1, NUM_CPUS // 4), max(2, NUM_CPUS // 2)),
+            # fixed-size signature pool: the stage is long-lived and
+            # does not overlap any other pool (materialize boundary),
+            # and the autoscaler's lazy ramp costs ~50% of its wall
+            # (measured 28.2 s autoscaling (8,16) vs 18.9 s fixed 16 at
+            # 1M rows / 32 CPUs). Verify pools stay autoscaling because
+            # attach + verify stream concurrently and must share slots.
+            signature_concurrency=max(2, NUM_CPUS // 2),
             verify_concurrency=(max(2, NUM_CPUS // 4), max(2, NUM_CPUS - 4)),
             verify_batch_size=4096,
             image_batch_size=512,
