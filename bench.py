@@ -185,6 +185,38 @@ def run_bench() -> dict:
         return dl_pairs(docs())
 
     timed("dl_pairs", _dl)
+    timed("chunk_dedup", lambda: text.chunk_dedup(docs()))
+    timed("prep_corpus", lambda: text.prep_corpus(docs()))
+    timed("source_overlap", lambda: text.source_overlap(docs()))
+    timed("kmeans_assign", lambda: ann.kmeans_assign(emb()))
+
+    def _q3():
+        import pyarrow.parquet as pq
+
+        from analiticcl_ray.pipelines import relational
+
+        return relational.shipping_priority(
+            read_table(f"{SF_DIR}/lineitem.parquet"),
+            read_table(f"{SF_DIR}/orders.parquet"),
+            pq.read_table(f"{SF_DIR}/customer.parquet"),
+        )
+
+    def _q5():
+        import pyarrow.parquet as pq
+
+        from analiticcl_ray.pipelines import relational
+
+        return relational.local_supplier_volume(
+            read_table(f"{SF_DIR}/lineitem.parquet"),
+            read_table(f"{SF_DIR}/orders.parquet"),
+            pq.read_table(f"{SF_DIR}/customer.parquet"),
+            pq.read_table(f"{SF_DIR}/supplier.parquet"),
+            pq.read_table(f"{SF_DIR}/nation.parquet"),
+            pq.read_table(f"{SF_DIR}/region.parquet"),
+        )
+
+    timed("shipping_priority", _q3)
+    timed("local_supplier_volume", _q5)
 
     result = {
         "metric": "end-to-end dedup wall time (corpus_dedup headline) + operator timings",
