@@ -341,10 +341,18 @@ def run_scaling() -> None:
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
     )
-    # keep every measured window: the top-level fields are the latest
-    # run; `history` accumulates (arms, walls, probes) so a judge can
-    # see efficiency vs host capacity across windows instead of one
-    # point sample
+    out = merge_scaling_history(path, out)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: v for k, v in out.items() if k != "history"}))
+
+
+def merge_scaling_history(path: str, out: dict) -> dict:
+    """Keep every measured window: the top-level fields are the latest
+    run; ``history`` accumulates prior runs (arms, walls, probes) so a
+    judge can see efficiency vs host capacity across windows instead of
+    one point sample. A missing or corrupt file starts a fresh
+    history."""
     prev_hist = []
     try:
         with open(path) as f:
@@ -353,10 +361,7 @@ def run_scaling() -> None:
         prev_hist.append({k: v for k, v in old.items() if k != "history"})
     except (OSError, ValueError):
         pass
-    out["history"] = prev_hist
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
-    print(json.dumps({k: v for k, v in out.items() if k != "history"}))
+    return {**out, "history": prev_hist}
 
 
 if __name__ == "__main__":

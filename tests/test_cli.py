@@ -52,3 +52,35 @@ def test_cli_dedup_stage_verbs(tmp_path):
     stages = [s["stage"] for s in payload["stages"]]
     assert stages == ["signatures", "pairs", "verified", "clusters"]
     assert payload["stages"][1].get("resumed")
+
+
+def test_scaling_history_merge(tmp_path):
+    """Each --scaling run becomes the top-level record and pushes the
+    previous one into history; corrupt/missing files start fresh."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import merge_scaling_history
+
+    p = str(tmp_path / "BENCH_SCALING.json")
+    r1 = {"sec_8": 100.0, "sec_32": 30.0, "scaling_efficiency": 0.83}
+    out1 = merge_scaling_history(p, dict(r1))
+    assert out1["history"] == []
+    with open(p, "w") as f:
+        json.dump(out1, f)
+
+    r2 = {"sec_4": 200.0, "sec_16": 60.0, "scaling_efficiency": 0.85}
+    out2 = merge_scaling_history(p, dict(r2))
+    assert out2["scaling_efficiency"] == 0.85
+    assert out2["history"] == [r1]
+    with open(p, "w") as f:
+        json.dump(out2, f)
+
+    r3 = {"sec_8": 90.0, "sec_32": 28.0, "scaling_efficiency": 0.80}
+    out3 = merge_scaling_history(p, dict(r3))
+    assert [h["scaling_efficiency"] for h in out3["history"]] == [0.83, 0.85]
+
+    with open(p, "w") as f:
+        f.write("{corrupt")
+    assert merge_scaling_history(p, dict(r1))["history"] == []
