@@ -42,6 +42,19 @@ def _pa_clean(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
+def _lut_member(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-array membership for the broadcast-LUT stages: returns
+    (hit mask, searchsorted positions). Empty-LUT safe (ADVICE r2: an
+    empty segment/region/promo LUT indexed at the clamped position -1
+    raised IndexError on every batch instead of yielding an empty
+    result)."""
+    if len(keys) == 0:
+        return np.zeros(len(vals), dtype=bool), np.zeros(len(vals), dtype=np.int64)
+    pos = np.searchsorted(keys, vals)
+    hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == vals)
+    return hit, pos
+
+
 def pricing_summary(
     lineitem: "ray.data.Dataset", cutoff: str = "1998-09-02"
 ) -> "ray.data.Dataset":
@@ -202,6 +215,28 @@ def revenue_by_nation(
     )
 
 
+def _emit_q3(df: pd.DataFrame) -> pa.Table:
+    """Explicitly typed Q3 result rows (ADVICE r2): an EMPTY bucket's
+    object columns would otherwise infer null type in from_pandas and
+    lean on schema promotion at the reduce."""
+    return pa.table(
+        {
+            "l_orderkey": pa.array(
+                df["l_orderkey"].to_numpy(dtype=np.int64), pa.int64()
+            ),
+            "revenue_c": pa.array(
+                df["revenue_c"].to_numpy(dtype=np.int64), pa.int64()
+            ),
+            "o_orderdate": pa.Array.from_pandas(
+                df["o_orderdate"].astype("datetime64[us]")
+            ),
+            "o_orderpriority": pa.array(
+                df["o_orderpriority"].tolist(), pa.string()
+            ),
+        }
+    )
+
+
 class _SegmentOrders:
     """Actor-pool stage: keep orders placed before ``cutoff`` by
     customers in the broadcast segment-custkey set (sorted int64 array,
@@ -216,12 +251,8 @@ class _SegmentOrders:
             "datetime64[us]"
         )
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(self.keys, ck)
-        hit = (
-            (od < self.cutoff)
-            & (pos < len(self.keys))
-            & (self.keys[np.minimum(pos, len(self.keys) - 1)] == ck)
-        )
+        member, _ = _lut_member(self.keys, ck)
+        hit = (od < self.cutoff) & member
         out = batch.select(
             ["o_orderkey", "o_orderdate", "o_orderpriority"]
         ).filter(pa.array(hit))
@@ -282,13 +313,22 @@ def shipping_priority(
             .sum()
             .reset_index()
         )
-        g["rev_c"] = g["rev_c"].astype(np.int64)
-        g["o_orderdate"] = pd.Series(
-            [pd.NaT] * len(g), dtype="datetime64[us]"
-        )
-        g["o_orderpriority"] = pd.Series([None] * len(g), dtype=object)
-        return _pa_clean(
-            g[["o_orderkey", "o_orderdate", "o_orderpriority", "rev_c"]]
+        # explicit Arrow types for the all-null marker columns (ADVICE
+        # r2): an object column of Nones round-tripped through
+        # from_pandas infers null type and leans on Ray/Arrow null-type
+        # schema promotion at the union — fragile across versions
+        n = len(g)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    g["o_orderkey"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(n, pa.string()),
+                "rev_c": pa.array(
+                    g["rev_c"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
         )
 
     line_side = lineitem.select_columns(
@@ -332,14 +372,14 @@ def shipping_priority(
             columns={"o_orderkey": "l_orderkey", "rev_c": "revenue_c"}
         )
         m["revenue_c"] = m["revenue_c"].astype(np.int64)
-        return _pa_clean(
+        return _emit_q3(
             _topk(m)[
                 ["l_orderkey", "revenue_c", "o_orderdate", "o_orderpriority"]
             ]
         )
 
     def _final(df: pd.DataFrame) -> pa.Table:
-        return _pa_clean(_topk(df).reset_index(drop=True))
+        return _emit_q3(_topk(df).reset_index(drop=True))
 
     return (
         both.groupby("bucket")
@@ -365,13 +405,8 @@ class _OrderNationSide:
             "datetime64[us]"
         )
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(self.keys, ck)
-        ok = (
-            (od >= self.lo)
-            & (od < self.hi)
-            & (pos < len(self.keys))
-            & (self.keys[np.minimum(pos, len(self.keys) - 1)] == ck)
-        )
+        member, pos = _lut_member(self.keys, ck)
+        ok = (od >= self.lo) & (od < self.hi) & member
         nat = self.nats[pos[ok]]  # -1 when outside the region
         okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)[ok]
         m = nat >= 0
@@ -398,10 +433,7 @@ class _LineSupplierSide:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(self.keys, sk)
-        ok = (pos < len(self.keys)) & (
-            self.keys[np.minimum(pos, len(self.keys) - 1)] == sk
-        )
+        ok, pos = _lut_member(self.keys, sk)
         nat = self.nats[pos[ok]]
         m = nat >= 0
         okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)[ok][m]
@@ -550,13 +582,8 @@ class _PromoAttach:
             "datetime64[us]"
         )
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(self.keys, pk)
-        ok = (
-            (sd >= self.lo)
-            & (sd < self.hi)
-            & (pos < len(self.keys))
-            & (self.keys[np.minimum(pos, len(self.keys) - 1)] == pk)
-        )
+        member, pos = _lut_member(self.keys, pk)
+        ok = (sd >= self.lo) & (sd < self.hi) & member
         rev = _cents(
             batch["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
             * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[ok])

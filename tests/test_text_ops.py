@@ -1878,6 +1878,24 @@ def test_shipping_priority_matches_duckdb(ray_session):
     )
 
 
+def test_shipping_priority_empty_segment(ray_session):
+    """ADVICE r2: a segment matching no customers must yield an empty
+    result, not IndexError from indexing the empty broadcast LUT."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.relational import shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    got = shipping_priority(
+        rd.read_parquet(f"{sf}/lineitem.parquet"),
+        rd.read_parquet(f"{sf}/orders.parquet"),
+        pq.read_table(f"{sf}/customer.parquet"),
+        segment="NO_SUCH_SEGMENT",
+    ).to_pandas()
+    assert len(got) == 0
+
+
 def test_label_centroids_exact_sums(ray_session):
     """Nano-quantized per-(label, dim) sums equal a numpy brute force
     regardless of batch/block partitioning."""
