@@ -39,6 +39,17 @@ def _docs(sf_dir: str):
     return read_table(f"{sf_dir}/documents.parquet")
 
 
+def _top_tokens(sf_dir: str, k: int):
+    """Top-k corpus tokens (cnt desc, token asc) as a small pandas
+    frame — built from the distributed per-block top-k combiner
+    (``text.top_terms``), NOT a full-vocab ``token_counts().to_pandas()``
+    driver pull (VERDICT r2 item 8). Row set and order are identical to
+    the old sort_values().head(k) by construction."""
+    from analiticcl_ray.pipelines import text
+
+    return text.top_terms(_docs(sf_dir), k=k).to_pandas()
+
+
 def _corpus_rows_for(sf_dir: str) -> int:
     # deterministic corpus size per scale tier
     if "0.001" in sf_dir:
@@ -520,8 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def find_variants(sf_dir):
         # lexicon = corpus token counts; queries = fixed typo'd forms of
         # frequent tokens (deterministic); reference find_variants scoring
-        tc = text.token_counts(_docs(sf_dir)).to_pandas()
-        tc = tc.sort_values(["cnt", "token"], ascending=[False, True]).head(200)
+        tc = _top_tokens(sf_dir, 200)
         lex = Lexicon.from_rows(list(zip(tc["token"], tc["cnt"])))
         qs = []
         for t in tc["token"].head(30):
@@ -537,8 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # each document line against the corpus token lexicon
         from analiticcl_ray.pipelines.search import find_all_matches_ds
 
-        tc = text.token_counts(_docs(sf_dir)).to_pandas()
-        tc = tc.sort_values(["cnt", "token"], ascending=[False, True]).head(200)
+        tc = _top_tokens(sf_dir, 200)
         lex = Lexicon.from_rows(list(zip(tc["token"], tc["cnt"])))
         lines = _docs(sf_dir).limit(50).map_batches(
             lambda b: {"line_id": b["doc_id"], "text": b["text"]},
@@ -556,8 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from analiticcl_ray.functions.contextrules import ContextRuleSet
         from analiticcl_ray.pipelines.search import find_all_matches_ds
 
-        tc = text.token_counts(_docs(sf_dir)).to_pandas()
-        tc = tc.sort_values(["cnt", "token"], ascending=[False, True]).head(200)
+        tc = _top_tokens(sf_dir, 200)
         lex = Lexicon.from_rows(list(zip(tc["token"], tc["cnt"])))
         rs = ContextRuleSet()
         rs.add_contextrule(
@@ -577,8 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as transparent variants of the lexicon references
         from analiticcl_ray.pipelines.learn import learn_variants_ds
 
-        tc = text.token_counts(_docs(sf_dir)).to_pandas()
-        tc = tc.sort_values(["cnt", "token"], ascending=[False, True]).head(100)
+        tc = _top_tokens(sf_dir, 100)
         lex = Lexicon.from_rows(list(zip(tc["token"], tc["cnt"])))
         inputs = [
             {"input": t[0] + t[2] + t[1] + t[3:]}

@@ -335,17 +335,34 @@ def quality_filter(docs: "ray.data.Dataset", min_tokens: int = 20,
 
 
 def top_docs(docs: "ray.data.Dataset", k: int = 50) -> "ray.data.Dataset":
-    """Top-k documents by token count — the distributed sort+limit
-    operator (SURVEY §2.7 O-section at document scale): per-doc stats
-    (stateless map), global ``Dataset.sort`` on (n_tokens desc, doc_id
-    asc) for a deterministic total order, then ``limit(k)``. The sort
-    is a sample-partitioned range shuffle over the slim stats
-    projection only."""
+    """Top-k documents by token count (n_tokens desc, doc_id asc) —
+    the distributed sort+limit operator (SURVEY §2.7 O-section at
+    document scale) WITHOUT a global sort (VERDICT r2 item 4: a range
+    shuffle + sampling pass to keep 50 rows is an all-to-all for
+    nothing): each block emits its local top-k (the global top-k is a
+    subset of the per-block top-ks since every doc appears in exactly
+    one block), then one constant-sized ``repartition(1)`` merge picks
+    the final k — shuffle volume is k × n_blocks rows, independent of
+    corpus size. Same deterministic order contract as before."""
+
+    def _block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return _pa_clean(df)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return _pa_clean(df)
+
     return (
         doc_stats(docs)
         .select_columns(["doc_id", "n_tokens"])
-        .sort(["n_tokens", "doc_id"], descending=[True, False])
-        .limit(k)
+        .map_batches(_block_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
     )
 
 
