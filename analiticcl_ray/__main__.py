@@ -86,6 +86,15 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--score-threshold", type=float, default=0.25)
         if verb == "learn":
             sp.add_argument("--iterations", type=int, default=2)
+        if verb == "search":
+            sp.add_argument(
+                "--lm",
+                action="append",
+                default=None,
+                help="LM lexicon TSV (text[<TAB>freq], text may be a "
+                "space-separated n-gram); repeatable — reference "
+                "src/bin/analiticcl.rs:1070-1091",
+            )
 
     sp = sub.add_parser("index")
     sp.add_argument("--lexicon", required=True)
@@ -180,9 +189,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.verb == "search":
-        from analiticcl_ray.pipelines.search import find_all_matches_ds
+        from analiticcl_ray.pipelines.search import BigramLM, find_all_matches_ds
 
-        _emit(find_all_matches_ds(lines, lex, cfg), args.out)
+        lm = (
+            BigramLM.from_tsv(args.lm, known_tokens=lex.texts)
+            if args.lm
+            else None
+        )
+        _emit(find_all_matches_ds(lines, lex, cfg, lm=lm), args.out)
         return 0
 
     if args.verb == "learn":

@@ -190,6 +190,55 @@ class BigramLM:
             for a, b in zip(seq, seq[1:]):
                 self.add_ngram((a, b))
 
+    def read_tsv(self, text: str) -> None:
+        """Ingest one LM lexicon (reference ``--lm``,
+        src/bin/analiticcl.rs:1070-1091: a vocabulary read with
+        ``VocabType::LM``): lines are ``text[<TAB>freq]`` where
+        ``text`` may be a space-separated n-gram; each entry adds its
+        frequency to that n-gram's count (src/lib.rs:252-277). Call
+        :meth:`finalize_parts` once after ALL files are read — the
+        reference's ``unseen_parts`` pass runs at ``build()``."""
+        for line in text.splitlines():
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            cols = line.split("\t")
+            toks = tuple(cols[0].split())
+            if not toks:
+                continue
+            freq = 1
+            if len(cols) > 1 and cols[1].strip():
+                try:
+                    freq = int(float(cols[1]))
+                except ValueError:
+                    pass
+            self.add_ngram(toks, freq)
+
+    def finalize_parts(self, known_tokens=()) -> None:
+        """The reference's unseen-parts pass (src/lib.rs:279-286): any
+        token of a multi-token LM entry that is neither a known
+        vocabulary token nor an LM unigram gets a count-1 unigram, so
+        prior counts exist for every transition the LM can score."""
+        known = set(known_tokens)
+        for ngram in list(self.counts):
+            if len(ngram) < 2:
+                continue
+            for tok in ngram:
+                if tok not in known and (tok,) not in self.counts:
+                    self.add_ngram((tok,), 1)
+
+    @classmethod
+    def from_tsv(cls, paths, known_tokens=()) -> "BigramLM":
+        """Load one or more LM lexicon files (the CLI ``--lm`` flag)."""
+        if isinstance(paths, str):
+            paths = [paths]
+        lm = cls()
+        for p in paths:
+            with open(p, "r", encoding="utf-8") as f:
+                lm.read_tsv(f.read())
+        lm.finalize_parts(known_tokens)
+        return lm
+
     def score_tokens(self, tokens: list[Optional[str]]) -> tuple[float, float]:
         """(logprob, perplexity); None entries = out of vocabulary.
         Mirrors lm_score_tokens exactly."""

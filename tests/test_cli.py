@@ -35,6 +35,28 @@ def test_cli_query_and_testinput(tmp_path):
     assert lines[1].startswith("1\tTrue\t2")
 
 
+def test_cli_search_with_lm(tmp_path):
+    """`search --lm` (reference src/bin/analiticcl.rs:1070-1091): the
+    LM file flips the corrected output for an ambiguous variant."""
+    lex = tmp_path / "lex.tsv"
+    lex.write_text("i\t10\nsaw\t10\nthe\t10\nball\t100\nbell\t2\n")
+    lm = tmp_path / "lm.tsv"
+    lm.write_text("the bell\t50\nthe ball\t1\nsaw the\t10\ni saw\t10\n")
+    r = _run(
+        ["search", "--lexicon", str(lex), "--score-threshold", "0.0",
+         "--lm", str(lm)],
+        stdin="I saw the bcll\n",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bell" in r.stdout
+    r2 = _run(
+        ["search", "--lexicon", str(lex), "--score-threshold", "0.0"],
+        stdin="I saw the bcll\n",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "ball" in r2.stdout
+
+
 def test_cli_dedup_stage_verbs(tmp_path):
     from analiticcl_ray.sources.corpus import corpus_path
 

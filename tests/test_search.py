@@ -138,6 +138,42 @@ def test_empty_input():
     assert find_all_matches("", vf, CFG) == []
 
 
+def test_lm_from_tsv_counts(tmp_path):
+    """VERDICT r2 item 9: LM lexicon loader (reference --lm,
+    src/bin/analiticcl.rs:1070-1091): n-gram lines add their frequency;
+    the unseen-parts pass (src/lib.rs:279-286) gives count-1 unigrams
+    to multi-token-entry parts not otherwise known."""
+    p = tmp_path / "lm.tsv"
+    p.write_text("x y\t5\nx y\t2\nz\t3\nq r\n# comment\n\n")
+    lm = BigramLM.from_tsv(str(p))
+    assert lm.counts[("x", "y")] == 7          # merged across lines
+    assert lm.counts[("z",)] == 3              # explicit unigram kept
+    assert lm.counts[("q", "r")] == 1          # missing freq -> 1
+    assert lm.counts[("x",)] == 1              # unseen part
+    assert lm.counts[("q",)] == 1
+    # known tokens are NOT given synthetic unigrams
+    lm2 = BigramLM.from_tsv(str(p), known_tokens=["x"])
+    assert ("x",) not in lm2.counts
+    assert lm2.counts[("y",)] == 1
+
+
+def test_lm_from_file_flips_consolidation(tmp_path):
+    """Loading an LM file changes the most_likely_sequence winner: the
+    frequent-lexicon pick 'ball' loses to 'bell' once the LM carries
+    'the bell' transitions (reference --lm end-to-end semantics)."""
+    lex = Lexicon.from_rows(
+        [("i", 10), ("saw", 10), ("the", 10), ("ball", 100), ("bell", 2)]
+    )
+    vf = VariantFinder(lex, CFG)
+    no_lm = find_all_matches("I saw the bcll", vf, CFG, max_ngram=1)
+    assert [match_output(m, vf) for m in no_lm] == ["i", "saw", "the", "ball"]
+    p = tmp_path / "lm.tsv"
+    p.write_text("the bell\t50\nthe ball\t1\nsaw the\t10\ni saw\t10\n")
+    lm = BigramLM.from_tsv(str(p), known_tokens=lex.texts)
+    with_lm = find_all_matches("I saw the bcll", vf, CFG, max_ngram=2, lm=lm)
+    assert [match_output(m, vf) for m in with_lm] == ["i", "saw", "the", "bell"]
+
+
 def test_lm_score_tokens():
     lm = BigramLM()
     lm.train_tokens([["a", "b"], ["a", "b"], ["a", "c"]])
