@@ -615,6 +615,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _vd(_docs(sf_dir))
 
+    def variants_scored(sf_dir):
+        # blended-weight variant scoring (DL + prefix + suffix + case,
+        # reference defaults src/types.rs:57-67 minus LCS) with a full
+        # DuckDB hash oracle — VERDICT r2 item 7
+        from analiticcl_ray.pipelines.dlpairs import variants_scored as _vs
+
+        return _vs(_docs(sf_dir))
+
     def corpus_dedup_pairs(sf_dir):
         pairs, _, _ = dedup_pipeline(_corpus_ds(sf_dir))
         return pairs.select_columns(["src_id", "dst_id"])
@@ -722,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "learn_variants": learn_variants,
         "dl_pairs": dl_pairs,
         "variants_dl": variants_dl,
+        "variants_scored": variants_scored,
         "corpus_dedup_pairs": corpus_dedup_pairs,
         "corpus_dedup_clusters": corpus_dedup_clusters,
     }
@@ -2116,6 +2125,74 @@ def oracle_sql() -> dict[str, str]:
                     <= least(2, length(q.input) // 2)
               AND 1.0 - damerau_levenshtein(q.input, l.token)::DOUBLE
                         / length(q.input) >= 0.5
+        """,
+        # Blended-weight variant scoring: the K5/K6 score formula
+        # (src/lib.rs:1430-1452, weights src/types.rs:57-67 minus LCS)
+        # rebuilt in SQL — DL via damerau_levenshtein, common prefix /
+        # suffix via per-position substr comparison over a constant
+        # index series (128 >= any token length in the corpus; the
+        # filtered cross join folds to min mismatch position), the
+        # lowercase flag via upper() inequality. Term order and
+        # association mirror functions/kernels.distance_score exactly
+        # so float64 scores hash bit-identically.
+        "variants_scored": """
+            WITH tc AS (
+              SELECT token, count(*) AS freq
+              FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                    FROM documents WHERE trim(text) <> '')
+              GROUP BY token
+            ),
+            ranked AS (
+              SELECT token, freq,
+                     row_number() OVER (ORDER BY freq DESC, token ASC) AS rn
+              FROM tc
+            ),
+            lex AS (SELECT token, freq FROM ranked WHERE rn <= 200),
+            q AS (
+              SELECT DISTINCT
+                     substr(token,1,1) || substr(token,3,1) ||
+                     substr(token,2,1) || substr(token,4) AS input
+              FROM ranked WHERE rn <= 30 AND length(token) >= 3
+            ),
+            pairs AS (
+              SELECT q.input, l.token AS candidate, l.freq,
+                     damerau_levenshtein(q.input, l.token) AS dl,
+                     length(q.input) AS n,
+                     least(length(q.input), length(l.token)) AS m
+              FROM q JOIN lex l ON l.token <> q.input
+              WHERE damerau_levenshtein(q.input, l.token)
+                      <= least(2, length(q.input) // 2)
+            ),
+            comps AS (
+              SELECT p.input, p.candidate, p.freq, p.dl, p.n,
+                     coalesce(min(CASE WHEN substr(p.input, i::INT, 1)
+                                            <> substr(p.candidate, i::INT, 1)
+                                       THEN i END) - 1, p.m) AS plen,
+                     coalesce(min(CASE WHEN substr(reverse(p.input), i::INT, 1)
+                                            <> substr(reverse(p.candidate), i::INT, 1)
+                                       THEN i END) - 1, p.m) AS slen,
+                     ((substr(p.input,1,1) <> upper(substr(p.input,1,1))) =
+                      (substr(p.candidate,1,1) <> upper(substr(p.candidate,1,1))))
+                       AS samecase
+              FROM pairs p CROSS JOIN generate_series(1, 128) t(i)
+              WHERE i <= p.m
+              GROUP BY p.input, p.candidate, p.freq, p.dl, p.n, p.m, samecase
+            )
+            SELECT input, candidate,
+                   (0.5 * (CASE WHEN dl > n THEN 0.0
+                                ELSE 1.0 - dl::DOUBLE / n END)
+                    + 0.125 * (plen::DOUBLE / n)
+                    + 0.125 * (slen::DOUBLE / n)
+                    + CASE WHEN samecase THEN 0.125 ELSE 0.0 END) / 0.875
+                     AS score,
+                   freq
+            FROM comps
+            WHERE (0.5 * (CASE WHEN dl > n THEN 0.0
+                               ELSE 1.0 - dl::DOUBLE / n END)
+                   + 0.125 * (plen::DOUBLE / n)
+                   + 0.125 * (slen::DOUBLE / n)
+                   + CASE WHEN samecase THEN 0.125 ELSE 0.0 END) / 0.875
+                    >= 0.5
         """,
         # ann_ivf_topk / ann_lsh_topk / context_rules / find_variants /
         # search_correct / learn_variants / corpus_* are rows-only here

@@ -41,12 +41,21 @@ import ray.data
 from ..config import SearchConfig
 from ..functions.kernels import (
     Weights,
+    common_prefix_length_np,
+    common_suffix_length_np,
     damerau_levenshtein,
     distance_score,
     resolve_max_distance,
+    same_case,
 )
 
 _LD_ONLY = Weights(ld=1.0, lcs=0.0, prefix=0.0, suffix=0.0, case=0.0)
+
+#: the SQL-expressible blended-weight slice (VERDICT r2 item 7): the
+#: reference defaults (src/types.rs:57-67) minus the LCS term — DuckDB
+#: has damerau_levenshtein and string prefix/suffix/case expressions
+#: but no longest-common-substring; LCS weighting stays pytest-only.
+_SQL_BLEND = Weights(ld=0.5, lcs=0.0, prefix=0.125, suffix=0.125, case=0.125)
 
 
 def deletion_variants(token: str, max_deletes: int) -> set[str]:
@@ -170,6 +179,7 @@ def variants_dl(
     n_queries: int = 30,
     vocab_top: int = 200,
     max_deletes: int = 2,
+    weights: Weights = _LD_ONLY,
 ) -> "ray.data.Dataset":
     """Query-mode variant matching with ld-only weights and a COMPLETE
     (deletion-join) candidate generator — the SQL-expressible slice of
@@ -289,12 +299,26 @@ def variants_dl(
                 if q == v:
                     continue
                 maxd = resolve_max_distance(len(q), med)
-                d = damerau_levenshtein(self._o(q), self._o(v), maxd)
+                oq, ov = self._o(q), self._o(v)
+                d = damerau_levenshtein(oq, ov, maxd)
                 if d is None:
                     continue
                 s = distance_score(
-                    ld=d, lcs=0, prefixlen=0, suffixlen=0, samecase=True,
-                    input_length=len(q), weights=_LD_ONLY,
+                    ld=d,
+                    lcs=0,
+                    prefixlen=(
+                        common_prefix_length_np(oq, ov)
+                        if weights.prefix > 0
+                        else 0
+                    ),
+                    suffixlen=(
+                        common_suffix_length_np(oq, ov)
+                        if weights.suffix > 0
+                        else 0
+                    ),
+                    samecase=same_case(q, v) if weights.case > 0 else True,
+                    input_length=len(q),
+                    weights=weights,
                 )
                 if s >= thr:
                     inputs.append(q)
@@ -332,3 +356,28 @@ def variants_dl(
             return batch.append_column("freq", self.table["freq"].take(idx))
 
     return scored.map_batches(_AttachFreq, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def variants_scored(
+    docs: "ray.data.Dataset",
+    cfg: SearchConfig | None = None,
+    n_queries: int = 30,
+    vocab_top: int = 200,
+    max_deletes: int = 2,
+) -> "ray.data.Dataset":
+    """``variants_dl`` with the blended reference weights (VERDICT r2
+    item 7): DL + common-prefix + common-suffix + first-char case flag
+    (src/lib.rs:1430-1452 with src/types.rs:57-67 defaults, LCS term
+    excluded — see ``_SQL_BLEND``). Every component is expressible in
+    DuckDB SQL (damerau_levenshtein, per-position substr comparison for
+    prefix/suffix, upper() inequality for the lowercase test), so the
+    full K5/K6 weighting gets a hash-match oracle; LCS weighting stays
+    covered by the kernel goldens in tests/test_kernels.py."""
+    return variants_dl(
+        docs,
+        cfg=cfg,
+        n_queries=n_queries,
+        vocab_top=vocab_top,
+        max_deletes=max_deletes,
+        weights=_SQL_BLEND,
+    )

@@ -103,3 +103,69 @@ def test_variants_dl_oracle_parity(ray_session):
     )
     assert len(out) == len(oracle) and len(out) > 0
     pd.testing.assert_frame_equal(out, oracle.astype(out.dtypes.to_dict()))
+
+
+def test_variants_scored_oracle_parity(ray_session):
+    """Blended weights (DL + prefix + suffix + case, VERDICT r2 item 7)
+    hash-exact vs the DuckDB oracle, on a vocab with case variation so
+    the case term actually discriminates."""
+    duckdb = pytest.importorskip("duckdb")
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+    from analiticcl_ray.pipelines.dlpairs import variants_scored
+
+    rng = np.random.default_rng(13)
+    vocab = ["Spark", "spark", "table", "Table", "batch", "value", "stream",
+             "filter", "window", "query", "group", "joins", "sorts", "hash"]
+    texts = [
+        " ".join(rng.choice(vocab, size=12, replace=True)) for _ in range(40)
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts,
+         "lang": ["en"] * len(texts), "n_chars": [len(t) for t in texts]}
+    )
+    out = (
+        variants_scored(rd.from_pandas(pdf))
+        .to_pandas()
+        .sort_values(["input", "candidate"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = (
+        con.execute(entry.oracle_sql()["variants_scored"])
+        .df()
+        .sort_values(["input", "candidate"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(oracle) and len(out) > 0
+    # scores compare EXACT: term order/association mirror distance_score
+    pd.testing.assert_frame_equal(
+        out, oracle.astype(out.dtypes.to_dict()), check_exact=True
+    )
+    # the blended score differs from the ld-only slice (components live)
+    from analiticcl_ray.functions.kernels import (
+        Weights,
+        common_prefix_length_np,
+        common_suffix_length_np,
+        damerau_levenshtein,
+        distance_score,
+        same_case,
+    )
+
+    w = Weights(ld=0.5, lcs=0.0, prefix=0.125, suffix=0.125, case=0.125)
+    for r in out.head(10).itertuples():
+        oq = np.array([ord(c) for c in r.input], dtype=np.int64)
+        ov = np.array([ord(c) for c in r.candidate], dtype=np.int64)
+        d = damerau_levenshtein(oq, ov, 2)
+        want = distance_score(
+            ld=d,
+            lcs=0,
+            prefixlen=common_prefix_length_np(oq, ov),
+            suffixlen=common_suffix_length_np(oq, ov),
+            samecase=same_case(r.input, r.candidate),
+            input_length=len(r.input),
+            weights=w,
+        )
+        assert r.score == want
