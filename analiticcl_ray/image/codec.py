@@ -4,11 +4,11 @@ this environment).
 - PNG encode/decode: minimal but spec-conformant subset (8-bit RGB /
   grayscale, non-interlaced, all five filter types on decode, filter 0 on
   encode). Deterministic bytes for identical pixels (fixed zlib level).
-- JPEG: no encoder available -> decode is STUBBED behind
-  ``NotImplementedError``; fixtures use PNG (decode-deterministic) plus a
-  deterministic "q<N>" quantization pseudo-codec to exercise the lossy
-  PSNR>=40dB path (FIXTURES.md §1) without a real JPEG codec. The Ray-side
-  plumbing (binary column in, pixels out, actor-pool decode) is real.
+- JPEG: REAL baseline codec (pure numpy, ITU-T T.81 subset —
+  image/jpeg.py; VERDICT r2 item 6), so the PSNR>=40dB lossy-dup rule
+  runs on actual lossy bytes. Progressive/subsampled streams raise
+  NotImplementedError. The "q<N>" quantization pseudo-codec remains for
+  the legacy fixtures.
 - phash: 64-bit DCT perceptual hash (resize 32x32 grayscale -> DCT-II ->
   top-left 8x8 minus DC -> median threshold), the standard pHash recipe.
 - psnr: peak signal-to-noise ratio over decoded uint8 pixels; the
@@ -145,15 +145,15 @@ def quantize_encode(pixels: np.ndarray, q: int) -> bytes:
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:
-    """Dispatch by the corpus `fmt` column. 'png' and 'q<N>' are real;
-    'jpeg' is stubbed (no codec in this container)."""
+    """Dispatch by the corpus `fmt` column. 'png', 'jpeg' and 'q<N>'
+    are all real pure-numpy codecs (jpeg: baseline sequential only,
+    image/jpeg.py)."""
     if fmt == "png" or fmt.startswith("q"):
         return png_decode(data)
     if fmt in ("jpeg", "jpg"):
-        raise NotImplementedError(
-            "JPEG decode requires an image codec library not present in "
-            "this container; plug one in here (Pillow / turbojpeg)."
-        )
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(data)
     raise ValueError(f"unknown image format {fmt!r}")
 
 

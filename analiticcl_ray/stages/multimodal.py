@@ -12,8 +12,9 @@ Real vs stubbed (task brief: make the plumbing real, stub missing
 codecs honestly):
 - PNG decode, area resize, gray features, phash: REAL (pure numpy,
   image/codec.py).
-- JPEG decode: honest NotImplementedError (no codec lib in this
-  container) — image/codec.py:147-158.
+- JPEG decode: REAL baseline codec (pure numpy ITU-T T.81 subset,
+  image/jpeg.py); progressive/subsampled streams raise
+  NotImplementedError.
 - video frame handling: the container has no video codec; a
   deterministic fake container format ``rawv1`` (header + concatenated
   raw RGB frames) exercises the full Ray-side plumbing — schema,

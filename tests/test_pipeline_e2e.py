@@ -123,3 +123,69 @@ def test_pipeline_deterministic_pairs(ray_session, small_corpus, pipeline_result
     for b in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         got2.update(zip(b["src_id"].to_pylist(), b["dst_id"].to_pylist()))
     assert got1 == got2
+
+
+def test_pipeline_with_jpeg_recompressions(ray_session):
+    """Full dedup pipeline on a corpus carrying REAL JPEG
+    recompressions (VERDICT r2 item 6): for selected base rows a
+    lossy JPEG copy with the same caption is appended; the pipeline
+    must verify those pairs via finite PSNR >= 40 dB (bytes differ, so
+    the exact-bytes short-circuit cannot fire) and agree with the
+    brute-force oracle on the whole corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.image.codec import decode, phash64
+    from analiticcl_ray.image.jpeg import jpeg_encode
+    from analiticcl_ray.pipelines.dedup import dedup_pipeline
+    from analiticcl_ray.pipelines.oracle import oracle_pairs
+    from analiticcl_ray.sources.corpus import generate_corpus
+
+    tab = generate_corpus(200, 21)
+    cols = {c: tab[c].to_pylist() for c in tab.column_names}
+    n0 = len(cols["image_id"])
+    jpeg_ids = []
+    for k in range(8):  # recompress 8 base rows
+        src = k * 11 % n0
+        px = decode(cols["bytes"][src], cols["fmt"][src])
+        blob = jpeg_encode(px, quality=98)
+        new_id = f"img{len(cols['image_id']):08d}"
+        jpeg_ids.append((cols["image_id"][src], new_id))
+        cols["image_id"].append(new_id)
+        cols["bytes"].append(blob)
+        cols["w"].append(px.shape[1])
+        cols["h"].append(px.shape[0])
+        cols["fmt"].append("jpeg")
+        cols["caption"].append(cols["caption"][src])
+        cols["phash"].append(phash64(decode(blob, "jpeg")))
+    tab2 = pa.table(
+        {
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "bytes": pa.array(cols["bytes"], pa.binary()),
+            "w": pa.array(cols["w"], pa.int32()),
+            "h": pa.array(cols["h"], pa.int32()),
+            "fmt": pa.array(cols["fmt"], pa.string()),
+            "caption": pa.array(cols["caption"], pa.string()),
+            "phash": pa.array(cols["phash"], pa.int64()),
+        }
+    )
+    truth = oracle_pairs(tab2)
+    for a, b in jpeg_ids:  # the lossy pairs ARE oracle dups
+        assert (min(a, b), max(a, b)) in truth
+    pairs_ds, _, metrics = dedup_pipeline(rd.from_arrow(tab2))
+    got = {}
+    for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for s, d, p in zip(
+            batch["src_id"].to_pylist(),
+            batch["dst_id"].to_pylist(),
+            batch["psnr_db"].to_pylist(),
+        ):
+            got[(s, d)] = p
+    missed = truth - set(got)
+    assert (len(truth) - len(missed)) / max(1, len(truth)) >= 0.99
+    assert not (set(got) - truth)
+    for a, b in jpeg_ids:
+        p = got[(min(a, b), max(a, b))]
+        # non-identical bytes -> finite PSNR through the real decoder
+        assert np.isfinite(p) and p >= 40.0
