@@ -48,11 +48,14 @@ def _emit(ds, out: str | None, head: int = 20) -> None:
 
 
 def _read_lexicon(path: str):
+    import os
+
     from analiticcl_ray.pipelines.variants import Lexicon
 
     lex = Lexicon()
     with open(path, "r", encoding="utf-8") as f:
         lex.read_tsv(f.read())
+    lex.lexicon_names = [os.path.basename(path)]  # --output-lexmatch names
     return lex
 
 
@@ -95,6 +98,16 @@ def main(argv: list[str] | None = None) -> int:
                 "space-separated n-gram); repeatable — reference "
                 "src/bin/analiticcl.rs:1070-1091",
             )
+            sp.add_argument(
+                "--output-format",
+                choices=("plain", "tsv", "json"),
+                default="plain",
+                help="plain = corrected-form columns; tsv/json = the "
+                "reference's structured per-match output "
+                "(src/bin/analiticcl.rs:21-187)",
+            )
+            sp.add_argument("--output-lexmatch", action="store_true")
+            sp.add_argument("--freq-weight", type=float, default=0.0)
 
     sp = sub.add_parser("index")
     sp.add_argument("--lexicon", required=True)
@@ -189,13 +202,30 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.verb == "search":
-        from analiticcl_ray.pipelines.search import BigramLM, find_all_matches_ds
+        from analiticcl_ray.pipelines.search import (
+            BigramLM,
+            find_all_matches_ds,
+            find_all_matches_formatted_ds,
+        )
 
         lm = (
             BigramLM.from_tsv(args.lm, known_tokens=lex.texts)
             if args.lm
             else None
         )
+        if args.output_format != "plain":
+            ds = find_all_matches_formatted_ds(
+                lines, lex, cfg, fmt=args.output_format, lm=lm,
+                freq_weight=args.freq_weight,
+                output_lexmatch=args.output_lexmatch,
+            )
+            if args.out:
+                ds.write_parquet(args.out)
+                print(f"wrote {args.out}")
+            else:
+                for r in ds.take(100):
+                    print(r["match"])
+            return 0
         _emit(find_all_matches_ds(lines, lex, cfg, lm=lm), args.out)
         return 0
 

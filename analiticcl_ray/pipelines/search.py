@@ -540,6 +540,95 @@ def match_output(m: Span, finder: VariantFinder) -> str:
     return m.text
 
 
+def _variant_order(m: Span) -> list[int]:
+    """Selected variant first, then the rest in rank order — the
+    reference's output ordering (src/bin/analiticcl.rs:35-47)."""
+    if not m.variants:
+        return []
+    order = [m.selected] if m.selected is not None else []
+    order += [i for i in range(len(m.variants)) if i != m.selected]
+    return order
+
+
+def _rank_score(v: dict, freq_weight: float) -> float:
+    """VariantResult::score (src/types.rs:335-341): the K7 blend
+    ``(dist + w_f * freq) / (1 + w_f)``."""
+    if freq_weight <= 0.0:
+        return v["dist_score"]
+    return (v["dist_score"] + freq_weight * v["freq_score"]) / (1.0 + freq_weight)
+
+
+def _lexicon_names(finder: VariantFinder, vocab_id: int) -> list[str]:
+    """Source-lexicon names for a vocab entry via the J4 lexindex
+    bitmask (reference in_lexicon, src/vocab.rs)."""
+    mask = finder.lex.lexindex[vocab_id]
+    names = getattr(finder.lex, "lexicon_names", None) or []
+    out = []
+    i = 0
+    while (1 << i) <= mask:
+        if mask & (1 << i):
+            out.append(names[i] if i < len(names) else f"lexicon{i}")
+        i += 1
+    return out
+
+
+def match_to_tsv(
+    m: Span,
+    finder: VariantFinder,
+    freq_weight: float = 0.0,
+    output_lexmatch: bool = False,
+) -> str:
+    """One reference-format TSV line per match
+    (output_matches_as_tsv, src/bin/analiticcl.rs:21-76): input text,
+    ``begin:end`` offset, then per variant (selected first)
+    text<TAB>score[<TAB>"lex1;lex2"]."""
+    parts = [m.text, f"{m.begin}:{m.end}"]
+    for i in _variant_order(m):
+        v = m.variants[i]
+        parts.append(finder.lex.texts[v["vocab_id"]])
+        parts.append(repr(_rank_score(v, freq_weight)))
+        if output_lexmatch:
+            parts.append('"' + ";".join(_lexicon_names(finder, v["vocab_id"])) + '"')
+    return "\t".join(parts)
+
+
+def match_to_dict(
+    m: Span,
+    finder: VariantFinder,
+    freq_weight: float = 0.0,
+    output_lexmatch: bool = False,
+    tag_names: Optional[list[str]] = None,
+) -> dict:
+    """The reference's per-match JSON object
+    (output_matches_as_json / output_result_as_json,
+    src/bin/analiticcl.rs:78-187): input/begin/end, optional
+    tag/seqnr, and the ordered variants list with score, dist_score,
+    freq_score and optional lexicons. Serialize with ``json.dumps``."""
+    out: dict = {"input": m.text, "begin": m.begin, "end": m.end}
+    if m.tag:
+        names = tag_names or []
+        out["tag"] = [
+            names[t] if t < len(names) else str(t) for t in m.tag
+        ]
+        out["seqnr"] = list(m.seqnr)
+    variants = []
+    for i in _variant_order(m):
+        v = m.variants[i]
+        entry = {
+            "text": finder.lex.texts[v["vocab_id"]],
+            "score": _rank_score(v, freq_weight),
+            "dist_score": v["dist_score"],
+            "freq_score": v["freq_score"],
+        }
+        if v.get("via") is not None:
+            entry["via"] = finder.lex.texts[v["via"]]
+        if output_lexmatch:
+            entry["lexicons"] = _lexicon_names(finder, v["vocab_id"])
+        variants.append(entry)
+    out["variants"] = variants
+    return out
+
+
 class SearchActor:
     """Actor-pool stage: lines stream in, corrected matches stream out."""
 
@@ -613,6 +702,95 @@ class SearchActor:
                 "seqnr": pa.array(out["seqnr"], pa.string()),
             }
         )
+
+
+class FormattedSearchActor(SearchActor):
+    """SearchActor emitting the reference's structured output forms
+    (VERDICT r2 missing item 4; src/bin/analiticcl.rs:21-187): one row
+    per match with a preformatted ``match`` string — TSV
+    (output_matches_as_tsv) or a JSON object (output_matches_as_json,
+    one object per row = JSONL)."""
+
+    def __init__(self, *args, fmt: str = "tsv", freq_weight: float = 0.0,
+                 output_lexmatch: bool = False, **kw):
+        super().__init__(*args, **kw)
+        if fmt not in ("tsv", "json"):
+            raise ValueError(f"unknown output format {fmt!r}")
+        self.fmt = fmt
+        self.freq_weight = freq_weight
+        self.output_lexmatch = output_lexmatch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        tag_names = self.context_rules.tags if self.context_rules else []
+        ids: list[int] = []
+        outs: list[str] = []
+        for lid, line in zip(batch["line_id"].to_pylist(), batch["text"].to_pylist()):
+            for m in find_all_matches(
+                line, self.finder, self.cfg, self.max_ngram, self.lm,
+                context_rules=self.context_rules,
+                unicode_offsets=self.unicode_offsets,
+            ):
+                ids.append(lid)
+                if self.fmt == "tsv":
+                    outs.append(
+                        match_to_tsv(
+                            m, self.finder, self.freq_weight, self.output_lexmatch
+                        )
+                    )
+                else:
+                    outs.append(
+                        _json.dumps(
+                            match_to_dict(
+                                m, self.finder, self.freq_weight,
+                                self.output_lexmatch, tag_names,
+                            ),
+                            ensure_ascii=False,
+                        )
+                    )
+        return pa.table(
+            {
+                "line_id": pa.array(ids, pa.int64()),
+                "match": pa.array(outs, pa.string()),
+            }
+        )
+
+
+def find_all_matches_formatted_ds(
+    lines: "ray.data.Dataset",
+    lexicon: Lexicon,
+    cfg: Optional[SearchConfig] = None,
+    fmt: str = "tsv",
+    max_ngram: int = 1,
+    lm: Optional[BigramLM] = None,
+    freq_weight: float = 0.0,
+    output_lexmatch: bool = False,
+    concurrency=(1, 8),
+    batch_size: int = 256,
+    context_rules=None,
+    unicode_offsets: bool = True,
+) -> "ray.data.Dataset":
+    """Distributed search with reference-format structured output
+    (``fmt``: "tsv" | "json"); same broadcast model state as
+    ``find_all_matches_ds``."""
+    lex_ref = ray.put(lexicon)
+    lm_ref = ray.put(lm) if lm is not None else None
+    cr_ref = ray.put(context_rules) if context_rules is not None else None
+    return lines.map_batches(
+        FormattedSearchActor,
+        fn_constructor_args=(
+            lex_ref, cfg, max_ngram, lm_ref, None, cr_ref, unicode_offsets
+        ),
+        fn_constructor_kwargs={
+            "fmt": fmt,
+            "freq_weight": freq_weight,
+            "output_lexmatch": output_lexmatch,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def find_all_matches_ds(

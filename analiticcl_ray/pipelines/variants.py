@@ -79,6 +79,9 @@ class Lexicon:
     lexindex: list[int] = field(default_factory=list)
     variants: dict[int, list[tuple[int, float]]] = field(default_factory=dict)
     have_freq: bool = False
+    #: source-lexicon display names by lexindex slot (reference
+    #: model.lexicons, used by --output-lexmatch); optional
+    lexicon_names: list[str] = field(default_factory=list)
     _encoder: dict[str, int] = field(default_factory=dict)
 
     def add(

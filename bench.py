@@ -147,6 +147,14 @@ def run_bench() -> dict:
     timed("lang_id", lambda: text.lang_id(docs()))
     timed("ann_topk", lambda: ann.cosine_topk(emb(), list(range(10)), 5))
     timed("ann_ivf_topk", lambda: ann.ivf_topk(emb(), list(range(10)), 5))
+    timed(
+        "ann_lsh_topk",
+        lambda: ann.lsh_bucketed_topk(emb(), list(range(10)), 5),
+    )
+    timed(
+        "ann_dup_pairs_lsh", lambda: ann.cosine_dup_pairs_lsh(emb(), 0.95)
+    )
+    timed("top_docs", lambda: text.top_docs(docs()))
     timed("window_agg", lambda: events.tumbling_window_agg(ev()))
     timed("hopping_window_agg", lambda: events.hopping_window_agg(ev()))
 
@@ -225,6 +233,13 @@ def run_bench() -> dict:
 
     timed("shipping_priority", _q3)
     timed("local_supplier_volume", _q5)
+
+    def _vs():
+        from analiticcl_ray.pipelines.dlpairs import variants_scored
+
+        return variants_scored(docs())
+
+    timed("variants_scored", _vs)
 
     result = {
         "metric": "end-to-end dedup wall time (corpus_dedup headline) + operator timings",
