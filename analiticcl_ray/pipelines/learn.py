@@ -52,6 +52,11 @@ def learn_variants_ds(
     ``freq`` int column: occurrence count per distinct input)."""
     cfg = cfg or SearchConfig()
     stats: list[dict] = []
+    # Driver-state bound: learn mode is inherently iterative against a
+    # MUTABLE lexicon (the model, vocab-sized — the blessed broadcast
+    # case), and the distinct-input aggregate below is bounded by the
+    # query vocabulary, not the corpus. Matching the reference's
+    # multi-pass learn semantics (src/bin/analiticcl.rs:929-934).
     # occurrence counts per distinct input (learn counts every occurrence,
     # src/lib.rs:1098-1126) — aggregate once up front
     agg = {}
