@@ -189,7 +189,15 @@ def main(argv: list[str] | None = None) -> int:
         _emit(anagram_groups(docs), args.out)
         return 0
 
-    cfg = SearchConfig(score_threshold=args.score_threshold, cutoff_threshold=0.0)
+    cfg = SearchConfig(
+        score_threshold=args.score_threshold,
+        cutoff_threshold=0.0,
+        # freq_weight drives ranking/selection (reference
+        # searchparams.freq_weight -> rank_results,
+        # src/bin/analiticcl.rs:1140, src/lib.rs:1528), not just the
+        # displayed score blend
+        freq_weight=getattr(args, "freq_weight", 0.0),
+    )
     lines = _lines_ds(args.input)
 
     if args.verb == "query":

@@ -42,6 +42,7 @@ import heapq
 from dataclasses import dataclass, field
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 
 import ray
@@ -550,6 +551,14 @@ def _variant_order(m: Span) -> list[int]:
     return order
 
 
+def _fmt_score(v: float) -> str:
+    """Rust ``Display`` for f64 (shortest round-trip decimal,
+    positional, never exponent notation — ``1.0`` prints as ``1``),
+    which is what the reference's ``print!(\"{}\", score)`` emits.
+    numpy's Dragon4 positional formatter matches it exactly."""
+    return np.format_float_positional(float(v), trim="-")
+
+
 def _rank_score(v: dict, freq_weight: float) -> float:
     """VariantResult::score (src/types.rs:335-341): the K7 blend
     ``(dist + w_f * freq) / (1 + w_f)``."""
@@ -578,18 +587,21 @@ def match_to_tsv(
     freq_weight: float = 0.0,
     output_lexmatch: bool = False,
 ) -> str:
-    """One reference-format TSV line per match
-    (output_matches_as_tsv, src/bin/analiticcl.rs:21-76): input text,
-    ``begin:end`` offset, then per variant (selected first)
-    text<TAB>score[<TAB>"lex1;lex2"]."""
-    parts = [m.text, f"{m.begin}:{m.end}"]
+    """One reference-format TSV line per match, byte-identical to
+    output_matches_as_tsv / output_result_as_tsv
+    (src/bin/analiticcl.rs:21-76): input text, ``begin:end`` offset,
+    then per variant (selected first) ``\\ttext\\tscore\\t`` — note the
+    trailing tab after every score (an empty field between variants,
+    and a double tab before the quoted lexmatch list when
+    ``output_lexmatch`` adds ``\\t"lex1;lex2"``)."""
+    out = [m.text, f"\t{m.begin}:{m.end}"]
     for i in _variant_order(m):
         v = m.variants[i]
-        parts.append(finder.lex.texts[v["vocab_id"]])
-        parts.append(repr(_rank_score(v, freq_weight)))
+        text = finder.lex.texts[v["vocab_id"]]
+        out.append(f"\t{text}\t{_fmt_score(_rank_score(v, freq_weight))}\t")
         if output_lexmatch:
-            parts.append('"' + ";".join(_lexicon_names(finder, v["vocab_id"])) + '"')
-    return "\t".join(parts)
+            out.append('\t"' + ";".join(_lexicon_names(finder, v["vocab_id"])) + '"')
+    return "".join(out)
 
 
 def match_to_dict(

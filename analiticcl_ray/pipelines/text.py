@@ -334,35 +334,53 @@ def quality_filter(docs: "ray.data.Dataset", min_tokens: int = 20,
     ).select_columns(["doc_id", "n_tokens", "distinct_ratio"])
 
 
-def top_docs(docs: "ray.data.Dataset", k: int = 50) -> "ray.data.Dataset":
-    """Top-k documents by token count (n_tokens desc, doc_id asc) —
-    the distributed sort+limit operator (SURVEY §2.7 O-section at
-    document scale) WITHOUT a global sort (VERDICT r2 item 4: a range
-    shuffle + sampling pass to keep 50 rows is an all-to-all for
-    nothing): each block emits its local top-k (the global top-k is a
-    subset of the per-block top-ks since every doc appears in exactly
-    one block), then one constant-sized ``repartition(1)`` merge picks
-    the final k — shuffle volume is k × n_blocks rows, independent of
-    corpus size. Same deterministic order contract as before."""
+def _blockwise_topk(
+    ds: "ray.data.Dataset",
+    by: list,
+    ascending: list,
+    k: int,
+    finalize=None,
+) -> "ray.data.Dataset":
+    """Global top-k WITHOUT a global sort (VERDICT r2 item 4: a range
+    shuffle + sampling pass to keep k rows is an all-to-all for
+    nothing): each block emits its local top-k, then one
+    constant-sized ``repartition(1)`` merge picks the final k —
+    shuffle volume is k × n_blocks rows, independent of input size.
+    EXACT only when each key's full weight lives in one block (every
+    doc / merged count row appears exactly once upstream), since the
+    global top-k is then a subset of the per-block top-ks.
+    ``finalize`` post-processes the final k-row frame (e.g. rank)."""
 
-    def _block_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        return _pa_clean(df)
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+
+    def _block(batch: pa.Table) -> pa.Table:
+        return _pa_clean(_topk(batch.to_pandas()))
 
     def _final(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
+        df = _topk(batch.to_pandas()).reset_index(drop=True)
+        if finalize is not None:
+            df = finalize(df)
         return _pa_clean(df)
 
     return (
-        doc_stats(docs)
-        .select_columns(["doc_id", "n_tokens"])
-        .map_batches(_block_topk, batch_format="pyarrow")
+        ds.map_batches(_block, batch_format="pyarrow")
         .repartition(1)
         .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def top_docs(docs: "ray.data.Dataset", k: int = 50) -> "ray.data.Dataset":
+    """Top-k documents by token count (n_tokens desc, doc_id asc) —
+    the distributed sort+limit operator (SURVEY §2.7 O-section at
+    document scale) via the [[_blockwise_topk]] per-block combiner
+    (exact: every doc appears in exactly one block). Same
+    deterministic order contract as the global-sort form."""
+    return _blockwise_topk(
+        doc_stats(docs).select_columns(["doc_id", "n_tokens"]),
+        ["n_tokens", "doc_id"],
+        [False, True],
+        k,
     )
 
 
@@ -830,26 +848,16 @@ def top_terms(docs: "ray.data.Dataset", k: int = 20) -> "ray.data.Dataset":
     tokenizer audit reads. Exact: the merged count table takes a
     per-block top-k combiner (each bucket cogroup holds a token's FULL
     count, so the global top-k is a subset of the per-block top-ks),
-    then one constant-sized repartition(1) final selection."""
-    counts = token_counts(docs)
+    then one constant-sized repartition(1) final selection — the
+    shared [[_blockwise_topk]] shape (each bucket cogroup upstream
+    holds a token's FULL count)."""
 
-    def _block_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["cnt", "token"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        return _pa_clean(df)
-
-    def _final(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["cnt", "token"], ascending=[False, True], kind="mergesort"
-        ).head(k).reset_index(drop=True)
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return _pa_clean(df)
+        return df
 
-    return (
-        counts.map_batches(_block_topk, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    return _blockwise_topk(
+        token_counts(docs), ["cnt", "token"], [False, True], k, finalize=_rank
     )
 
 

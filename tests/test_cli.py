@@ -57,6 +57,24 @@ def test_cli_search_with_lm(tmp_path):
     assert "ball" in r2.stdout
 
 
+def test_cli_search_freq_weight_drives_ranking(tmp_path):
+    """--freq-weight must reach SearchConfig.freq_weight so it drives
+    rank_results/selection (reference searchparams.freq_weight,
+    src/bin/analiticcl.rs:1140 -> src/lib.rs:1528), not just the
+    printed score blend."""
+    lex = tmp_path / "lex.tsv"
+    lex.write_text("tanks\t1\nthank\t1000\n")
+    base = ["search", "--lexicon", str(lex), "--score-threshold", "0.0",
+            "--output-format", "tsv"]
+    r0 = _run(base, stdin="tank\n")
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    first0 = r0.stdout.strip().splitlines()[-1].split("\t")[2]
+    r5 = _run([*base, "--freq-weight", "5"], stdin="tank\n")
+    assert r5.returncode == 0, r5.stderr[-2000:]
+    first5 = r5.stdout.strip().splitlines()[-1].split("\t")[2]
+    assert first0 == "tanks" and first5 == "thank"
+
+
 def test_cli_dedup_stage_verbs(tmp_path):
     from analiticcl_ray.sources.corpus import corpus_path
 

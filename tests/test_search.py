@@ -201,7 +201,21 @@ def test_structured_match_output(ray_session):
     assert cols[0] == "tink" and cols[1] == "0:4"
     assert cols[2] == "think"              # selected variant first
     assert float(cols[3]) > 0.0
-    assert cols[4] == '"main.tsv"'
+    # reference byte layout (output_result_as_tsv,
+    # src/bin/analiticcl.rs:60): every variant ends with a trailing
+    # tab, so an EMPTY field sits between the score and the quoted
+    # lexmatch list
+    assert cols[4] == ""
+    assert cols[5] == '"main.tsv"'
+    # Rust Display float formatting: integral scores print bare
+    # ("1", not "1.0"), fractional print shortest round-trip decimal
+    from analiticcl_ray.pipelines.search import _fmt_score
+
+    assert _fmt_score(1.0) == "1"
+    assert _fmt_score(0.9531) == "0.9531"
+    assert _fmt_score(1e-07) == "0.0000001"
+    # without lexmatch the line still ends with the trailing tab
+    assert match_to_tsv(ms[0], vf).endswith("\t")
     d = match_to_dict(ms[0], vf, output_lexmatch=True)
     assert d["input"] == "tink" and d["begin"] == 0 and d["end"] == 4
     assert d["variants"][0]["text"] == "think"
