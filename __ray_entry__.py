@@ -646,6 +646,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["image_id", "w", "h", "fmt"]
         )
 
+    def image_hashes(sf_dir):
+        # one decode -> phash + dhash + ahash per image (rows-only:
+        # binary decode isn't SQL-expressible; brute-force-verified in
+        # tests/test_multimodal.py)
+        from analiticcl_ray.stages.multimodal import image_hashes as _ih
+
+        return _ih(_corpus_ds(sf_dir))
+
+    def image_dup_pairs_dhash(sf_dir):
+        # banded dhash-hamming near-dup pairs (pigeonhole-complete for
+        # hamming<=3 at 4 bands; exact verify after a slim hash attach)
+        from analiticcl_ray.stages.multimodal import image_hash_dup_pairs
+
+        return image_hash_dup_pairs(_corpus_ds(sf_dir), "dhash", max_hamming=3)
+
     return {
         "exact_dedup": exact_dedup,
         "normalized_dedup": normalized_dedup,
@@ -721,6 +736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": promo_revenue,
         "image_features": image_features,
         "image_resize": image_resize,
+        "image_hashes": image_hashes,
+        "image_dup_pairs_dhash": image_dup_pairs_dhash,
         "hopping_window_agg": hopping_window_agg,
         "asof_join": asof_join,
         "range_join": range_join,

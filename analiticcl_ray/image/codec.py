@@ -167,19 +167,22 @@ def to_gray(pixels: np.ndarray) -> np.ndarray:
     ).astype(np.float64)
 
 
-def _resize_mean(gray: np.ndarray, size: int = 32) -> np.ndarray:
-    """Area-style resize via index binning (deterministic, codec-free)."""
+def _resize_mean(gray: np.ndarray, size: int = 32, width: int = None) -> np.ndarray:
+    """Area-style resize via index binning (deterministic, codec-free).
+    ``width`` (default ``size``) allows the rectangular grids dHash
+    needs (9 wide x 8 tall)."""
     h, w = gray.shape
-    if h == size and w == size:
+    wout = size if width is None else width
+    if h == size and w == wout:
         return gray
     ys = (np.arange(size + 1) * h // size).astype(int)
-    xs = (np.arange(size + 1) * w // size).astype(int)
-    out = np.empty((size, size), dtype=np.float64)
+    xs = (np.arange(wout + 1) * w // wout).astype(int)
+    out = np.empty((size, wout), dtype=np.float64)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
     csum[1:, 1:] = gray.cumsum(0).cumsum(1)
     for i in range(size):
         y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(size):
+        for j in range(wout):
             x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
             area = (y1 - y0) * (x1 - x0)
             out[i, j] = (
@@ -202,6 +205,16 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
     return _DCT32
 
 
+def _pack_bits64(bits: np.ndarray) -> int:
+    """64 bools (MSB first) -> signed int64 for Arrow."""
+    h = 0
+    for b in bits.reshape(-1):
+        h = (h << 1) | int(b)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
 def phash64(pixels: np.ndarray) -> int:
     """64-bit DCT perceptual hash; deterministic, pure numpy."""
     g = _resize_mean(to_gray(pixels), 32)
@@ -212,13 +225,23 @@ def phash64(pixels: np.ndarray) -> int:
     med = np.median(vals)
     bits = block > med
     bits[0] = False
-    h = 0
-    for b in bits:
-        h = (h << 1) | int(b)
-    # to signed int64 for Arrow
-    if h >= 1 << 63:
-        h -= 1 << 64
-    return h
+    return _pack_bits64(bits)
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash: 9x8 area-resized grayscale, bit set
+    where the left pixel is brighter than its right neighbour (the
+    classic row-gradient dHash). Robust to global brightness/contrast
+    shifts; cheaper than the DCT phash (no transform)."""
+    g = _resize_mean(to_gray(pixels), 8, width=9)
+    return _pack_bits64(g[:, :-1] > g[:, 1:])
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit average hash: 8x8 area-resized grayscale, bit set where
+    the cell is brighter than the global 8x8 mean."""
+    g = _resize_mean(to_gray(pixels), 8)
+    return _pack_bits64(g > g.mean())
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

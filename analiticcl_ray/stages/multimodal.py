@@ -33,7 +33,15 @@ import pyarrow as pa
 
 import ray.data
 
-from ..image.codec import decode, phash64, png_encode, to_gray, _resize_mean
+from ..image.codec import (
+    ahash64,
+    decode,
+    dhash64,
+    phash64,
+    png_encode,
+    to_gray,
+    _resize_mean,
+)
 
 
 class ImageResizer:
@@ -98,6 +106,34 @@ class ImageFeatures:
                 "phash": pa.array(phashes, pa.int64()),
                 "mean": pa.array(means, pa.float64()),
                 "std": pa.array(stds, pa.float64()),
+            }
+        )
+
+
+class ImageHashes:
+    """Actor: decode once -> all three 64-bit perceptual hashes
+    (DCT phash, gradient dhash, average ahash). One decode amortizes
+    across the three hash kernels — the multi-signature stage an
+    image-dedup tier runs before banding."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ph = np.empty(n, dtype=np.int64)
+        dh = np.empty(n, dtype=np.int64)
+        ah = np.empty(n, dtype=np.int64)
+        for i, (data, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            px = decode(data, fmt)
+            ph[i] = phash64(px)
+            dh[i] = dhash64(px)
+            ah[i] = ahash64(px)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "phash": pa.array(ph, pa.int64()),
+                "dhash": pa.array(dh, pa.int64()),
+                "ahash": pa.array(ah, pa.int64()),
             }
         )
 
@@ -192,6 +228,83 @@ def image_features(
         ImageFeatures, batch_format="pyarrow",
         concurrency=concurrency, batch_size=batch_size,
     )
+
+
+def image_hashes(
+    corpus: "ray.data.Dataset", concurrency=(1, 8), batch_size: int = 128
+) -> "ray.data.Dataset":
+    """(image_id, phash, dhash, ahash) per image — decode once per row
+    in an actor pool, bytes never leave the map stage."""
+    return corpus.select_columns(["image_id", "bytes", "fmt"]).map_batches(
+        ImageHashes, batch_format="pyarrow",
+        concurrency=concurrency, batch_size=batch_size,
+    )
+
+
+def image_hash_dup_pairs(
+    corpus: "ray.data.Dataset",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    cap: int = 256,
+    stats: dict = None,
+) -> "ray.data.Dataset":
+    """Near-dup image pairs by banded 64-bit perceptual-hash hamming —
+    the image-tier analog of simhash_dup_pairs (same pigeonhole
+    argument): decode+hash in an actor pool, slice the chosen hash
+    into ``bands`` 16-bit band keys (COMPLETE for
+    ``max_hamming < bands``), ONE cogrouped shuffle of (band,
+    image_id, hash) rows with the in-bucket ``attr_maxham`` hamming
+    prefilter at emission, then an exact hamming verify after a slim
+    hash attach (the prefilter is exact for within-chunk pairs, but
+    over-cap buckets emit unconditional chain-link pairs for CC
+    connectivity — the verify removes those). Output: distinct
+    (src_id, dst_id, hamming), src < dst. Bytes never shuffle; shuffle
+    volume is bands x corpus rows of (u64, id, i64)."""
+    from .lsh import cooccurrence_pairs, dedup_pairs, explode_band_rows
+    from .signatures import hash_band_table
+    from .verify import attach_pair_sides
+    from ..image.codec import hamming64
+
+    # 32 B/row; consumed by both the band explode and the attach
+    hashes = image_hashes(corpus).materialize()
+    banded = hashes.map_batches(
+        lambda t: hash_band_table(t, hash_col, bands),
+        batch_format="pyarrow",
+    )
+    rows = explode_band_rows(
+        banded, band_cols=(f"{hash_col}_bands",), carry_cols=(hash_col,)
+    )
+    cand = dedup_pairs(
+        cooccurrence_pairs(
+            rows,
+            key_col="band",
+            id_col="image_id",
+            cap=cap,
+            id_dtype="str",
+            stats=stats,
+            attr_col=hash_col,
+            attr_maxham=max_hamming,
+        )
+    )
+    attached = attach_pair_sides(
+        cand, hashes, [hash_col], method="auto", concurrency=(1, 4)
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        a = batch[f"src_{hash_col}"].to_numpy(zero_copy_only=False)
+        b = batch[f"dst_{hash_col}"].to_numpy(zero_copy_only=False)
+        ham = hamming64(a, b)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "src_id": batch["src_id"].filter(pa.array(keep)),
+                "dst_id": batch["dst_id"].filter(pa.array(keep)),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    return attached.map_batches(_verify, batch_format="pyarrow")
 
 
 def sample_frames(

@@ -233,24 +233,33 @@ class CaptionSignatures:
         )
 
 
-def phash_band_table(batch: pa.Table, phash_bands: int = 4) -> pa.Table:
-    """phash int64 -> fixed_size_list<uint64> of bit-slice band keys
-    (slice value salted with its band index so different slices never
-    collide into the same groupby bucket)."""
-    ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+def hash_band_table(
+    batch: pa.Table, col: str, bands: int = 4, out_col: str = None
+) -> pa.Table:
+    """64-bit hash int64 column -> fixed_size_list<uint64> of bit-slice
+    band keys (slice value salted with its band index so different
+    slices never collide into the same groupby bucket). Pigeonhole:
+    two hashes within hamming distance ``bands - 1`` share at least
+    one band key, so banding is COMPLETE for ``max_hamming < bands``."""
+    ph = batch[col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     n = len(ph)
-    width = 64 // phash_bands
+    width = 64 // bands
     mask = _U64((1 << width) - 1)
-    out = np.empty((n, phash_bands), dtype=np.uint64)
+    out = np.empty((n, bands), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for b in range(phash_bands):
+        for b in range(bands):
             slice_bits = (ph >> _U64(b * width)) & mask
             out[:, b] = splitmix64(
                 slice_bits ^ _U64((0xA076_1D64_78BD_642F * (b + 1)) & 0xFFFFFFFFFFFFFFFF)
             )
     return batch.append_column(
-        "phash_bands",
+        out_col or f"{col}_bands",
         pa.FixedSizeListArray.from_arrays(
-            pa.array(out.reshape(-1).view(np.int64), pa.int64()), phash_bands
+            pa.array(out.reshape(-1).view(np.int64), pa.int64()), bands
         ),
     )
+
+
+def phash_band_table(batch: pa.Table, phash_bands: int = 4) -> pa.Table:
+    """phash-specific wrapper kept for the dedup pipeline's call sites."""
+    return hash_band_table(batch, "phash", phash_bands, out_col="phash_bands")

@@ -81,3 +81,70 @@ def test_frame_sampler_rawv_and_stub(ray_session):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_dhash_ahash_kernels():
+    from analiticcl_ray.image.codec import ahash64, dhash64, hamming64
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    # deterministic
+    assert dhash64(px) == dhash64(px.copy())
+    assert ahash64(px) == ahash64(px.copy())
+    # int64 range (Arrow-safe)
+    for h in (dhash64(px), ahash64(px)):
+        assert -(1 << 63) <= h < (1 << 63)
+    # dhash is gradient-based: a NON-CLIPPING global brightness shift
+    # preserves it exactly (clipping would flatten saturated regions
+    # and legitimately flip those gradients)
+    dark = rng.integers(0, 200, (48, 64, 3), dtype=np.uint8)
+    brighter = (dark.astype(np.int32) + 40).astype(np.uint8)
+    assert dhash64(brighter) == dhash64(dark)
+    # an unrelated image lands far away in hamming space
+    other = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    assert hamming64(
+        np.array([dhash64(px)]), np.array([dhash64(other)])
+    )[0] > 10
+
+
+def test_image_hashes_and_dup_pairs_bruteforce(ray_session):
+    """image_hash_dup_pairs == brute-force all-pairs hamming over the
+    directly-computed hashes (banding is pigeonhole-complete for
+    max_hamming < bands; the attach-side verify removes chain links)."""
+    import ray.data as rd
+
+    from analiticcl_ray.image.codec import decode, dhash64, hamming64
+    from analiticcl_ray.sources.corpus import generate_corpus
+    from analiticcl_ray.stages.multimodal import image_hash_dup_pairs, image_hashes
+
+    tab = generate_corpus(300, 42)
+    # driver-side truth: decode + dhash every image
+    ids = tab["image_id"].to_pylist()
+    hs = np.array(
+        [
+            dhash64(decode(b.as_py(), f.as_py()))
+            for b, f in zip(tab["bytes"], tab["fmt"])
+        ],
+        dtype=np.int64,
+    )
+    iu, ju = np.triu_indices(len(ids), 1)
+    ham = hamming64(hs[iu], hs[ju])
+    keep = ham <= 3
+    expected = {
+        tuple(sorted((ids[a], ids[b]))): int(h)
+        for a, b, h in zip(iu[keep], ju[keep], ham[keep])
+    }
+    assert expected, "corpus must contain dhash near-dups for this test"
+
+    ds = rd.from_arrow(tab)
+    # pipeline hashes agree with the driver-side kernels
+    got_h = {
+        r["image_id"]: r["dhash"] for r in image_hashes(ds).take_all()
+    }
+    assert got_h == dict(zip(ids, (int(h) for h in hs)))
+
+    got = {
+        tuple(sorted((r["src_id"], r["dst_id"]))): r["hamming"]
+        for r in image_hash_dup_pairs(ds, "dhash", max_hamming=3).take_all()
+    }
+    assert got == expected
