@@ -241,6 +241,16 @@ def run_bench() -> dict:
 
     timed("variants_scored", _vs)
 
+    def _dhash_pairs():
+        from analiticcl_ray.stages.multimodal import image_hash_dup_pairs
+
+        return image_hash_dup_pairs(
+            read_table(path, override_num_blocks=n_blocks), "dhash",
+            max_hamming=3,
+        )
+
+    timed("image_dup_pairs_dhash", _dhash_pairs)
+
     result = {
         "metric": "end-to-end dedup wall time (corpus_dedup headline) + operator timings",
         "value": round(headline, 3),
