@@ -245,18 +245,20 @@ def ahash64(pixels: np.ndarray) -> int:
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of XOR over int64 arrays."""
+    """Vectorized popcount of XOR over int64 arrays — single-pass SWAR
+    (same kernel as stages/lsh._popcount_u64; duplicated only because
+    image/ sits below stages/ in the layering)."""
     x = (np.asarray(a, dtype=np.int64) ^ np.asarray(b, dtype=np.int64)).astype(
         np.uint64
     )
-    # byte-wise popcount via lookup
-    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
-    v = x.copy()
-    total = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(8):
-        total += lut[(v & np.uint64(0xFF)).astype(np.int64)]
-        v >>= np.uint64(8)
-    return total
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return x.astype(np.int64)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -109,9 +109,13 @@ def cosine_topk(
         kk = min(k + 1, scores.shape[1])  # +1 in case self is in this block
         for qi in range(len(q_ids_)):
             row = scores[qi]
-            idx = np.argpartition(-row, kk - 1)[:kk]
-            # deterministic order: cos desc, vec_id asc
-            idx = idx[np.lexsort((ids[idx], -row[idx]))]
+            # deterministic cut: the full (cos desc, vec_id asc) order
+            # BEFORE taking kk — an argpartition cut would keep an
+            # arbitrary subset of rows tied at the boundary cosine
+            # (routine in a near-dup corpus with identical embeddings),
+            # dropping tied smaller-id neighbors that the contract and
+            # the SQL oracle require
+            idx = np.lexsort((ids, -row))[:kk]
             for j in idx:
                 if ids[j] == q_ids_[qi]:
                     continue
@@ -186,11 +190,10 @@ def cosine_dup_pairs(
         out_a: list[int] = []
         out_b: list[int] = []
         if a == b:
+            # _explode emits the diagonal key (p, p) exactly once per
+            # vector (only at q == part), so ids are already unique here
             ids = ga["vec_id"].to_numpy()
-            # replication emits each vector n_parts times into its own
-            # diagonal key; keep one copy
-            ids, uniq_idx = np.unique(ids, return_index=True)
-            m = np.stack(ga["embedding"].to_numpy()[uniq_idx]) if len(ids) else None
+            m = np.stack(ga["embedding"].to_numpy()) if len(ids) else None
             if m is not None and len(ids) > 1:
                 s = m @ m.T
                 iu, ju = np.triu_indices(len(ids), 1)
@@ -351,6 +354,17 @@ def _gather_queries(
         ).iter_batches(batch_size=None, batch_format="pyarrow")
         if b.num_rows
     ]
+    found: set = set()
+    for b in hits:
+        found.update(b["vec_id"].to_pylist())
+    missing = sorted(set(qarr.to_pylist()) - found)
+    if missing:
+        # fail loudly: an empty hit list would otherwise crash with an
+        # opaque ArrowInvalid from concat_tables([]), and a partially
+        # missing id would silently vanish from the top-k output
+        raise ValueError(
+            f"query vec_ids not present in the embeddings table: {missing}"
+        )
     tbl = pa.concat_tables(hits).combine_chunks()
     ids, emb = _emb_matrix(tbl)
     order = np.argsort(ids, kind="stable")
@@ -575,13 +589,15 @@ def lsh_bucketed_topk(
     n_cogroups = 1024
 
     def _local_dedup(batch: pa.Table) -> pa.Table:
+        from ..stages.lsh import bucket_by_keys
+
         df = batch.to_pandas().drop_duplicates(["query_id", "cand_id"])
-        h = pd.util.hash_pandas_object(
-            df["query_id"].astype(str) + "\x1f" + df["cand_id"].astype(str),
-            index=False,
-        ).to_numpy()
-        df["cogroup"] = (h % np.uint64(n_cogroups)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        # shared vectorized key hash (no per-row string concat)
+        t = bucket_by_keys(t, ["query_id", "cand_id"], n_cogroups)
+        return t.rename_columns(
+            ["cogroup" if c == "bucket" else c for c in t.column_names]
+        )
 
     def _group_dedup(group: pd.DataFrame) -> pd.DataFrame:
         return group.drop_duplicates(["query_id", "cand_id"])[

@@ -180,7 +180,10 @@ def _tag_events(batch: pa.Table) -> pa.Table:
     t = pa.table(
         {
             "key": batch["user_id"],
-            "t_us": batch["ts"].cast(pa.int64()),
+            # normalize the unit BEFORE dropping to int64: a
+            # timestamp[ns] input (pandas-origin) would otherwise carry
+            # values 1000x a timestamp[us] right side and never match
+            "t_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
             "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8()),
             "event_id": batch["event_id"],
             "okey": pa.array(
@@ -199,7 +202,7 @@ def _tag_orders(batch: pa.Table) -> pa.Table:
     t = pa.table(
         {
             "key": batch["o_custkey"],
-            "t_us": batch["o_orderdate"].cast(pa.int64()),
+            "t_us": batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
             "side": pa.array(np.ones(batch.num_rows, dtype=np.int8), type=pa.int8()),
             "event_id": pa.array(
                 np.full(batch.num_rows, -1, dtype=np.int64), type=pa.int64()

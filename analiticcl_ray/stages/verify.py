@@ -114,10 +114,17 @@ def choose_attach_method(
     """Size-based broadcast↔cogroup switch (VERDICT r1 item 6): prefer
     the zero-copy Arrow broadcast while the slim side fits comfortably
     in the object store, else the bucket-hash cogroup join. Uses the
-    dataset's metadata row count when available (free for parquet),
-    falling back to ``count()``."""
+    dataset's metadata row count when available (free for parquet and
+    materialized datasets); the ``count()`` fallback EXECUTES a derived
+    pipeline once just to decide — callers holding a derived corpus
+    should go through ``attach_pair_sides(method="auto")``, which
+    materializes the slim projection once and reuses it for the attach
+    itself, or resolve against the metadata-backed base table (the
+    text.py call sites)."""
     try:
-        n = corpus.count()
+        n = corpus._meta_count()
+        if n is None:
+            n = corpus.count()
     except Exception:
         return "cogroup"
     return "broadcast" if n is not None and n <= row_limit else "cogroup"
@@ -162,7 +169,21 @@ def attach_pair_sides(
                 "broadcast" if len(ids) <= AUTO_BROADCAST_ROW_LIMIT else "cogroup"
             )
         else:
-            method = choose_attach_method(corpus)
+            try:
+                n = corpus._meta_count()
+            except Exception:
+                n = None
+            if n is None:
+                # derived corpus (no metadata row count): counting it
+                # would execute the upstream pipeline once and the
+                # attach would execute it AGAIN — materialize the slim
+                # projection ONCE (object-store blocks, spillable) and
+                # reuse it for both the decision and the attach
+                src = src.select_columns([id_col, *value_cols]).materialize()
+                n = src.count()
+            method = (
+                "broadcast" if n <= AUTO_BROADCAST_ROW_LIMIT else "cogroup"
+            )
     if method == "broadcast":
         ref = broadcast_lookup(src, value_cols, id_col=id_col)
         return pairs.map_batches(
@@ -217,6 +238,7 @@ def _attach_cogroup(
             n_buckets = adaptive_cogroups(corpus.count(), floor=512)
         except Exception:
             n_buckets = 512
+    from .lsh import bucket_by_keys
 
     pair_schema = pairs.schema().base_schema
     corpus_schema = corpus.schema().base_schema
@@ -252,11 +274,8 @@ def _attach_cogroup(
         return pa.table(cols)
 
     def _bucket(batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"].to_pandas().astype(str)
-        h = pd.util.hash_pandas_object(ids, index=False).to_numpy()
-        return batch.append_column(
-            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
-        )
+        # shared deterministic vectorized hash (no per-row str build)
+        return bucket_by_keys(batch, ["image_id"], n_buckets)
 
     both = (
         pairs.map_batches(_stubs, batch_format="pyarrow")
@@ -275,7 +294,19 @@ def _attach_cogroup(
         stubs = group[~group["is_corpus"]].drop(columns=vcols + ["is_corpus", "bucket"])
         if stubs.empty:
             return stubs.iloc[0:0]
-        return stubs.merge(corp, on="image_id", how="left")
+        out = stubs.merge(corp, on="image_id", how="left", indicator=True)
+        if (out["_merge"] == "left_only").any():
+            # same missing-id policy as the broadcast path's KeyError:
+            # a silent null-fill here would flow NaN/INT64_MIN garbage
+            # into downstream kernels only at >2M-row scale, turning a
+            # loud small-scale crash into silent wrong output
+            missing = sorted(
+                out.loc[out["_merge"] == "left_only", "image_id"].unique()[:10]
+            )
+            raise KeyError(
+                f"pair ids missing from the attach corpus (first 10): {missing}"
+            )
+        return out.drop(columns=["_merge"])
 
     def _merge_values_pa(group: pd.DataFrame) -> pa.Table:
         return pa.Table.from_pandas(
@@ -285,14 +316,9 @@ def _attach_cogroup(
     attached = both.groupby("bucket").map_groups(_merge_values_pa, batch_format="pandas")
 
     def _pair_bucket(batch: pa.Table) -> pa.Table:
-        key = (
-            batch["p_src_id"].to_pandas().astype(str)
-            + "\x1f"
-            + batch["p_dst_id"].to_pandas().astype(str)
-        )
-        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
-        return batch.append_column(
-            "pbucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        t = bucket_by_keys(batch, ["p_src_id", "p_dst_id"], n_buckets)
+        return t.rename_columns(
+            ["pbucket" if c == "bucket" else c for c in t.column_names]
         )
 
     def _reassemble(group: pd.DataFrame) -> pa.Table:

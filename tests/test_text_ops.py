@@ -281,6 +281,33 @@ def test_cosine_topk_excludes_self(emb):
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [0, 1, 2, 3, 4]
 
 
+def test_cosine_topk_tie_break_deterministic(ray_session):
+    """21 identical vectors split across blocks: the per-block cut must
+    keep tied smaller-id neighbors (cos desc, vec_id asc contract) —
+    an argpartition cut would drop an arbitrary tied subset."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.ann import cosine_topk
+
+    rows = [
+        {"vec_id": i, "embedding": [1.0, 0.0, 0.0], "label": 0}
+        for i in range(21)
+    ]
+    ds = rd.from_items(rows).repartition(4)
+    got = sorted(
+        (r["rank"], r["neighbor_id"])
+        for r in cosine_topk(ds, [0], 5).take_all()
+    )
+    assert got == [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+
+
+def test_gather_queries_missing_id_raises(ray_session, emb):
+    from analiticcl_ray.pipelines.ann import cosine_topk
+
+    with pytest.raises(ValueError, match="999999"):
+        cosine_topk(emb, [0, 999999], 5).take_all()
+
+
 def test_window_agg_counts(ray_session):
     import ray.data as rd
 
