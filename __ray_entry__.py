@@ -66,6 +66,16 @@ def _corpus_ds(sf_dir: str):
     return read_table(corpus_path(_corpus_rows_for(sf_dir)))
 
 
+def _audio_corpus_ds(sf_dir: str):
+    # deterministic synthetic audio corpus, same scale tiers as the
+    # image corpus (sources/audio_corpus.py — opaque binary + typed
+    # metadata shape)
+    from analiticcl_ray.sources.audio_corpus import audio_corpus_path
+    from analiticcl_ray.sources.storage import read_table
+
+    return read_table(audio_corpus_path(_corpus_rows_for(sf_dir)))
+
+
 def entry() -> Any:
     """Flagship: full image+caption dedup on the sf0.001-scale corpus —
     returns the verified pairs table."""
@@ -661,6 +671,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return image_hash_dup_pairs(_corpus_ds(sf_dir), "dhash", max_hamming=3)
 
+    def audio_features(sf_dir):
+        # actor-pool decode -> DSP features + 64-bit spectro-temporal
+        # fingerprint per clip (rows-only: waveform DSP isn't
+        # SQL-expressible; kernel-verified in tests/test_audio.py)
+        from analiticcl_ray.stages.multimodal import audio_features as _af
+
+        return _af(_audio_corpus_ds(sf_dir))
+
+    def audio_dup_pairs_fp(sf_dir):
+        # banded fingerprint-hamming near-dup audio pairs — shares
+        # banded_hash_dup_pairs with the image tier; brute-force
+        # oracle in tests/test_audio.py
+        from analiticcl_ray.stages.multimodal import audio_fp_dup_pairs
+
+        return audio_fp_dup_pairs(_audio_corpus_ds(sf_dir), max_hamming=3)
+
     return {
         "exact_dedup": exact_dedup,
         "normalized_dedup": normalized_dedup,
@@ -738,6 +764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": image_resize,
         "image_hashes": image_hashes,
         "image_dup_pairs_dhash": image_dup_pairs_dhash,
+        "audio_features": audio_features,
+        "audio_dup_pairs_fp": audio_dup_pairs_fp,
         "hopping_window_agg": hopping_window_agg,
         "asof_join": asof_join,
         "range_join": range_join,

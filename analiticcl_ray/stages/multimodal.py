@@ -241,45 +241,46 @@ def image_hashes(
     )
 
 
-def image_hash_dup_pairs(
-    corpus: "ray.data.Dataset",
-    hash_col: str = "dhash",
+def banded_hash_dup_pairs(
+    hashes: "ray.data.Dataset",
+    id_col: str,
+    hash_col: str,
     max_hamming: int = 3,
     bands: int = 4,
     cap: int = 256,
     stats: dict = None,
 ) -> "ray.data.Dataset":
-    """Near-dup image pairs by banded 64-bit perceptual-hash hamming —
-    the image-tier analog of simhash_dup_pairs (same pigeonhole
-    argument): decode+hash in an actor pool, slice the chosen hash
+    """Near-dup pairs by banded 64-bit hash hamming over a slim
+    (id, hash) table — shared skeleton of the image and audio tiers
+    (same pigeonhole argument as simhash_dup_pairs): slice the hash
     into ``bands`` 16-bit band keys (COMPLETE for
-    ``max_hamming < bands``), ONE cogrouped shuffle of (band,
-    image_id, hash) rows with the in-bucket ``attr_maxham`` hamming
-    prefilter at emission, then an exact hamming verify after a slim
-    hash attach (the prefilter is exact for within-chunk pairs, but
-    over-cap buckets emit unconditional chain-link pairs for CC
-    connectivity — the verify removes those). Output: distinct
-    (src_id, dst_id, hamming), src < dst. Bytes never shuffle; shuffle
-    volume is bands x corpus rows of (u64, id, i64)."""
+    ``max_hamming < bands``), ONE cogrouped shuffle of (band, id,
+    hash) rows with the in-bucket ``attr_maxham`` hamming prefilter at
+    emission, then an exact hamming verify after a slim hash attach
+    (the prefilter is exact for within-chunk pairs, but over-cap
+    buckets emit unconditional chain-link pairs for CC connectivity —
+    the verify removes those). Output: distinct (src_id, dst_id,
+    hamming), src < dst. Shuffle volume is bands x rows of
+    (u64, id, i64). ``hashes`` should be materialized (32 B/row): it
+    is consumed by both the band explode and the attach."""
     from .lsh import cooccurrence_pairs, dedup_pairs, explode_band_rows
     from .signatures import hash_band_table
     from .verify import attach_pair_sides
     from ..image.codec import hamming64
 
-    # 32 B/row; consumed by both the band explode and the attach
-    hashes = image_hashes(corpus).materialize()
     banded = hashes.map_batches(
         lambda t: hash_band_table(t, hash_col, bands),
         batch_format="pyarrow",
     )
     rows = explode_band_rows(
-        banded, band_cols=(f"{hash_col}_bands",), carry_cols=(hash_col,)
+        banded, band_cols=(f"{hash_col}_bands",), id_col=id_col,
+        carry_cols=(hash_col,),
     )
     cand = dedup_pairs(
         cooccurrence_pairs(
             rows,
             key_col="band",
-            id_col="image_id",
+            id_col=id_col,
             cap=cap,
             id_dtype="str",
             stats=stats,
@@ -288,7 +289,8 @@ def image_hash_dup_pairs(
         )
     )
     attached = attach_pair_sides(
-        cand, hashes, [hash_col], method="auto", concurrency=(1, 4)
+        cand, hashes, [hash_col], method="auto", concurrency=(1, 4),
+        id_col=id_col,
     )
 
     def _verify(batch: pa.Table) -> pa.Table:
@@ -307,6 +309,23 @@ def image_hash_dup_pairs(
     return attached.map_batches(_verify, batch_format="pyarrow")
 
 
+def image_hash_dup_pairs(
+    corpus: "ray.data.Dataset",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    cap: int = 256,
+    stats: dict = None,
+) -> "ray.data.Dataset":
+    """Near-dup image pairs by banded perceptual-hash hamming: decode +
+    hash in an actor pool (bytes never shuffle), then the shared
+    banded_hash_dup_pairs skeleton."""
+    hashes = image_hashes(corpus).materialize()  # 32 B/row
+    return banded_hash_dup_pairs(
+        hashes, "image_id", hash_col, max_hamming, bands, cap, stats
+    )
+
+
 def sample_frames(
     videos: "ray.data.Dataset", stride: int = 2, concurrency=(1, 4),
     batch_size: int = 16,
@@ -314,4 +333,76 @@ def sample_frames(
     return videos.select_columns(["video_id", "bytes", "fmt"]).map_batches(
         FrameSampler, fn_constructor_args=(stride,), batch_format="pyarrow",
         concurrency=concurrency, batch_size=batch_size,
+    )
+
+
+# --- audio tier --------------------------------------------------------
+
+
+class AudioFeatures:
+    """Actor: decode (audio/codec.py, rawa1 real / compressed codecs
+    honest stubs) -> per-clip DSP features + 64-bit spectro-temporal
+    fingerprint. Emits (audio_id, duration_s, rms, zcr, centroid_hz,
+    fp64) — the audio analog of ImageHashes: decode once per row in an
+    actor pool, bytes never leave the map stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio.codec import audio_features_one, decode as adecode
+
+        n = len(batch)
+        dur = np.empty(n, dtype=np.float64)
+        rms = np.empty(n, dtype=np.float64)
+        zcr = np.empty(n, dtype=np.float64)
+        cen = np.empty(n, dtype=np.float64)
+        fp = np.empty(n, dtype=np.int64)
+        for i, (data, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            x, sr = adecode(data, fmt)
+            f = audio_features_one(x, sr)
+            dur[i] = f["duration_s"]
+            rms[i] = f["rms"]
+            zcr[i] = f["zcr"]
+            cen[i] = f["centroid_hz"]
+            fp[i] = f["fp64"]
+        return pa.table(
+            {
+                "audio_id": batch["audio_id"],
+                "duration_s": pa.array(dur, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
+                "centroid_hz": pa.array(cen, pa.float64()),
+                "fp64": pa.array(fp, pa.int64()),
+            }
+        )
+
+
+def audio_features(
+    corpus: "ray.data.Dataset", concurrency=(1, 8), batch_size: int = 256
+) -> "ray.data.Dataset":
+    """(audio_id, duration_s, rms, zcr, centroid_hz, fp64) per clip."""
+    return corpus.select_columns(["audio_id", "bytes", "fmt"]).map_batches(
+        AudioFeatures, batch_format="pyarrow",
+        concurrency=concurrency, batch_size=batch_size,
+    )
+
+
+def audio_fp_dup_pairs(
+    corpus: "ray.data.Dataset",
+    max_hamming: int = 3,
+    bands: int = 4,
+    cap: int = 256,
+    stats: dict = None,
+) -> "ray.data.Dataset":
+    """Near-dup audio pairs by banded fingerprint hamming: decode +
+    fingerprint in an actor pool (bytes never shuffle), then the shared
+    banded_hash_dup_pairs skeleton — identical shuffle shape to the
+    image tier, so the 100-TB argument carries over unchanged."""
+    fps = (
+        audio_features(corpus)
+        .select_columns(["audio_id", "fp64"])
+        .materialize()  # 32 B/row; consumed by band explode + attach
+    )
+    return banded_hash_dup_pairs(
+        fps, "audio_id", "fp64", max_hamming, bands, cap, stats
     )

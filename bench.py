@@ -251,6 +251,17 @@ def run_bench() -> dict:
 
     timed("image_dup_pairs_dhash", _dhash_pairs)
 
+    from analiticcl_ray.sources.audio_corpus import audio_corpus_path
+
+    audio_path = audio_corpus_path(CORPUS_ROWS)  # generation cached; untimed
+
+    def _audio_pairs():
+        from analiticcl_ray.stages.multimodal import audio_fp_dup_pairs
+
+        return audio_fp_dup_pairs(read_table(audio_path), max_hamming=3)
+
+    timed("audio_dup_pairs_fp", _audio_pairs)
+
     result = {
         "metric": "end-to-end dedup wall time (corpus_dedup headline) + operator timings",
         "value": round(headline, 3),

@@ -1,0 +1,153 @@
+"""Audio tier: codec kernels, fingerprint robustness, and the banded
+fingerprint dup-pair pipeline vs a brute-force all-pairs oracle.
+
+Mirrors tests/test_multimodal.py's image coverage — the audio tier
+shares banded_hash_dup_pairs, so what's new under test is the DSP
+kernel stack (audio/codec.py) and the (audio_id, fp64) plumbing."""
+
+import numpy as np
+import pytest
+
+from analiticcl_ray.audio.codec import (
+    audio_fp64,
+    band_energies,
+    decode,
+    frame_spectrogram,
+    rawa_decode,
+    rawa_encode,
+    resample_linear,
+)
+from analiticcl_ray.image.codec import hamming64
+
+
+def _tone(freqs, n=8000, sr=8000, amps=None, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    x = np.zeros(n)
+    amps = amps or [0.3] * len(freqs)
+    for f, a in zip(freqs, amps):
+        x += a * np.sin(2 * np.pi * f * t)
+    env = np.minimum(t / 0.05, 1.0) * np.exp(-2.0 * t)
+    return np.clip(x * env + 0.003 * rng.standard_normal(n), -1, 1)
+
+
+def test_rawa_roundtrip():
+    x = _tone([440.0, 880.0])
+    data = rawa_encode(x, 8000)
+    y, sr = rawa_decode(data)
+    assert sr == 8000
+    assert len(y) == len(x)
+    # int16 quantization error only
+    assert np.max(np.abs(y - x)) < 1.0 / 32000
+    # decode() dispatch: rawa1 real, others honest stubs
+    y2, _ = decode(data, "rawa1")
+    assert np.array_equal(y, y2)
+    with pytest.raises(NotImplementedError):
+        decode(b"\x00" * 16, "mp3")
+    with pytest.raises(ValueError):
+        rawa_decode(b"not a container")
+
+
+def test_spectrogram_and_bands_shapes():
+    x = _tone([500.0])
+    spec = frame_spectrogram(x, frame=512, hop=256)
+    assert spec.shape == (1 + (len(x) - 512) // 256, 257)
+    le = band_energies(spec, 8000, 9, 512)
+    assert le.shape == (spec.shape[0], 9)
+    assert np.isfinite(le).all()
+    # a 500 Hz tone concentrates energy: the hottest band beats the
+    # coldest by orders of magnitude (log scale)
+    assert le.mean(axis=0).ptp() > 3.0
+
+
+def test_resample_linear():
+    x = np.sin(2 * np.pi * 440.0 * np.arange(8000) / 8000)
+    y = resample_linear(x, 8000, 4000)
+    assert abs(len(y) - 4000) <= 1
+    # same waveform at half the rate: compare on common time grid
+    assert np.max(np.abs(y[:100] - x[: 200 : 2][:100])) < 0.05
+    assert resample_linear(x, 8000, 8000) is not None
+    assert len(resample_linear(np.array([]), 8000, 4000)) == 0
+
+
+def test_fingerprint_invariances():
+    """The fp64 contract the dup rule relies on: gain-invariant (exact),
+    small-noise robust (hamming <= 3), strong noise / unrelated clips
+    far away (negative controls)."""
+    x = _tone([300.0, 1200.0, 2100.0], seed=1)
+    fp = audio_fp64(x, 8000)
+    assert -(1 << 63) <= fp < (1 << 63)  # int64 range (Arrow-safe)
+    assert fp == audio_fp64(x.copy(), 8000)  # deterministic
+
+    def ham(a, b):
+        return int(hamming64(np.array([a]), np.array([b]))[0])
+
+    # gain change: log-energy differences cancel the constant
+    assert ham(fp, audio_fp64(np.clip(x * 0.6, -1, 1), 8000)) == 0
+    # small additive noise stays within the dup threshold
+    rng = np.random.default_rng(2)
+    noisy = np.clip(x + 0.004 * rng.standard_normal(len(x)), -1, 1)
+    assert ham(fp, audio_fp64(noisy, 8000)) <= 3
+    # strong noise and an unrelated clip land far away
+    strong = np.clip(x + 0.25 * rng.standard_normal(len(x)), -1, 1)
+    assert ham(fp, audio_fp64(strong, 8000)) > 3
+    other = _tone([700.0, 1600.0], seed=9)
+    assert ham(fp, audio_fp64(other, 8000)) > 3
+
+
+def test_audio_corpus_deterministic():
+    from analiticcl_ray.sources.audio_corpus import generate_audio_corpus
+
+    a = generate_audio_corpus(120, seed=7)
+    b = generate_audio_corpus(120, seed=7)
+    assert a.equals(b)
+    assert a.column_names == ["audio_id", "bytes", "sr", "n_samples", "fmt"]
+    assert len(a) == 120
+    # planted near-dup structure exists (some identical fingerprints)
+    fps = [
+        audio_fp64(*rawa_decode(blob.as_py())) for blob in a["bytes"]
+    ]
+    assert len(set(fps)) < len(fps)
+
+
+def test_audio_features_and_dup_pairs_bruteforce(ray_session):
+    """audio_fp_dup_pairs == brute-force all-pairs fingerprint hamming
+    over the directly-computed fp64s (banding is pigeonhole-complete
+    for max_hamming < bands; the attach-side verify removes the
+    over-cap chain links the skew block forces)."""
+    import ray.data as rd
+
+    from analiticcl_ray.audio.codec import audio_features_one
+    from analiticcl_ray.sources.audio_corpus import generate_audio_corpus
+    from analiticcl_ray.stages.multimodal import audio_features, audio_fp_dup_pairs
+
+    tab = generate_audio_corpus(300, 42)
+    ids = tab["audio_id"].to_pylist()
+    feats = [
+        audio_features_one(*rawa_decode(b.as_py())) for b in tab["bytes"]
+    ]
+    fps = np.array([f["fp64"] for f in feats], dtype=np.int64)
+    iu, ju = np.triu_indices(len(ids), 1)
+    ham = hamming64(fps[iu], fps[ju])
+    keep = ham <= 3
+    expected = {
+        tuple(sorted((ids[a], ids[b]))): int(h)
+        for a, b, h in zip(iu[keep], ju[keep], ham[keep])
+    }
+    assert expected, "corpus must contain fp near-dups for this test"
+
+    ds = rd.from_arrow(tab)
+    # pipeline features agree with the driver-side kernels
+    got_rows = {r["audio_id"]: r for r in audio_features(ds).take_all()}
+    assert {k: v["fp64"] for k, v in got_rows.items()} == dict(
+        zip(ids, (int(h) for h in fps))
+    )
+    r0 = got_rows[ids[0]]
+    assert r0["rms"] == pytest.approx(feats[0]["rms"])
+    assert r0["centroid_hz"] == pytest.approx(feats[0]["centroid_hz"])
+
+    got = {
+        tuple(sorted((r["src_id"], r["dst_id"]))): r["hamming"]
+        for r in audio_fp_dup_pairs(ds, max_hamming=3).take_all()
+    }
+    assert got == expected
