@@ -66,6 +66,15 @@ def _corpus_ds(sf_dir: str):
     return read_table(corpus_path(_corpus_rows_for(sf_dir)))
 
 
+def _video_corpus_ds(sf_dir: str):
+    # deterministic synthetic video corpus; ~8 frames/video, so 1/10th
+    # the row count keeps the per-tier decode volume comparable
+    from analiticcl_ray.sources.storage import read_table
+    from analiticcl_ray.sources.video_corpus import video_corpus_path
+
+    return read_table(video_corpus_path(max(50, _corpus_rows_for(sf_dir) // 10)))
+
+
 def _audio_corpus_ds(sf_dir: str):
     # deterministic synthetic audio corpus, same scale tiers as the
     # image corpus (sources/audio_corpus.py — opaque binary + typed
@@ -687,6 +696,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audio_fp_dup_pairs(_audio_corpus_ds(sf_dir), max_hamming=3)
 
+    def video_frame_hashes(sf_dir):
+        # actor-pool rawv1 decode -> per-frame dHash (rows-only:
+        # binary decode isn't SQL-expressible; kernel-verified in
+        # tests/test_video.py)
+        from analiticcl_ray.stages.multimodal import video_frame_hashes as _vfh
+
+        return _vfh(_video_corpus_ds(sf_dir))
+
+    def video_dup_pairs(sf_dir):
+        # video-level near-dup pairs from banded frame-hash evidence
+        # (>=2 matching frame pairs); brute-force oracle in
+        # tests/test_video.py
+        from analiticcl_ray.stages.multimodal import video_dup_pairs as _vdp
+
+        return _vdp(_video_corpus_ds(sf_dir), max_hamming=3, min_frame_matches=2)
+
     return {
         "exact_dedup": exact_dedup,
         "normalized_dedup": normalized_dedup,
@@ -766,6 +791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dup_pairs_dhash": image_dup_pairs_dhash,
         "audio_features": audio_features,
         "audio_dup_pairs_fp": audio_dup_pairs_fp,
+        "video_frame_hashes": video_frame_hashes,
+        "video_dup_pairs": video_dup_pairs,
         "hopping_window_agg": hopping_window_agg,
         "asof_join": asof_join,
         "range_join": range_join,

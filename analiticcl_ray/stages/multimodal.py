@@ -336,6 +336,154 @@ def sample_frames(
     )
 
 
+class VideoFrameHashes:
+    """Actor: decode the video container once and emit one
+    (video_id, frame_idx, dhash) row per frame — dHash computed
+    straight on the raw frame array, no PNG re-encode round-trip
+    (FrameSampler exists for pipelines that need frame BYTES; this is
+    the slim path video-level dedup wants). ``rawv1`` is real; actual
+    codecs raise NotImplementedError like FrameSampler."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids: list[str] = []
+        idxs: list[int] = []
+        hashes: list[int] = []
+        for vid, data, fmt in zip(
+            batch["video_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+        ):
+            if fmt != "rawv1":
+                raise NotImplementedError(
+                    f"video codec {fmt!r} requires a decoder library not "
+                    "present in this container; plug one in here (pyav / "
+                    "decord) — the hashing stage is codec-agnostic."
+                )
+            frames = rawv_decode(data)
+            for fi in range(len(frames)):
+                vids.append(vid)
+                idxs.append(fi)
+                hashes.append(dhash64(frames[fi]))
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "dhash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def video_frame_hashes(
+    videos: "ray.data.Dataset", concurrency=(1, 8), batch_size: int = 32
+) -> "ray.data.Dataset":
+    """(video_id, frame_idx, dhash) per frame — decode once per video
+    in an actor pool, bytes never leave the map stage."""
+    return videos.select_columns(["video_id", "bytes", "fmt"]).map_batches(
+        VideoFrameHashes, batch_format="pyarrow",
+        concurrency=concurrency, batch_size=batch_size,
+    )
+
+
+def video_dup_pairs(
+    videos: "ray.data.Dataset",
+    max_hamming: int = 3,
+    min_frame_matches: int = 2,
+    bands: int = 4,
+    cap: int = 256,
+    stats: dict = None,
+) -> "ray.data.Dataset":
+    """Video-level near-dup pairs by frame-hash evidence: per-frame
+    dHash in an actor pool (bytes never shuffle), the shared
+    banded_hash_dup_pairs skeleton over frame ids, then a combiner →
+    bucket-cogroup count of matching frame pairs per video pair.
+    ``min_frame_matches`` guards against single coincidental frame
+    collisions (the count is over DISTINCT matching frame pairs; a
+    frame may participate in several). Output: (src_id, dst_id,
+    n_frame_matches), src < dst, n_frame_matches >= min_frame_matches.
+    Scale shape: the wide steps see only (band, frame_id, hash) rows
+    and then pre-aggregated (video pair, cnt) partials — frames per
+    video is a small constant, so this is the image-tier cost times
+    mean frame count."""
+    import pandas as pd
+
+    from .lsh import bucket_by_keys
+
+    fh = video_frame_hashes(videos)
+
+    def _frame_ids(t: pa.Table) -> pa.Table:
+        # zero-padded frame index keeps frame_id ordering aligned with
+        # (video_id, frame_idx) ordering, so src<dst at the frame level
+        # implies src_vid <= dst_vid at the video level
+        vid = t["video_id"].to_pandas().to_numpy(dtype=object)
+        idx = t["frame_idx"].to_numpy(zero_copy_only=False)
+        fids = np.array(
+            [f"{v}#{i:06d}" for v, i in zip(vid, idx)], dtype=object
+        )
+        return pa.table(
+            {"frame_id": pa.array(fids, pa.string()), "dhash": t["dhash"]}
+        )
+
+    frame_hashes = fh.map_batches(
+        _frame_ids, batch_format="pyarrow"
+    ).materialize()  # ~40 B/frame; consumed by band explode + attach
+    frame_pairs = banded_hash_dup_pairs(
+        frame_hashes, "frame_id", "dhash", max_hamming, bands, cap, stats
+    )
+
+    def _vid_partial(t: pa.Table) -> pa.Table:
+        # frame pair -> video pair (drop intra-video), count per batch
+        src = np.array(
+            [s.rsplit("#", 1)[0] for s in t["src_id"].to_pylist()],
+            dtype=object,
+        )
+        dst = np.array(
+            [s.rsplit("#", 1)[0] for s in t["dst_id"].to_pylist()],
+            dtype=object,
+        )
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        swap = src > dst  # defensive: holds already via frame_id order
+        src[swap], dst[swap] = dst[swap], src[swap]
+        vc = pd.DataFrame({"src_id": src, "dst_id": dst}).value_counts(
+            sort=False
+        )
+        idx = vc.index
+        return pa.table(
+            {
+                "src_id": pa.array(
+                    idx.get_level_values(0).to_numpy(dtype=object),
+                    pa.string(),
+                ),
+                "dst_id": pa.array(
+                    idx.get_level_values(1).to_numpy(dtype=object),
+                    pa.string(),
+                ),
+                "n_frame_matches": pa.array(
+                    vc.to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def _vid_merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.groupby(["src_id", "dst_id"], sort=False)
+            .agg(n_frame_matches=("n_frame_matches", "sum"))
+            .reset_index()
+        )
+        return out[out["n_frame_matches"] >= min_frame_matches]
+
+    return (
+        frame_pairs.map_batches(_vid_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: bucket_by_keys(t, ["src_id", "dst_id"], 256),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_vid_merge, batch_format="pandas")
+        .select_columns(["src_id", "dst_id", "n_frame_matches"])
+    )
+
+
 # --- audio tier --------------------------------------------------------
 
 

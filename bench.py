@@ -262,6 +262,17 @@ def run_bench() -> dict:
 
     timed("audio_dup_pairs_fp", _audio_pairs)
 
+    from analiticcl_ray.sources.video_corpus import video_corpus_path
+
+    video_path = video_corpus_path(CORPUS_ROWS // 10)  # cached; untimed
+
+    def _video_pairs():
+        from analiticcl_ray.stages.multimodal import video_dup_pairs
+
+        return video_dup_pairs(read_table(video_path), max_hamming=3)
+
+    timed("video_dup_pairs", _video_pairs)
+
     result = {
         "metric": "end-to-end dedup wall time (corpus_dedup headline) + operator timings",
         "value": round(headline, 3),

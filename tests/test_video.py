@@ -1,0 +1,99 @@
+"""Video tier: frame-hash extraction and video-level dup pairs vs a
+brute-force all-pairs frame-hamming oracle.
+
+The video tier composes existing kernels (rawv1 decode, dHash, the
+shared banded_hash_dup_pairs skeleton) — what's new under test is the
+frame explode, the frame→video pair aggregation, and the
+min_frame_matches semantics."""
+
+import numpy as np
+
+from analiticcl_ray.image.codec import dhash64, hamming64
+from analiticcl_ray.sources.video_corpus import generate_video_corpus
+from analiticcl_ray.stages.multimodal import rawv_decode
+
+
+def _brute_video_pairs(tab, max_hamming=3, min_frame_matches=2):
+    """Driver-side truth: decode every video, dhash every frame,
+    all-pairs cross-video frame hamming, count matches per video pair."""
+    vids = tab["video_id"].to_pylist()
+    frames = [rawv_decode(b.as_py()) for b in tab["bytes"]]
+    owner, hashes = [], []
+    for v, fs in zip(vids, frames):
+        for f in fs:
+            owner.append(v)
+            hashes.append(dhash64(f))
+    owner = np.array(owner, dtype=object)
+    hashes = np.array(hashes, dtype=np.int64)
+    iu, ju = np.triu_indices(len(hashes), 1)
+    ham = hamming64(hashes[iu], hashes[ju])
+    keep = (ham <= max_hamming) & (owner[iu] != owner[ju])
+    counts: dict[tuple, int] = {}
+    for a, b in zip(owner[iu[keep]], owner[ju[keep]]):
+        key = (a, b) if a < b else (b, a)
+        counts[key] = counts.get(key, 0) + 1
+    return {k: v for k, v in counts.items() if v >= min_frame_matches}
+
+
+def test_video_corpus_deterministic():
+    a = generate_video_corpus(60, seed=7)
+    b = generate_video_corpus(60, seed=7)
+    assert a.equals(b)
+    assert a.column_names == [
+        "video_id", "bytes", "n_frames", "h", "w", "fmt",
+    ]
+    assert len(a) == 60
+    # frames within a video are hash-distinct (temporal structure)
+    fs = rawv_decode(a["bytes"][0].as_py())
+    hs = {dhash64(f) for f in fs}
+    assert len(hs) > 1
+    # planted dup structure exists at the video level
+    assert _brute_video_pairs(a), "corpus must contain video near-dups"
+
+
+def test_video_frame_hashes_and_dup_pairs_bruteforce(ray_session):
+    """video_dup_pairs == brute-force all-pairs frame hamming counted
+    per video pair (banding is pigeonhole-complete for max_hamming <
+    bands; the attach-side verify removes over-cap chain links; the
+    aggregation drops intra-video matches and sub-threshold counts)."""
+    import ray.data as rd
+
+    from analiticcl_ray.stages.multimodal import (
+        video_dup_pairs,
+        video_frame_hashes,
+    )
+
+    tab = generate_video_corpus(80, seed=42)
+    expected = _brute_video_pairs(tab, max_hamming=3, min_frame_matches=2)
+    assert expected
+
+    ds = rd.from_arrow(tab)
+    # pipeline frame hashes agree with the driver-side kernels
+    got_fh = {
+        (r["video_id"], r["frame_idx"]): r["dhash"]
+        for r in video_frame_hashes(ds).take_all()
+    }
+    truth_fh = {}
+    for v, b in zip(tab["video_id"].to_pylist(), tab["bytes"]):
+        for i, f in enumerate(rawv_decode(b.as_py())):
+            truth_fh[(v, i)] = dhash64(f)
+    assert got_fh == truth_fh
+
+    got = {
+        (r["src_id"], r["dst_id"]): r["n_frame_matches"]
+        for r in video_dup_pairs(
+            ds, max_hamming=3, min_frame_matches=2
+        ).take_all()
+    }
+    assert got == expected
+
+    # min_frame_matches=1 is a superset including single-frame evidence
+    got1 = {
+        (r["src_id"], r["dst_id"]): r["n_frame_matches"]
+        for r in video_dup_pairs(
+            ds, max_hamming=3, min_frame_matches=1
+        ).take_all()
+    }
+    all_pairs = _brute_video_pairs(tab, max_hamming=3, min_frame_matches=1)
+    assert got1 == all_pairs
+    assert set(got).issubset(set(got1))
