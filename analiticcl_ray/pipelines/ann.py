@@ -276,7 +276,16 @@ def cosine_dup_pairs_lsh(
     AUTO_BROADCAST_ROW_LIMIT rows the embeddings ride a bucket-hash
     cogroup join sized to the candidate pairs, never a whole-table
     materialization. Recall is 1-(1-(1-θ/π)^planes)^tables per true
-    pair; measured vs cosine_dup_pairs in tests."""
+    pair; measured vs cosine_dup_pairs in tests.
+
+    Tune ``n_planes`` UP with the threshold: pruning power is
+    ~(1/2)^planes per table for unrelated pairs, so the default
+    (2, 32) — sized for recall ~1 at the driver query's wide 0.4
+    threshold — prunes almost nothing, while a near-dup threshold
+    (0.9+) sustains 8 planes at the same 32 tables (per-pair miss
+    ~2e-8 at 0.95, unrelated-pair candidate probability 0.12). At
+    wide thresholds LSH fundamentally cannot prune without recall
+    loss — that regime is the exact ``cosine_dup_pairs`` path's."""
     from ..stages.lsh import cooccurrence_pairs, dedup_pairs
     from ..stages.verify import attach_pair_sides
 

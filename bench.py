@@ -151,8 +151,14 @@ def run_bench() -> dict:
         "ann_lsh_topk",
         lambda: ann.lsh_bucketed_topk(emb(), list(range(10)), 5),
     )
+    # n_planes matched to the threshold: at 0.95 (theta=18deg) 8 planes
+    # keep per-pair miss ~2e-8 over 32 tables while cutting a random
+    # orthogonal pair's candidate probability from 0.9999 (2 planes, the
+    # default tuned for the driver query's 0.4 threshold) to 0.12 — the
+    # default was timing an all-pairs candidate set plus shuffle overhead
     timed(
-        "ann_dup_pairs_lsh", lambda: ann.cosine_dup_pairs_lsh(emb(), 0.95)
+        "ann_dup_pairs_lsh",
+        lambda: ann.cosine_dup_pairs_lsh(emb(), 0.95, n_planes=8),
     )
     timed("top_docs", lambda: text.top_docs(docs()))
     timed("window_agg", lambda: events.tumbling_window_agg(ev()))
