@@ -62,6 +62,11 @@ def rawa_decode(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a rawa1 container")
     off = len(RAWA_MAGIC)
     sr, n = np.frombuffer(data[off : off + 8], np.uint32)
+    if len(data) < off + 8 + 2 * int(n):
+        raise ValueError(
+            f"truncated rawa1 container: header promises {int(n)} samples, "
+            f"payload holds {(len(data) - off - 8) // 2}"
+        )
     x = np.frombuffer(data[off + 8 : off + 8 + 2 * int(n)], np.int16)
     return x.astype(np.float64) / 32768.0, int(sr)
 
@@ -125,12 +130,20 @@ def band_energies(spec: np.ndarray, sr: int, n_bands: int, frame: int) -> np.nda
     return np.log(e + 1e-12)
 
 
-def audio_fp64(x: np.ndarray, sr: int, frame: int = 512, hop: int = 256) -> int:
+def audio_fp64(
+    x: np.ndarray, sr: int, frame: int = 512, hop: int = 256,
+    spec: np.ndarray = None,
+) -> int:
     """64-bit spectro-temporal fingerprint: pool log band energies to an
     8x9 (time, band) grid, take the 8 adjacent band differences per
     time slice, bit = diff > 0. Gain-invariant, noise-robust; feeds
-    hash_band_table unchanged."""
-    spec = frame_spectrogram(x, frame, hop)
+    hash_band_table unchanged. Pass a precomputed ``spec`` (same
+    frame/hop) to skip the FFT — audio_features_one shares one
+    spectrogram between the centroid and the fingerprint."""
+    if sr <= 0:
+        return 0  # degenerate header: no band geometry is definable
+    if spec is None:
+        spec = frame_spectrogram(x, frame, hop)
     le = band_energies(spec, sr, FP_BANDS, frame)
     n_frames = le.shape[0]
     # pool frames into FP_TIME_SLICES equal time slices (mean log energy)
@@ -156,13 +169,16 @@ def audio_features_one(x: np.ndarray, sr: int) -> dict:
     zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
     spec = frame_spectrogram(x)
     power = spec * spec
-    freqs = np.fft.rfftfreq(512, d=1.0 / sr)
     tot = power.sum()
-    centroid = float((power.sum(axis=0) * freqs).sum() / tot) if tot > 0 else 0.0
+    if sr and tot > 0:
+        freqs = np.fft.rfftfreq(512, d=1.0 / sr)
+        centroid = float((power.sum(axis=0) * freqs).sum() / tot)
+    else:
+        centroid = 0.0
     return {
         "duration_s": dur,
         "rms": rms,
         "zcr": zcr,
         "centroid_hz": centroid,
-        "fp64": audio_fp64(x, sr),
+        "fp64": audio_fp64(x, sr, spec=spec),
     }

@@ -32,7 +32,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from ..audio.codec import rawa_encode
 
@@ -121,24 +120,12 @@ def audio_corpus_path(
     n_rows: int, seed: int = 42, root: str = "/tmp/analiticcl_ray",
     n_files: int = 32,
 ) -> str:
-    """Materialize (once) and return the parquet DIRECTORY — many part
-    files so the read parallelizes (sources/corpus.py:corpus_path)."""
-    d = os.path.join(root, f"audio_n{n_rows}_s{seed}")
-    marker = os.path.join(d, "_SUCCESS")
-    if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
-        table = generate_audio_corpus(n_rows, seed)
-        n_files = max(1, min(n_files, n_rows // 256 or 1))
-        step = (n_rows + n_files - 1) // n_files
-        for i in range(n_files):
-            part = table.slice(i * step, step)
-            if len(part) == 0:
-                break
-            pq.write_table(
-                part,
-                os.path.join(d, f"part-{i:04d}.parquet"),
-                row_group_size=max(512, step // 4),
-            )
-        with open(marker, "w") as f:
-            f.write("ok")
-    return d
+    """Materialize (once) and return the parquet DIRECTORY
+    (sources/corpus.py:write_corpus_dir)."""
+    from .corpus import write_corpus_dir
+
+    return write_corpus_dir(
+        os.path.join(root, f"audio_n{n_rows}_s{seed}"),
+        lambda: generate_audio_corpus(n_rows, seed),
+        n_rows, n_files, rows_per_file_hint=256, min_row_group=512,
+    )

@@ -204,19 +204,23 @@ def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
     )
 
 
-def corpus_path(
-    n_rows: int, seed: int = 42, root: str = "/tmp/analiticcl_ray",
-    n_files: int = 32,
+def write_corpus_dir(
+    d: str, make_table, n_rows: int, n_files: int,
+    rows_per_file_hint: int, min_row_group: int,
 ) -> str:
-    """Materialize (once) and return the parquet DIRECTORY for a corpus
-    size — many part files so the read parallelizes across cores (a
-    single-file read is one serial task in Ray Data)."""
-    d = os.path.join(root, f"corpus_n{n_rows}_s{seed}")
+    """Materialize-once parquet DIRECTORY writer shared by the image /
+    audio / video corpus generators: many part files so the read
+    parallelizes across cores (a single-file read is one serial task in
+    Ray Data). ``make_table`` is called only on a cache miss. The
+    ``_SUCCESS`` marker is written after the parts, so a crashed writer
+    re-generates instead of serving a partial directory."""
+    if n_rows < 1:
+        raise ValueError(f"corpus n_rows must be >= 1, got {n_rows}")
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
-        table = generate_corpus(n_rows, seed)
-        n_files = max(1, min(n_files, n_rows // 256 or 1))
+        table = make_table()
+        n_files = max(1, min(n_files, n_rows // rows_per_file_hint or 1))
         step = (n_rows + n_files - 1) // n_files
         for i in range(n_files):
             part = table.slice(i * step, step)
@@ -225,8 +229,21 @@ def corpus_path(
             pq.write_table(
                 part,
                 os.path.join(d, f"part-{i:04d}.parquet"),
-                row_group_size=max(512, step // 4),
+                row_group_size=max(min_row_group, step // 4),
             )
         with open(marker, "w") as f:
             f.write("ok")
     return d
+
+
+def corpus_path(
+    n_rows: int, seed: int = 42, root: str = "/tmp/analiticcl_ray",
+    n_files: int = 32,
+) -> str:
+    """Materialize (once) and return the parquet DIRECTORY for a corpus
+    size."""
+    return write_corpus_dir(
+        os.path.join(root, f"corpus_n{n_rows}_s{seed}"),
+        lambda: generate_corpus(n_rows, seed),
+        n_rows, n_files, rows_per_file_hint=256, min_row_group=512,
+    )

@@ -29,7 +29,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from .corpus import _base_pixels
 
@@ -126,24 +125,12 @@ def video_corpus_path(
     n_rows: int, seed: int = 42, root: str = "/tmp/analiticcl_ray",
     n_files: int = 32,
 ) -> str:
-    """Materialize (once) and return the parquet DIRECTORY — many part
-    files so the read parallelizes (sources/corpus.py:corpus_path)."""
-    d = os.path.join(root, f"video_n{n_rows}_s{seed}")
-    marker = os.path.join(d, "_SUCCESS")
-    if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
-        table = generate_video_corpus(n_rows, seed)
-        n_files = max(1, min(n_files, n_rows // 64 or 1))
-        step = (n_rows + n_files - 1) // n_files
-        for i in range(n_files):
-            part = table.slice(i * step, step)
-            if len(part) == 0:
-                break
-            pq.write_table(
-                part,
-                os.path.join(d, f"part-{i:04d}.parquet"),
-                row_group_size=max(128, step // 4),
-            )
-        with open(marker, "w") as f:
-            f.write("ok")
-    return d
+    """Materialize (once) and return the parquet DIRECTORY
+    (sources/corpus.py:write_corpus_dir)."""
+    from .corpus import write_corpus_dir
+
+    return write_corpus_dir(
+        os.path.join(root, f"video_n{n_rows}_s{seed}"),
+        lambda: generate_video_corpus(n_rows, seed),
+        n_rows, n_files, rows_per_file_hint=64, min_row_group=128,
+    )

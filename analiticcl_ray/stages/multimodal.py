@@ -400,6 +400,16 @@ def video_dup_pairs(
     collisions (the count is over DISTINCT matching frame pairs; a
     frame may participate in several). Output: (src_id, dst_id,
     n_frame_matches), src < dst, n_frame_matches >= min_frame_matches.
+
+    Cap semantics: when a band bucket exceeds ``cap`` (degenerate
+    frames — e.g. near-uniform frames across many videos), the LSH
+    stage emits only salted-chunk pairs plus chain links, so
+    n_frame_matches is a LOWER BOUND in that regime and a pair whose
+    only evidence is capped frames can fall below the floor — the same
+    recall tradeoff the image/audio tiers accept, amplified here by
+    the counting. Pass ``stats`` to observe dropped/capped buckets
+    (stages/lsh.py sentinel reporting); raise ``cap`` (or prefilter
+    low-entropy frames) when drops are nonzero.
     Scale shape: the wide steps see only (band, frame_id, hash) rows
     and then pre-aggregated (video pair, cnt) partials — frames per
     video is a small constant, so this is the image-tier cost times

@@ -270,7 +270,7 @@ def run_bench() -> dict:
 
     from analiticcl_ray.sources.video_corpus import video_corpus_path
 
-    video_path = video_corpus_path(CORPUS_ROWS // 10)  # cached; untimed
+    video_path = video_corpus_path(max(50, CORPUS_ROWS // 10))  # cached; untimed
 
     def _video_pairs():
         from analiticcl_ray.stages.multimodal import video_dup_pairs

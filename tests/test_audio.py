@@ -46,6 +46,31 @@ def test_rawa_roundtrip():
         decode(b"\x00" * 16, "mp3")
     with pytest.raises(ValueError):
         rawa_decode(b"not a container")
+    # truncated payload fails loudly, not silently short
+    with pytest.raises(ValueError, match="truncated"):
+        rawa_decode(data[:-10])
+
+
+def test_features_degenerate_inputs():
+    """sr=0 / silent clips degrade gracefully instead of raising."""
+    from analiticcl_ray.audio.codec import audio_features_one
+
+    f = audio_features_one(np.zeros(1000), 0)
+    assert f["duration_s"] == 0.0 and f["centroid_hz"] == 0.0
+    f2 = audio_features_one(np.zeros(1000), 8000)
+    assert f2["centroid_hz"] == 0.0  # zero total power guard
+
+
+def test_corpus_dir_guards(tmp_path):
+    """Shared writer refuses n_rows<1 (a zero-row dir would poison the
+    cache: marker written, nothing readable)."""
+    from analiticcl_ray.sources.audio_corpus import audio_corpus_path
+    from analiticcl_ray.sources.corpus import write_corpus_dir
+
+    with pytest.raises(ValueError, match="n_rows"):
+        audio_corpus_path(0, root=str(tmp_path))
+    with pytest.raises(ValueError, match="n_rows"):
+        write_corpus_dir(str(tmp_path / "x"), lambda: None, 0, 4, 64, 128)
 
 
 def test_spectrogram_and_bands_shapes():
