@@ -696,6 +696,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audio_fp_dup_pairs(_audio_corpus_ds(sf_dir), max_hamming=3)
 
+    def image_quality_signals(sf_dir):
+        # decode -> sharpness/entropy/saturation/exposure per image
+        # (rows-only; kernel-verified in tests/test_multimodal.py)
+        from analiticcl_ray.stages.multimodal import (
+            image_quality_signals as _iqs,
+        )
+
+        return _iqs(_corpus_ds(sf_dir))
+
+    def image_quality_keep(sf_dir):
+        # keep-list of image ids passing the quality gates
+        from analiticcl_ray.stages.multimodal import image_quality_filter
+
+        return image_quality_filter(_corpus_ds(sf_dir))
+
+    def audio_quality_signals(sf_dir):
+        # decode -> clipping/silence/crest/DC per clip (rows-only;
+        # kernel-verified in tests/test_audio.py)
+        from analiticcl_ray.stages.multimodal import (
+            audio_quality_signals as _aqs,
+        )
+
+        return _aqs(_audio_corpus_ds(sf_dir))
+
+    def audio_quality_keep(sf_dir):
+        # keep-list of audio ids passing the quality gates
+        from analiticcl_ray.stages.multimodal import audio_quality_filter
+
+        return audio_quality_filter(_audio_corpus_ds(sf_dir))
+
     def video_frame_hashes(sf_dir):
         # actor-pool rawv1 decode -> per-frame dHash (rows-only:
         # binary decode isn't SQL-expressible; kernel-verified in
@@ -793,6 +823,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_pairs_fp": audio_dup_pairs_fp,
         "video_frame_hashes": video_frame_hashes,
         "video_dup_pairs": video_dup_pairs,
+        "image_quality_signals": image_quality_signals,
+        "image_quality_keep": image_quality_keep,
+        "audio_quality_signals": audio_quality_signals,
+        "audio_quality_keep": audio_quality_keep,
         "hopping_window_agg": hopping_window_agg,
         "asof_join": asof_join,
         "range_join": range_join,

@@ -182,3 +182,41 @@ def audio_features_one(x: np.ndarray, sr: int) -> dict:
         "centroid_hz": centroid,
         "fp64": audio_fp64(x, sr, spec=spec),
     }
+
+
+def audio_quality_one(x: np.ndarray, sr: int, frame: int = 256) -> dict:
+    """Per-clip quality signals (the audio analog of text.py's
+    quality_signals, all vectorized numpy over the decoded waveform):
+
+    - clipping_frac: fraction of samples at int16 full scale (hard
+      clipping / limiter damage).
+    - silence_frac: fraction of ``frame``-sample windows with RMS below
+      a -46 dBFS floor (dead air).
+    - crest_db: peak-to-RMS ratio in dB (near 0 = square-wave-like or
+      heavily compressed; very high = impulsive noise).
+    - dc_offset: mean sample value (recording-chain fault indicator).
+    """
+    n = len(x)
+    if n == 0:
+        return {
+            "clipping_frac": 0.0, "silence_frac": 1.0,
+            "crest_db": 0.0, "dc_offset": 0.0,
+        }
+    ax = np.abs(x)
+    clipping = float((ax >= 32766.5 / 32768.0).mean())
+    n_frames = n // frame
+    if n_frames:
+        fr = x[: n_frames * frame].reshape(n_frames, frame)
+        frame_rms = np.sqrt((fr * fr).mean(axis=1))
+        silence = float((frame_rms < 0.005).mean())
+    else:
+        silence = float(np.sqrt((x * x).mean()) < 0.005)
+    rms = float(np.sqrt((x * x).mean()))
+    peak = float(ax.max())
+    crest = 20.0 * np.log10((peak + 1e-12) / (rms + 1e-12))
+    return {
+        "clipping_frac": clipping,
+        "silence_frac": silence,
+        "crest_db": float(crest),
+        "dc_offset": float(x.mean()),
+    }

@@ -270,3 +270,43 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def image_quality_one(pixels: np.ndarray) -> dict:
+    """Per-image quality signals (the image analog of text.py's
+    quality_signals, all pure numpy over decoded pixels):
+
+    - sharpness: variance of the 4-neighbor Laplacian of the grayscale
+      (the classic blur detector — low variance = blurry/flat).
+    - entropy: Shannon entropy (bits) of the 256-bin grayscale
+      histogram (low = flat/synthetic fills).
+    - saturated_frac: fraction of gray pixels pinned at 0 or 255
+      (blown highlights / crushed blacks).
+    - gray_mean / gray_std: exposure and global contrast.
+    """
+    g = to_gray(pixels)
+    if g.size == 0:
+        return {
+            "sharpness": 0.0, "entropy": 0.0, "saturated_frac": 0.0,
+            "gray_mean": 0.0, "gray_std": 0.0,
+        }
+    if g.shape[0] >= 3 and g.shape[1] >= 3:
+        lap = (
+            4.0 * g[1:-1, 1:-1]
+            - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+        )
+        sharpness = float(lap.var())
+    else:
+        sharpness = 0.0
+    q = np.clip(np.rint(g), 0, 255).astype(np.int64)
+    hist = np.bincount(q.ravel(), minlength=256)
+    p = hist[hist > 0] / q.size
+    entropy = float(-(p * np.log2(p)).sum())
+    saturated = float(((q == 0) | (q == 255)).mean())
+    return {
+        "sharpness": sharpness,
+        "entropy": entropy,
+        "saturated_frac": saturated,
+        "gray_mean": float(g.mean()),
+        "gray_std": float(g.std()),
+    }

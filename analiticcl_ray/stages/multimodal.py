@@ -138,6 +138,72 @@ class ImageHashes:
         )
 
 
+class ImageQuality:
+    """Actor: decode -> per-image quality signals (sharpness, entropy,
+    saturation, exposure — image/codec.py:image_quality_one), the
+    image analog of text.py's quality_signals. Emits (image_id,
+    sharpness, entropy, saturated_frac, gray_mean, gray_std)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..image.codec import image_quality_one
+
+        n = len(batch)
+        cols = {
+            k: np.empty(n, dtype=np.float64)
+            for k in (
+                "sharpness", "entropy", "saturated_frac",
+                "gray_mean", "gray_std",
+            )
+        }
+        for i, (data, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            q = image_quality_one(decode(data, fmt))
+            for k, arr in cols.items():
+                arr[i] = q[k]
+        return pa.table(
+            {"image_id": batch["image_id"]}
+            | {k: pa.array(v, pa.float64()) for k, v in cols.items()}
+        )
+
+
+def image_quality_signals(
+    corpus: "ray.data.Dataset", concurrency=(1, 8), batch_size: int = 128
+) -> "ray.data.Dataset":
+    return corpus.select_columns(["image_id", "bytes", "fmt"]).map_batches(
+        ImageQuality, batch_format="pyarrow",
+        concurrency=concurrency, batch_size=batch_size,
+    )
+
+
+def image_quality_filter(
+    corpus: "ray.data.Dataset",
+    min_sharpness: float = 1.0,
+    min_entropy: float = 1.0,
+    max_saturated: float = 0.5,
+    concurrency=(1, 8),
+    batch_size: int = 128,
+) -> "ray.data.Dataset":
+    """Keep-list of image ids passing the quality gates — the decision
+    stage a training-data pipeline runs before spending tokens on a
+    caption model. Thresholds follow the text quality_filter shape:
+    conservative defaults, every gate a parameter."""
+    sig = image_quality_signals(corpus, concurrency, batch_size)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        m = (
+            (t["sharpness"].to_numpy(zero_copy_only=False) >= min_sharpness)
+            & (t["entropy"].to_numpy(zero_copy_only=False) >= min_entropy)
+            & (
+                t["saturated_frac"].to_numpy(zero_copy_only=False)
+                <= max_saturated
+            )
+        )
+        return pa.table({"image_id": t["image_id"].filter(pa.array(m))})
+
+    return sig.map_batches(_keep, batch_format="pyarrow")
+
+
 # --- video: deterministic fake container + honest codec stub ----------
 
 RAWV_MAGIC = b"RAWV1\x00"
@@ -543,6 +609,62 @@ def audio_features(
         AudioFeatures, batch_format="pyarrow",
         concurrency=concurrency, batch_size=batch_size,
     )
+
+
+class AudioQuality:
+    """Actor: decode -> per-clip quality signals (clipping, silence,
+    crest factor, DC offset — audio/codec.py:audio_quality_one), the
+    audio analog of text.py's quality_signals. Emits (audio_id,
+    clipping_frac, silence_frac, crest_db, dc_offset)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio.codec import audio_quality_one, decode as adecode
+
+        n = len(batch)
+        cols = {
+            k: np.empty(n, dtype=np.float64)
+            for k in ("clipping_frac", "silence_frac", "crest_db", "dc_offset")
+        }
+        for i, (data, fmt) in enumerate(
+            zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist())
+        ):
+            x, sr = adecode(data, fmt)
+            q = audio_quality_one(x, sr)
+            for k, arr in cols.items():
+                arr[i] = q[k]
+        return pa.table(
+            {"audio_id": batch["audio_id"]}
+            | {k: pa.array(v, pa.float64()) for k, v in cols.items()}
+        )
+
+
+def audio_quality_signals(
+    clips: "ray.data.Dataset", concurrency=(1, 8), batch_size: int = 256
+) -> "ray.data.Dataset":
+    return clips.select_columns(["audio_id", "bytes", "fmt"]).map_batches(
+        AudioQuality, batch_format="pyarrow",
+        concurrency=concurrency, batch_size=batch_size,
+    )
+
+
+def audio_quality_filter(
+    clips: "ray.data.Dataset",
+    max_clipping: float = 0.01,
+    max_silence: float = 0.9,
+    concurrency=(1, 8),
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Keep-list of audio ids passing the quality gates (hard-clipped
+    or mostly-silent clips dropped)."""
+    sig = audio_quality_signals(clips, concurrency, batch_size)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        m = (
+            t["clipping_frac"].to_numpy(zero_copy_only=False) <= max_clipping
+        ) & (t["silence_frac"].to_numpy(zero_copy_only=False) <= max_silence)
+        return pa.table({"audio_id": t["audio_id"].filter(pa.array(m))})
+
+    return sig.map_batches(_keep, batch_format="pyarrow")
 
 
 def audio_fp_dup_pairs(

@@ -176,3 +176,44 @@ def test_audio_features_and_dup_pairs_bruteforce(ray_session):
         for r in audio_fp_dup_pairs(ds, max_hamming=3).take_all()
     }
     assert got == expected
+
+
+def test_audio_quality_kernel_and_stage(ray_session):
+    """audio_quality_one flags planted defects; the Ray stage matches
+    the driver-side kernel exactly and the filter keeps the clean set."""
+    import ray.data as rd
+
+    from analiticcl_ray.audio.codec import audio_quality_one, rawa_encode
+    from analiticcl_ray.stages.multimodal import (
+        audio_quality_filter,
+        audio_quality_signals,
+    )
+
+    rng = np.random.default_rng(3)
+    t = np.arange(8000) / 8000
+    clean = 0.4 * np.sin(2 * np.pi * 440 * t)
+    clipped = np.clip(3.0 * clean, -1.0, 1.0)
+    silent = np.zeros(8000)
+    # kernel-level expectations
+    assert audio_quality_one(clean, 8000)["clipping_frac"] == 0.0
+    assert audio_quality_one(clipped, 8000)["clipping_frac"] > 0.3
+    assert audio_quality_one(silent, 8000)["silence_frac"] == 1.0
+    assert audio_quality_one(np.array([]), 8000)["silence_frac"] == 1.0
+
+    rows = [
+        {"audio_id": "clean", "bytes": rawa_encode(clean, 8000), "fmt": "rawa1"},
+        {"audio_id": "clip", "bytes": rawa_encode(clipped, 8000), "fmt": "rawa1"},
+        {"audio_id": "quiet", "bytes": rawa_encode(silent, 8000), "fmt": "rawa1"},
+    ]
+    ds = rd.from_items(rows)
+    got = {r["audio_id"]: r for r in audio_quality_signals(ds).take_all()}
+    for row in rows:
+        # kernel recomputed on the round-tripped (int16-quantized) wave
+        from analiticcl_ray.audio.codec import rawa_decode
+
+        x, sr = rawa_decode(row["bytes"])
+        exp = audio_quality_one(x, sr)
+        for k, v in exp.items():
+            assert got[row["audio_id"]][k] == v
+    kept = {r["audio_id"] for r in audio_quality_filter(ds).take_all()}
+    assert kept == {"clean"}

@@ -148,3 +148,41 @@ def test_image_hashes_and_dup_pairs_bruteforce(ray_session):
         for r in image_hash_dup_pairs(ds, "dhash", max_hamming=3).take_all()
     }
     assert got == expected
+
+
+def test_image_quality_kernel_and_stage(ray_session):
+    """image_quality_one flags planted defects; the Ray stage matches
+    the driver-side kernel exactly and the filter keeps the clean set."""
+    import ray.data as rd
+
+    from analiticcl_ray.image.codec import image_quality_one, png_encode
+
+    from analiticcl_ray.stages.multimodal import (
+        image_quality_filter,
+        image_quality_signals,
+    )
+
+    rng = np.random.default_rng(5)
+    textured = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    flat = np.full((32, 32, 3), 255, np.uint8)  # saturated + zero entropy
+    blurry = np.full((32, 32, 3), 128, np.uint8)  # flat mid-gray
+    q_tex = image_quality_one(textured)
+    q_flat = image_quality_one(flat)
+    assert q_tex["sharpness"] > q_flat["sharpness"] == 0.0
+    assert q_tex["entropy"] > 5.0 and q_flat["entropy"] == 0.0
+    assert q_flat["saturated_frac"] == 1.0
+    assert image_quality_one(np.zeros((0, 0), np.uint8))["entropy"] == 0.0
+
+    rows = [
+        {"image_id": "tex", "bytes": png_encode(textured), "fmt": "png"},
+        {"image_id": "flat", "bytes": png_encode(flat), "fmt": "png"},
+        {"image_id": "blur", "bytes": png_encode(blurry), "fmt": "png"},
+    ]
+    ds = rd.from_items(rows)
+    got = {r["image_id"]: r for r in image_quality_signals(ds).take_all()}
+    exp = {"tex": q_tex, "flat": q_flat, "blur": image_quality_one(blurry)}
+    for iid, e in exp.items():
+        for k, v in e.items():
+            assert got[iid][k] == v
+    kept = {r["image_id"] for r in image_quality_filter(ds).take_all()}
+    assert kept == {"tex"}
