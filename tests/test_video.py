@@ -97,3 +97,54 @@ def test_video_frame_hashes_and_dup_pairs_bruteforce(ray_session):
     all_pairs = _brute_video_pairs(tab, max_hamming=3, min_frame_matches=1)
     assert got1 == all_pairs
     assert set(got).issubset(set(got1))
+
+
+def test_banded_skeleton_cap_semantics(ray_session):
+    """Pin the documented over-cap behavior of banded_hash_dup_pairs:
+    with a tiny cap the result is a SUBSET of brute force (no false
+    positives — the exact verify removes chain links), and the stats
+    dict reports any dropped degenerate buckets; with a generous cap
+    the full brute-force set comes back."""
+    import ray.data as rd
+    import pyarrow as pa
+    import numpy as np
+
+    from analiticcl_ray.image.codec import hamming64
+    from analiticcl_ray.stages.multimodal import banded_hash_dup_pairs
+
+    # 40 ids sharing one hash value (a degenerate hot band bucket) plus
+    # scattered unique hashes
+    rng = np.random.default_rng(11)
+    hot = [0x0123456789ABCDEF] * 40
+    cold = [int(v) for v in rng.integers(-(2**62), 2**62, 40)]
+    hashes = hot + cold
+    ids = [f"h{i:04d}" for i in range(len(hashes))]
+    tab = pa.table(
+        {"hid": pa.array(ids, pa.string()), "h": pa.array(hashes, pa.int64())}
+    )
+    hs = np.array(hashes, dtype=np.int64)
+    iu, ju = np.triu_indices(len(ids), 1)
+    ham = hamming64(hs[iu], hs[ju])
+    keep = ham <= 3
+    brute = {
+        tuple(sorted((ids[a], ids[b]))) for a, b in zip(iu[keep], ju[keep])
+    }
+    assert len(brute) == 40 * 39 // 2  # the hot clique
+
+    def run(cap):
+        stats = {}
+        got = {
+            tuple(sorted((r["src_id"], r["dst_id"])))
+            for r in banded_hash_dup_pairs(
+                rd.from_arrow(tab).materialize(), "hid", "h",
+                max_hamming=3, cap=cap, stats=stats,
+            ).take_all()
+        }
+        return got, stats
+
+    full, st_full = run(cap=256)
+    assert full == brute
+    small, st_small = run(cap=8)
+    assert small <= brute  # never a false positive
+    # chain links keep the clique connected even under the cap
+    assert small, "salted chunks must still emit verified in-chunk pairs"
