@@ -696,6 +696,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audio_fp_dup_pairs(_audio_corpus_ds(sf_dir), max_hamming=3)
 
+    def incremental_image_dedup(sf_dir):
+        # daily-ingest shape: hash only the "new" half of the corpus
+        # and match it against itself + the persisted hash table of the
+        # "reference" half — ref x ref pairs are never formed
+        # (rows-only; brute-force oracle in tests/test_multimodal.py)
+        from analiticcl_ray.stages.multimodal import (
+            image_hashes as _ih2,
+            incremental_image_dup_pairs,
+        )
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _half(parity: int):
+            def _f(t: pa.Table) -> pa.Table:
+                last = pc.utf8_slice_codeunits(t["image_id"], -1)
+                dig = pc.cast(last, pa.int64())
+                return t.filter(
+                    pc.equal(pc.bit_wise_and(dig, 1), parity)
+                )
+
+            return _f
+
+        corpus = _corpus_ds(sf_dir)
+        # deterministic halves via the trailing digit of image_id
+        # (vectorized Arrow filter, no per-row Python)
+        new_ds = corpus.map_batches(_half(1), batch_format="pyarrow")
+        ref_ds = corpus.map_batches(_half(0), batch_format="pyarrow")
+        ref_hashes = _ih2(ref_ds).materialize()
+        return incremental_image_dup_pairs(new_ds, ref_hashes, "dhash")
+
     def image_quality_signals(sf_dir):
         # decode -> sharpness/entropy/saturation/exposure per image
         # (rows-only; kernel-verified in tests/test_multimodal.py)
@@ -823,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_pairs_fp": audio_dup_pairs_fp,
         "video_frame_hashes": video_frame_hashes,
         "video_dup_pairs": video_dup_pairs,
+        "incremental_image_dedup": incremental_image_dedup,
         "image_quality_signals": image_quality_signals,
         "image_quality_keep": image_quality_keep,
         "audio_quality_signals": audio_quality_signals,

@@ -354,6 +354,24 @@ def banded_hash_dup_pairs(
             attr_maxham=max_hamming,
         )
     )
+    return _attach_hamming_verify(
+        cand, hashes, id_col, hash_col, max_hamming
+    )
+
+
+def _attach_hamming_verify(
+    cand: "ray.data.Dataset",
+    hashes: "ray.data.Dataset",
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+) -> "ray.data.Dataset":
+    """Slim hash attach + exact hamming verify shared by the banded and
+    incremental dup-pair ops: (src_id, dst_id) candidates -> distinct
+    verified (src_id, dst_id, hamming)."""
+    from .verify import attach_pair_sides
+    from ..image.codec import hamming64
+
     attached = attach_pair_sides(
         cand, hashes, [hash_col], method="auto", concurrency=(1, 4),
         id_col=id_col,
@@ -373,6 +391,185 @@ def banded_hash_dup_pairs(
         )
 
     return attached.map_batches(_verify, batch_format="pyarrow")
+
+
+def incremental_banded_dup_pairs(
+    new_hashes: "ray.data.Dataset",
+    ref_hashes: "ray.data.Dataset",
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    cap: int = 256,
+    stats: dict = None,
+) -> "ray.data.Dataset":
+    """Asymmetric (probe-vs-index) banded near-dup join — the daily-
+    ingest shape: match a NEW shard's hashes against itself and against
+    an existing REFERENCE hash table without ever re-pairing the
+    reference against itself. Both sides band-explode with an int8
+    ``side`` flag and meet in ONE hash-bucket cogroup; per surviving
+    band key (>=2 rows AND >=1 new row — ref-only keys are skipped
+    vectorized, which is the asymmetry win: at steady state ref >> new
+    and almost every bucket is ref-only) the emission is the new x new
+    triangle plus the new x ref cross, hamming-prefiltered in-bucket,
+    then the shared slim-attach exact verify. Output: distinct
+    (src_id, dst_id, hamming) where src is always NEW and dst is new
+    (src < dst) or ref — never ref x ref.
+
+    Cap semantics: a band-key group larger than ``cap`` keeps all new
+    rows and the id-ordered prefix of ref rows up to ``cap`` total
+    (new x new evidence is never sacrificed for ref fill); dropped ref
+    rows are reported through the globally-unique sentinel mechanism
+    (stages/lsh.py) into ``stats['dropped_rows']`` — no silent caps.
+    Ref rows carry only (id, hash): the reference corpus bytes are
+    never read, so an incremental run costs decode(new) + one band
+    shuffle over new+ref slim rows."""
+    import pandas as pd
+
+    from .lsh import (
+        DROPPED_SENTINEL,
+        bucket_by_keys,
+        dedup_pairs,
+        explode_band_rows,
+        strip_sentinels,
+        tally_sentinels,
+    )
+    from .signatures import hash_band_table
+    from ..image.codec import hamming64
+
+    def _with_side(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            banded = hash_band_table(t, hash_col, bands)
+            return banded.append_column(
+                "side", pa.array(np.full(len(t), side, np.int8), pa.int8())
+            )
+
+        return _f
+
+    union = new_hashes.map_batches(
+        _with_side(1), batch_format="pyarrow"
+    ).union(ref_hashes.map_batches(_with_side(0), batch_format="pyarrow"))
+    rows = explode_band_rows(
+        union, band_cols=(f"{hash_col}_bands",), id_col=id_col,
+        carry_cols=(hash_col, "side"),
+    )
+
+    def _emit(group: pd.DataFrame) -> pd.DataFrame:
+        # vectorized key prefilter: only bands with >=2 rows and >=1 new
+        agg = group.groupby("band", sort=False)["side"].agg(["size", "max"])
+        live = agg.index[(agg["size"] >= 2) & (agg["max"] == 1)]
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
+        caps: list[np.ndarray] = []
+        dropped: list[int] = []  # per-capped-band dropped ref rows
+        cg = int(group["bucket"].iloc[0]) if len(group) else 0
+        sub = group[group["band"].isin(live)]
+        for _, g in sub.groupby("band", sort=False):
+            g = g.sort_values(id_col, kind="stable")
+            was_capped = len(g) > cap
+            if was_capped:  # keep all new, id-ordered ref prefix
+                keep_new = g[g["side"] == 1]
+                keep_ref = g[g["side"] == 0].head(max(0, cap - len(keep_new)))
+                dropped.append(len(g) - len(keep_new) - len(keep_ref))
+                g = pd.concat([keep_new, keep_ref]).sort_values(
+                    id_col, kind="stable"
+                )
+            ids = g[id_col].to_numpy(dtype=object)
+            hs = g[hash_col].to_numpy(dtype=np.int64)
+            new = g["side"].to_numpy() == 1
+            ni, ri = np.flatnonzero(new), np.flatnonzero(~new)
+            pair_i: list[np.ndarray] = []
+            pair_j: list[np.ndarray] = []
+            # new x new triangle (ids sorted -> src < dst)
+            if len(ni) >= 2:
+                a, b = np.triu_indices(len(ni), 1)
+                pair_i.append(ni[a])
+                pair_j.append(ni[b])
+            # new x ref cross (src = new, dst = ref)
+            if len(ni) and len(ri):
+                pair_i.append(np.repeat(ni, len(ri)))
+                pair_j.append(np.tile(ri, len(ni)))
+            if pair_i:
+                i = np.concatenate(pair_i)
+                j = np.concatenate(pair_j)
+                ok = hamming64(hs[i], hs[j]) <= max_hamming
+                srcs.append(ids[i[ok]])
+                dsts.append(ids[j[ok]])
+                caps.append(np.full(int(ok.sum()), was_capped))
+        for seq, nrows in enumerate(dropped):
+            # globally-unique sentinel per capped band (lsh.py scheme);
+            # worker-side dict mutation would never reach the driver
+            srcs.append(np.array([f"{DROPPED_SENTINEL}:inc:{cg}:{seq}"], object))
+            dsts.append(np.array([f"1:{nrows}"], object))
+            caps.append(np.array([True]))
+        if not srcs:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series([], dtype=object),
+                    "dst_id": pd.Series([], dtype=object),
+                    "capped": pd.Series([], dtype=bool),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate(srcs),
+                "dst_id": np.concatenate(dsts),
+                "capped": np.concatenate(caps),
+            }
+        )
+
+    cand = dedup_pairs(
+        rows.map_batches(
+            lambda t: bucket_by_keys(t, ["band"], 1024),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_emit, batch_format="pandas")
+    )
+    if stats is not None:
+        cand = cand.materialize()
+        tally_sentinels(cand, stats, "str")
+    cand = strip_sentinels(cand, "str")
+    all_hashes = (
+        new_hashes.select_columns([id_col, hash_col])
+        .union(ref_hashes.select_columns([id_col, hash_col]))
+        .materialize()
+    )
+    return _attach_hamming_verify(
+        cand, all_hashes, id_col, hash_col, max_hamming
+    )
+
+
+def incremental_image_dup_pairs(
+    new_corpus: "ray.data.Dataset",
+    ref_hashes: "ray.data.Dataset",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    cap: int = 256,
+    stats: dict = None,
+) -> "ray.data.Dataset":
+    """Daily-ingest image dedup: decode + hash only the NEW shard
+    (actor pool, bytes never shuffle) and match it against itself plus
+    an existing reference hash table (e.g. the persisted
+    ``image_hashes`` output of prior runs) via
+    incremental_banded_dup_pairs — the reference images are never
+    re-decoded and never paired against each other."""
+    new_h = (
+        image_hashes(new_corpus)
+        .select_columns(["image_id", hash_col])
+        .materialize()
+    )
+    return incremental_banded_dup_pairs(
+        new_h,
+        ref_hashes.select_columns(["image_id", hash_col]),
+        "image_id",
+        hash_col,
+        max_hamming,
+        bands,
+        cap,
+        stats,
+    )
 
 
 def image_hash_dup_pairs(

@@ -186,3 +186,108 @@ def test_image_quality_kernel_and_stage(ray_session):
             assert got[iid][k] == v
     kept = {r["image_id"] for r in image_quality_filter(ds).take_all()}
     assert kept == {"tex"}
+
+
+def test_incremental_dup_pairs_bruteforce(ray_session):
+    """incremental_image_dup_pairs == brute force restricted to pairs
+    touching the new shard: new x new (src < dst) plus new x ref
+    (src = new), NEVER ref x ref; matches the full-corpus op when
+    restricted to the same pair population."""
+    import ray.data as rd
+
+    from analiticcl_ray.image.codec import decode, dhash64, hamming64
+    from analiticcl_ray.sources.corpus import generate_corpus
+    from analiticcl_ray.stages.multimodal import (
+        image_hashes,
+        incremental_image_dup_pairs,
+    )
+
+    tab = generate_corpus(300, 42)
+    ids = tab["image_id"].to_pylist()
+    hs = np.array(
+        [
+            dhash64(decode(b.as_py(), f.as_py()))
+            for b, f in zip(tab["bytes"], tab["fmt"])
+        ],
+        dtype=np.int64,
+    )
+    # interleave: even rows = reference, odd rows = new. Dup groups are
+    # ADJACENT in the generated corpus, so this guarantees both cross
+    # (new x ref) and intra-new pairs exist.
+    ref_idx = list(range(0, len(ids), 2))
+    new_idx = list(range(1, len(ids), 2))
+    ref_ids = {ids[i] for i in ref_idx}
+    iu, ju = np.triu_indices(len(ids), 1)
+    ham = hamming64(hs[iu], hs[ju])
+    expected = {}
+    for a, b, h in zip(iu, ju, ham):
+        if h > 3:
+            continue
+        ia, ib = ids[a], ids[b]
+        a_ref, b_ref = ia in ref_ids, ib in ref_ids
+        if a_ref and b_ref:
+            continue  # ref x ref must never be emitted
+        if not a_ref and not b_ref:
+            key = tuple(sorted((ia, ib)))  # new x new: src < dst
+        else:  # new x ref: src is the new side
+            key = (ib, ia) if a_ref else (ia, ib)
+        expected[key] = int(h)
+    assert expected, "split must leave cross and intra-new dups"
+    assert any(k[1] in ref_ids for k in expected)  # cross pairs exist
+    assert any(k[1] not in ref_ids for k in expected)  # new-new too
+
+    ref_tab = tab.take(ref_idx)
+    new_tab = tab.take(new_idx)
+    ref_hashes = image_hashes(rd.from_arrow(ref_tab)).materialize()
+    stats = {}
+    got = {
+        (r["src_id"], r["dst_id"]): r["hamming"]
+        for r in incremental_image_dup_pairs(
+            rd.from_arrow(new_tab), ref_hashes, "dhash", max_hamming=3,
+            stats=stats,
+        ).take_all()
+    }
+    assert got == expected
+    assert stats.get("dropped_rows", 0) == 0  # no capping at this size
+
+
+def test_incremental_cap_sentinels(ray_session):
+    """Under a tiny cap the incremental op keeps all NEW rows, fills
+    with the id-ordered ref prefix, reports dropped ref rows through
+    the sentinel tally, and still never emits a false positive."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.stages.multimodal import incremental_banded_dup_pairs
+
+    hot = 0x0123456789ABCDEF
+    new_tab = pa.table(
+        {
+            "hid": pa.array([f"n{i:03d}" for i in range(5)], pa.string()),
+            "h": pa.array([hot] * 5, pa.int64()),
+        }
+    )
+    ref_tab = pa.table(
+        {
+            "hid": pa.array([f"r{i:03d}" for i in range(60)], pa.string()),
+            "h": pa.array([hot] * 60, pa.int64()),
+        }
+    )
+    stats = {}
+    got = {
+        (r["src_id"], r["dst_id"])
+        for r in incremental_banded_dup_pairs(
+            rd.from_arrow(new_tab).materialize(),
+            rd.from_arrow(ref_tab).materialize(),
+            "hid", "h", max_hamming=3, cap=16, stats=stats,
+        ).take_all()
+    }
+    assert stats["dropped_rows"] > 0  # sentinel tally reached the driver
+    # all new x new pairs survive (new rows are never sacrificed)
+    assert {(a, b) for a in ("n000", "n001", "n002", "n003", "n004")
+            for b in ("n000", "n001", "n002", "n003", "n004") if a < b} <= got
+    # every emitted pair has a NEW src and is never ref x ref
+    assert all(s.startswith("n") for s, _ in got)
+    # capped: only the id-ordered ref prefix got paired
+    ref_dsts = sorted({d for _, d in got if d.startswith("r")})
+    assert ref_dsts and ref_dsts == [f"r{i:03d}" for i in range(len(ref_dsts))]
