@@ -331,8 +331,6 @@ def banded_hash_dup_pairs(
     is consumed by both the band explode and the attach."""
     from .lsh import cooccurrence_pairs, dedup_pairs, explode_band_rows
     from .signatures import hash_band_table
-    from .verify import attach_pair_sides
-    from ..image.codec import hamming64
 
     banded = hashes.map_batches(
         lambda t: hash_band_table(t, hash_col, bands),
@@ -423,19 +421,33 @@ def incremental_banded_dup_pairs(
     (stages/lsh.py) into ``stats['dropped_rows']`` — no silent caps.
     Ref rows carry only (id, hash): the reference corpus bytes are
     never read, so an incremental run costs decode(new) + one band
-    shuffle over new+ref slim rows."""
+    shuffle over new+ref slim rows.
+
+    Re-ingest overlap: an id present in BOTH tables (a retried or
+    overlapping shard) never self-pairs, and the verify resolves the
+    overlapped id to its NEW (probe) hash — the fresher measurement
+    supersedes the persisted one."""
     import pandas as pd
+    import pyarrow.compute as pc
 
     from .lsh import (
         DROPPED_SENTINEL,
         bucket_by_keys,
         dedup_pairs,
+        emit_bucket_pairs_attr,
         explode_band_rows,
         strip_sentinels,
         tally_sentinels,
     )
     from .signatures import hash_band_table
     from ..image.codec import hamming64
+
+    # slim both sides up front: the band shuffle and the attach need
+    # only (id, hash), and the union below requires matching schemas —
+    # callers may hand over wider persisted tables (e.g. the full
+    # image_hashes output with all three hash columns)
+    new_hashes = new_hashes.select_columns([id_col, hash_col])
+    ref_hashes = ref_hashes.select_columns([id_col, hash_col])
 
     def _with_side(side: int):
         def _f(t: pa.Table) -> pa.Table:
@@ -467,10 +479,33 @@ def incremental_banded_dup_pairs(
         for _, g in sub.groupby("band", sort=False):
             g = g.sort_values(id_col, kind="stable")
             was_capped = len(g) > cap
-            if was_capped:  # keep all new, id-ordered ref prefix
+            if was_capped:
                 keep_new = g[g["side"] == 1]
+                if len(keep_new) > cap:
+                    # degenerate all-new band (e.g. a boilerplate slice
+                    # saturating one band key in the shard itself): the
+                    # unbounded triangle would be O(n^2) in ONE group
+                    # task — take the symmetric op's salted-chunk path
+                    # (cap^2 pairs per chunk + chain links, subset of
+                    # brute force like banded_hash_dup_pairs under a
+                    # tiny cap); every ref row is dropped and counted
+                    s, d, _ = emit_bucket_pairs_attr(
+                        keep_new[id_col].to_numpy(dtype=object),
+                        keep_new[hash_col].to_numpy(dtype=np.int64),
+                        cap,
+                        maxham=max_hamming,
+                    )
+                    srcs.append(s)
+                    dsts.append(d)
+                    caps.append(np.full(len(s), True))
+                    if len(g) > len(keep_new):  # ref rows displaced
+                        dropped.append(len(g) - len(keep_new))
+                    continue
+                # keep all new, fill with the id-ordered ref prefix
                 keep_ref = g[g["side"] == 0].head(max(0, cap - len(keep_new)))
-                dropped.append(len(g) - len(keep_new) - len(keep_ref))
+                n_drop = len(g) - len(keep_new) - len(keep_ref)
+                if n_drop:  # all-new over-cap groups drop nothing
+                    dropped.append(n_drop)
                 g = pd.concat([keep_new, keep_ref]).sort_values(
                     id_col, kind="stable"
                 )
@@ -493,6 +528,9 @@ def incremental_banded_dup_pairs(
                 i = np.concatenate(pair_i)
                 j = np.concatenate(pair_j)
                 ok = hamming64(hs[i], hs[j]) <= max_hamming
+                # a re-ingested id sits on BOTH sides of the cross —
+                # never emit the hamming-0 self-edge
+                ok &= ids[i] != ids[j]
                 srcs.append(ids[i[ok]])
                 dsts.append(ids[j[ok]])
                 caps.append(np.full(int(ok.sum()), was_capped))
@@ -530,9 +568,37 @@ def incremental_banded_dup_pairs(
         cand = cand.materialize()
         tally_sentinels(cand, stats, "str")
     cand = strip_sentinels(cand, "str")
+    # verify lookup = new ∪ (ref MINUS overlapped ids): duplicate ids
+    # would silently first-match in the broadcast attach but MULTIPLY
+    # pair rows in the cogroup merge — and the new (probe) hash is the
+    # authoritative one for a re-ingested id. The anti-join broadcasts
+    # the new-id set: bounded by the ingest shard (same class as
+    # dedup.py's needed_ids); a shard too large to broadcast would swap
+    # this for the distributed Bloom semi-join of text.incremental_dedup.
+    new_ids: list = []
+    for b in new_hashes.select_columns([id_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        new_ids.append(b[id_col].combine_chunks())
+    new_id_ref = ray.put(
+        pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in new_ids]
+        )
+        if new_ids
+        else pa.array([], pa.string())
+    )
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        seen = ray.get(new_id_ref)
+        if len(seen) == 0:
+            return batch
+        return batch.filter(
+            pc.invert(pc.is_in(batch[id_col], value_set=seen))
+        )
+
     all_hashes = (
-        new_hashes.select_columns([id_col, hash_col])
-        .union(ref_hashes.select_columns([id_col, hash_col]))
+        new_hashes.union(ref_hashes.map_batches(_anti, batch_format="pyarrow"))
         .materialize()
     )
     return _attach_hamming_verify(

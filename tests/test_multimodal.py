@@ -291,3 +291,100 @@ def test_incremental_cap_sentinels(ray_session):
     # capped: only the id-ordered ref prefix got paired
     ref_dsts = sorted({d for _, d in got if d.startswith("r")})
     assert ref_dsts and ref_dsts == [f"r{i:03d}" for i in range(len(ref_dsts))]
+
+
+def test_incremental_reingest_overlap(ray_session):
+    """An id present in BOTH the new shard and the reference table (a
+    retried/overlapping ingest) never emits a self-pair, and the verify
+    resolves the overlapped id to its NEW hash."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.stages.multimodal import incremental_banded_dup_pairs
+
+    hot = 0x0123456789ABCDEF
+    # 'x' is re-ingested: present in new AND ref (same hash); n1 is a
+    # genuine near-dup of x; r1 is a ref-side near-dup.
+    new_tab = pa.table(
+        {
+            "hid": pa.array(["x", "n1"], pa.string()),
+            "h": pa.array([hot, hot ^ 1], pa.int64()),
+        }
+    )
+    ref_tab = pa.table(
+        {
+            "hid": pa.array(["x", "r1"], pa.string()),
+            "h": pa.array([hot, hot ^ 2], pa.int64()),
+        }
+    )
+    got = {
+        (r["src_id"], r["dst_id"]): r["hamming"]
+        for r in incremental_banded_dup_pairs(
+            rd.from_arrow(new_tab).materialize(),
+            rd.from_arrow(ref_tab).materialize(),
+            "hid", "h", max_hamming=3,
+        ).take_all()
+    }
+    assert all(s != d for s, d in got)  # no self-edges
+    assert got == {
+        ("n1", "x"): 1,   # new x new triangle
+        ("x", "r1"): 1,   # new x ref cross (hot vs hot^2: one bit)
+        ("n1", "r1"): 2,  # hot^1 vs hot^2: two bits
+    }
+
+
+def test_incremental_degenerate_new_bucket(ray_session):
+    """A band bucket saturated by NEW rows alone takes the salted-chunk
+    path: bounded emission (subset of brute force, like the symmetric
+    op under a tiny cap), every ref row dropped and counted, and no
+    zero-drop sentinel inflation for all-new over-cap buckets."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.stages.multimodal import incremental_banded_dup_pairs
+
+    hot = 0x0123456789ABCDEF
+    n, cap = 40, 8
+    new_tab = pa.table(
+        {
+            "hid": pa.array([f"n{i:03d}" for i in range(n)], pa.string()),
+            "h": pa.array([hot] * n, pa.int64()),
+        }
+    )
+    # all-new corpus: over-cap buckets but nothing to drop
+    stats = {}
+    got = {
+        (r["src_id"], r["dst_id"])
+        for r in incremental_banded_dup_pairs(
+            rd.from_arrow(new_tab).materialize(),
+            rd.from_arrow(new_tab.slice(0, 0)).materialize(),
+            "hid", "h", max_hamming=3, cap=cap, stats=stats,
+        ).take_all()
+    }
+    brute = {(f"n{i:03d}", f"n{j:03d}") for i in range(n) for j in range(i + 1, n)}
+    assert got <= brute and got  # bounded subset, chunk triangles present
+    # chunked emission is far below the full triangle
+    assert len(got) < len(brute)
+    assert stats.get("dropped_buckets", 0) == 0  # nothing was dropped
+    # chain links keep the bucket connected: every row appears
+    seen = {i for p in got for i in p}
+    assert seen == {f"n{i:03d}" for i in range(n)}
+
+    # with ref rows present they are displaced and counted
+    ref_tab = pa.table(
+        {
+            "hid": pa.array(["r000"], pa.string()),
+            "h": pa.array([hot], pa.int64()),
+        }
+    )
+    stats2 = {}
+    got2 = {
+        (r["src_id"], r["dst_id"])
+        for r in incremental_banded_dup_pairs(
+            rd.from_arrow(new_tab).materialize(),
+            rd.from_arrow(ref_tab).materialize(),
+            "hid", "h", max_hamming=3, cap=cap, stats=stats2,
+        ).take_all()
+    }
+    assert stats2.get("dropped_rows", 0) > 0
+    assert all(not d.startswith("r") for _, d in got2)  # ref displaced
