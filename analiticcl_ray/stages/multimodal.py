@@ -458,13 +458,46 @@ def incremental_banded_dup_pairs(
 
         return _f
 
-    union = new_hashes.map_batches(
-        _with_side(1), batch_format="pyarrow"
-    ).union(ref_hashes.map_batches(_with_side(0), batch_format="pyarrow"))
-    rows = explode_band_rows(
-        union, band_cols=(f"{hash_col}_bands",), id_col=id_col,
+    new_rows = explode_band_rows(
+        new_hashes.map_batches(_with_side(1), batch_format="pyarrow"),
+        band_cols=(f"{hash_col}_bands",), id_col=id_col,
         carry_cols=(hash_col, "side"),
+    ).materialize()  # probe side: bands x |new shard| slim rows
+
+    # probe-key semi-join BEFORE the shuffle: a ref band row whose key
+    # no new row shares can never produce a pair (pairs need >=1 new
+    # row per band key), so the cogroup input is O(key collisions),
+    # not O(ref) — the actual asymmetry win at steady state where
+    # ref >> new. The broadcast key set is bands x |new shard| u64s
+    # (same bounded class as the new-id broadcast below).
+    key_parts: list = []
+    for b in new_rows.select_columns(["band"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        key_parts.append(b["band"].combine_chunks())
+    probe_keys_ref = ray.put(
+        pc.unique(
+            pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in key_parts]
+            )
+        )
+        if key_parts
+        else pa.array([], pa.int64())
     )
+
+    def _collide(batch: pa.Table) -> pa.Table:
+        keys = ray.get(probe_keys_ref)
+        if len(keys) == 0:
+            return batch.slice(0, 0)
+        return batch.filter(pc.is_in(batch["band"], value_set=keys))
+
+    ref_rows = explode_band_rows(
+        ref_hashes.map_batches(_with_side(0), batch_format="pyarrow"),
+        band_cols=(f"{hash_col}_bands",), id_col=id_col,
+        carry_cols=(hash_col, "side"),
+    ).map_batches(_collide, batch_format="pyarrow")
+    rows = new_rows.union(ref_rows)
 
     def _emit(group: pd.DataFrame) -> pd.DataFrame:
         # vectorized key prefilter: only bands with >=2 rows and >=1 new
