@@ -696,6 +696,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audio_fp_dup_pairs(_audio_corpus_ds(sf_dir), max_hamming=3)
 
+    def incremental_audio_dedup(sf_dir):
+        # daily-ingest audio shape: fingerprint only the "new" half and
+        # probe it against the persisted fingerprint table of the
+        # "reference" half (rows-only; brute-force oracle in
+        # tests/test_audio.py)
+        from analiticcl_ray.stages.multimodal import (
+            audio_features as _af2,
+            incremental_audio_dup_pairs,
+        )
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _half(parity: int):
+            def _f(t: pa.Table) -> pa.Table:
+                last = pc.utf8_slice_codeunits(t["audio_id"], -1)
+                dig = pc.cast(last, pa.int64())
+                return t.filter(pc.equal(pc.bit_wise_and(dig, 1), parity))
+
+            return _f
+
+        corpus = _audio_corpus_ds(sf_dir)
+        new_ds = corpus.map_batches(_half(1), batch_format="pyarrow")
+        ref_fps = _af2(
+            corpus.map_batches(_half(0), batch_format="pyarrow")
+        ).materialize()
+        return incremental_audio_dup_pairs(new_ds, ref_fps, max_hamming=3)
+
     def incremental_image_dedup(sf_dir):
         # daily-ingest shape: hash only the "new" half of the corpus
         # and match it against itself + the persisted hash table of the
@@ -855,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_hashes": video_frame_hashes,
         "video_dup_pairs": video_dup_pairs,
         "incremental_image_dedup": incremental_image_dedup,
+        "incremental_audio_dedup": incremental_audio_dedup,
         "image_quality_signals": image_quality_signals,
         "image_quality_keep": image_quality_keep,
         "audio_quality_signals": audio_quality_signals,

@@ -982,3 +982,36 @@ def audio_fp_dup_pairs(
     return banded_hash_dup_pairs(
         fps, "audio_id", "fp64", max_hamming, bands, cap, stats
     )
+
+
+def incremental_audio_dup_pairs(
+    new_corpus: "ray.data.Dataset",
+    ref_fps: "ray.data.Dataset",
+    max_hamming: int = 3,
+    bands: int = 4,
+    cap: int = 256,
+    stats: dict = None,
+) -> "ray.data.Dataset":
+    """Daily-ingest audio dedup — the audio wiring of
+    incremental_banded_dup_pairs (the image tier's
+    incremental_image_dup_pairs, one modality over): decode +
+    fingerprint ONLY the new shard in the actor pool, then the
+    asymmetric probe-vs-index banded join against a persisted
+    fingerprint table (e.g. a prior run's ``audio_features`` output) —
+    reference clips are never re-decoded and never paired against each
+    other."""
+    new_fps = (
+        audio_features(new_corpus)
+        .select_columns(["audio_id", "fp64"])
+        .materialize()
+    )
+    return incremental_banded_dup_pairs(
+        new_fps,
+        ref_fps.select_columns(["audio_id", "fp64"]),
+        "audio_id",
+        "fp64",
+        max_hamming,
+        bands,
+        cap,
+        stats,
+    )

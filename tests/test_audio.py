@@ -217,3 +217,53 @@ def test_audio_quality_kernel_and_stage(ray_session):
             assert got[row["audio_id"]][k] == v
     kept = {r["audio_id"] for r in audio_quality_filter(ds).take_all()}
     assert kept == {"clean"}
+
+
+def test_incremental_audio_dup_pairs_bruteforce(ray_session):
+    """incremental_audio_dup_pairs == brute force restricted to pairs
+    touching the new shard (new x new src<dst, new x ref src=new,
+    never ref x ref) — the audio wiring of the generic asymmetric
+    banded join."""
+    import ray.data as rd
+
+    from analiticcl_ray.audio.codec import audio_features_one
+    from analiticcl_ray.sources.audio_corpus import generate_audio_corpus
+    from analiticcl_ray.stages.multimodal import (
+        audio_features,
+        incremental_audio_dup_pairs,
+    )
+
+    tab = generate_audio_corpus(200, 42)
+    ids = tab["audio_id"].to_pylist()
+    fps = np.array(
+        [audio_features_one(*rawa_decode(b.as_py()))["fp64"] for b in tab["bytes"]],
+        dtype=np.int64,
+    )
+    ref_idx = list(range(0, len(ids), 2))
+    new_idx = list(range(1, len(ids), 2))
+    ref_ids = {ids[i] for i in ref_idx}
+    iu, ju = np.triu_indices(len(ids), 1)
+    ham = hamming64(fps[iu], fps[ju])
+    expected = {}
+    for a, b, h in zip(iu, ju, ham):
+        if h > 3:
+            continue
+        ia, ib = ids[a], ids[b]
+        a_ref, b_ref = ia in ref_ids, ib in ref_ids
+        if a_ref and b_ref:
+            continue
+        if not a_ref and not b_ref:
+            key = tuple(sorted((ia, ib)))
+        else:
+            key = (ib, ia) if a_ref else (ia, ib)
+        expected[key] = int(h)
+    assert expected and any(k[1] in ref_ids for k in expected)
+
+    ref_fps = audio_features(rd.from_arrow(tab.take(ref_idx))).materialize()
+    got = {
+        (r["src_id"], r["dst_id"]): r["hamming"]
+        for r in incremental_audio_dup_pairs(
+            rd.from_arrow(tab.take(new_idx)), ref_fps, max_hamming=3
+        ).take_all()
+    }
+    assert got == expected
