@@ -801,6 +801,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _vdp(_video_corpus_ds(sf_dir), max_hamming=3, min_frame_matches=2)
 
+    def incremental_video_dedup(sf_dir):
+        # daily-ingest video shape: frame-hash only the "new" half and
+        # probe its frames against the persisted frame-hash table of
+        # the "reference" half (rows-only; brute-force oracle in
+        # tests/test_video.py)
+        from analiticcl_ray.stages.multimodal import (
+            incremental_video_dup_pairs,
+            video_frame_hashes as _vfh2,
+        )
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _half(parity: int):
+            def _f(t: pa.Table) -> pa.Table:
+                last = pc.utf8_slice_codeunits(t["video_id"], -1)
+                dig = pc.cast(last, pa.int64())
+                return t.filter(pc.equal(pc.bit_wise_and(dig, 1), parity))
+
+            return _f
+
+        corpus = _video_corpus_ds(sf_dir)
+        new_ds = corpus.map_batches(_half(1), batch_format="pyarrow")
+        ref_fh = _vfh2(
+            corpus.map_batches(_half(0), batch_format="pyarrow")
+        ).materialize()
+        return incremental_video_dup_pairs(
+            new_ds, ref_fh, max_hamming=3, min_frame_matches=2
+        )
+
     return {
         "exact_dedup": exact_dedup,
         "normalized_dedup": normalized_dedup,
@@ -884,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_dup_pairs": video_dup_pairs,
         "incremental_image_dedup": incremental_image_dedup,
         "incremental_audio_dedup": incremental_audio_dedup,
+        "incremental_video_dedup": incremental_video_dedup,
         "image_quality_signals": image_quality_signals,
         "image_quality_keep": image_quality_keep,
         "audio_quality_signals": audio_quality_signals,

@@ -776,31 +776,43 @@ def video_dup_pairs(
     and then pre-aggregated (video pair, cnt) partials — frames per
     video is a small constant, so this is the image-tier cost times
     mean frame count."""
-    import pandas as pd
-
-    from .lsh import bucket_by_keys
-
-    fh = video_frame_hashes(videos)
-
-    def _frame_ids(t: pa.Table) -> pa.Table:
-        # zero-padded frame index keeps frame_id ordering aligned with
-        # (video_id, frame_idx) ordering, so src<dst at the frame level
-        # implies src_vid <= dst_vid at the video level
-        vid = t["video_id"].to_pandas().to_numpy(dtype=object)
-        idx = t["frame_idx"].to_numpy(zero_copy_only=False)
-        fids = np.array(
-            [f"{v}#{i:06d}" for v, i in zip(vid, idx)], dtype=object
-        )
-        return pa.table(
-            {"frame_id": pa.array(fids, pa.string()), "dhash": t["dhash"]}
-        )
-
-    frame_hashes = fh.map_batches(
-        _frame_ids, batch_format="pyarrow"
+    frame_hashes = video_frame_hashes(videos).map_batches(
+        _frame_id_table, batch_format="pyarrow"
     ).materialize()  # ~40 B/frame; consumed by band explode + attach
     frame_pairs = banded_hash_dup_pairs(
         frame_hashes, "frame_id", "dhash", max_hamming, bands, cap, stats
     )
+    return _video_pair_counts(frame_pairs, min_frame_matches)
+
+
+def _frame_id_table(t: pa.Table) -> pa.Table:
+    """(video_id, frame_idx, dhash) -> (frame_id, dhash). Zero-padded
+    frame index keeps frame_id ordering aligned with
+    (video_id, frame_idx) ordering, so src<dst at the frame level
+    implies src_vid <= dst_vid at the video level."""
+    vid = t["video_id"].to_pandas().to_numpy(dtype=object)
+    idx = t["frame_idx"].to_numpy(zero_copy_only=False)
+    fids = np.array(
+        [f"{v}#{i:06d}" for v, i in zip(vid, idx)], dtype=object
+    )
+    return pa.table(
+        {"frame_id": pa.array(fids, pa.string()), "dhash": t["dhash"]}
+    )
+
+
+def _video_pair_counts(
+    frame_pairs: "ray.data.Dataset",
+    min_frame_matches: int,
+    canonical_swap: bool = True,
+) -> "ray.data.Dataset":
+    """Frame pairs -> (src_id, dst_id, n_frame_matches) video pairs:
+    per-batch combiner counts, one bucket-cogroup merge, floor filter.
+    ``canonical_swap=False`` preserves the frame pairs' side
+    orientation (the incremental path keeps src = the NEW shard's
+    video; swapping would lose which side is the probe)."""
+    import pandas as pd
+
+    from .lsh import bucket_by_keys
 
     def _vid_partial(t: pa.Table) -> pa.Table:
         # frame pair -> video pair (drop intra-video), count per batch
@@ -814,8 +826,9 @@ def video_dup_pairs(
         )
         keep = src != dst
         src, dst = src[keep], dst[keep]
-        swap = src > dst  # defensive: holds already via frame_id order
-        src[swap], dst[swap] = dst[swap], src[swap]
+        if canonical_swap:
+            swap = src > dst  # defensive: holds already via frame_id order
+            src[swap], dst[swap] = dst[swap], src[swap]
         vc = pd.DataFrame({"src_id": src, "dst_id": dst}).value_counts(
             sort=False
         )
@@ -853,6 +866,39 @@ def video_dup_pairs(
         .groupby("bucket")
         .map_groups(_vid_merge, batch_format="pandas")
         .select_columns(["src_id", "dst_id", "n_frame_matches"])
+    )
+
+
+def incremental_video_dup_pairs(
+    new_videos: "ray.data.Dataset",
+    ref_frame_hashes: "ray.data.Dataset",
+    max_hamming: int = 3,
+    min_frame_matches: int = 2,
+    bands: int = 4,
+    cap: int = 256,
+    stats: dict = None,
+) -> "ray.data.Dataset":
+    """Daily-ingest video dedup — the video wiring of
+    incremental_banded_dup_pairs: decode + frame-hash ONLY the new
+    shard, probe its frame ids against a persisted frame-hash table
+    (the ``video_frame_hashes`` output of prior runs, schema
+    (video_id, frame_idx, dhash)), then the shared frame→video pair
+    aggregation with orientation preserved: src is always a NEW
+    shard's video, dst is new (src < dst) or ref — never ref x ref.
+    A re-ingested video never pairs with itself (intra-video pairs are
+    dropped at aggregation; identical frame ids never self-pair in the
+    banded join)."""
+    new_fh = video_frame_hashes(new_videos).map_batches(
+        _frame_id_table, batch_format="pyarrow"
+    ).materialize()
+    ref_fh = ref_frame_hashes.map_batches(
+        _frame_id_table, batch_format="pyarrow"
+    )
+    frame_pairs = incremental_banded_dup_pairs(
+        new_fh, ref_fh, "frame_id", "dhash", max_hamming, bands, cap, stats
+    )
+    return _video_pair_counts(
+        frame_pairs, min_frame_matches, canonical_swap=False
     )
 
 

@@ -148,3 +148,47 @@ def test_banded_skeleton_cap_semantics(ray_session):
     assert small <= brute  # never a false positive
     # chain links keep the clique connected even under the cap
     assert small, "salted chunks must still emit verified in-chunk pairs"
+
+
+def test_incremental_video_dup_pairs_bruteforce(ray_session):
+    """incremental_video_dup_pairs == brute force restricted to video
+    pairs touching the new shard (new x new src<dst, new x ref
+    src=new, never ref x ref), with the same min_frame_matches floor."""
+    import ray.data as rd
+
+    from analiticcl_ray.stages.multimodal import (
+        incremental_video_dup_pairs,
+        video_frame_hashes,
+    )
+
+    tab = generate_video_corpus(120, seed=42)
+    vids = tab["video_id"].to_pylist()
+    ref_idx = list(range(0, len(vids), 2))
+    new_idx = list(range(1, len(vids), 2))
+    ref_ids = {vids[i] for i in ref_idx}
+
+    all_pairs = _brute_video_pairs(tab, max_hamming=3, min_frame_matches=2)
+    expected = {}
+    for (a, b), cnt in all_pairs.items():
+        a_ref, b_ref = a in ref_ids, b in ref_ids
+        if a_ref and b_ref:
+            continue  # ref x ref never emitted
+        if not a_ref and not b_ref:
+            key = (a, b)  # already sorted
+        else:  # src is the new side
+            key = (b, a) if a_ref else (a, b)
+        expected[key] = cnt
+    assert expected and any(k[1] in ref_ids for k in expected)
+    assert any(k[1] not in ref_ids for k in expected)
+
+    ref_fh = video_frame_hashes(
+        rd.from_arrow(tab.take(ref_idx))
+    ).materialize()
+    got = {
+        (r["src_id"], r["dst_id"]): r["n_frame_matches"]
+        for r in incremental_video_dup_pairs(
+            rd.from_arrow(tab.take(new_idx)), ref_fh,
+            max_hamming=3, min_frame_matches=2,
+        ).take_all()
+    }
+    assert got == expected
