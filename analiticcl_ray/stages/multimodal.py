@@ -589,7 +589,7 @@ def incremental_banded_dup_pairs(
             }
         )
 
-    cand = dedup_pairs(
+    raw = (
         rows.map_batches(
             lambda t: bucket_by_keys(t, ["band"], 1024),
             batch_format="pyarrow",
@@ -597,17 +597,11 @@ def incremental_banded_dup_pairs(
         .groupby("bucket")
         .map_groups(_emit, batch_format="pandas")
     )
-    if stats is not None:
-        cand = cand.materialize()
-        tally_sentinels(cand, stats, "str")
-    cand = strip_sentinels(cand, "str")
-    # verify lookup = new ∪ (ref MINUS overlapped ids): duplicate ids
-    # would silently first-match in the broadcast attach but MULTIPLY
-    # pair rows in the cogroup merge — and the new (probe) hash is the
-    # authoritative one for a re-ingested id. The anti-join broadcasts
-    # the new-id set: bounded by the ingest shard (same class as
-    # dedup.py's needed_ids); a shard too large to broadcast would swap
-    # this for the distributed Bloom semi-join of text.incremental_dedup.
+    # new-id set broadcast — used twice: (a) the orientation fix below,
+    # (b) the verify-lookup anti-join. Bounded by the ingest shard (same
+    # class as dedup.py's needed_ids); a shard too large to broadcast
+    # would swap this for the distributed Bloom semi-join of
+    # text.incremental_dedup.
     new_ids: list = []
     for b in new_hashes.select_columns([id_col]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
@@ -622,6 +616,38 @@ def incremental_banded_dup_pairs(
         else pa.array([], pa.string())
     )
 
+    def _canon(batch: pa.Table) -> pa.Table:
+        # a re-ingested id's REF copy can emit the reversed orientation
+        # of a new x new pair (src=new, dst=the overlapped id's ref row
+        # in another band bucket) — dedup_pairs would keep both. When
+        # BOTH sides are new ids, sort the pair so the duplicate
+        # collapses; sentinel rows and true new x ref pairs are
+        # untouched (their dst is never in the new-id set).
+        seen = ray.get(new_id_ref)
+        if len(batch) == 0 or len(seen) == 0:
+            return batch
+        flip = pc.and_(
+            pc.is_in(batch["dst_id"], value_set=seen),
+            pc.greater(batch["src_id"], batch["dst_id"]),
+        )
+        src = pc.if_else(flip, batch["dst_id"], batch["src_id"])
+        dst = pc.if_else(flip, batch["src_id"], batch["dst_id"])
+        i_src = batch.schema.get_field_index("src_id")
+        i_dst = batch.schema.get_field_index("dst_id")
+        return batch.set_column(i_src, "src_id", src).set_column(
+            i_dst, "dst_id", dst
+        )
+
+    cand = dedup_pairs(raw.map_batches(_canon, batch_format="pyarrow"))
+    if stats is not None:
+        cand = cand.materialize()
+        tally_sentinels(cand, stats, "str")
+    cand = strip_sentinels(cand, "str")
+
+    # verify lookup = new ∪ (ref MINUS overlapped ids): duplicate ids
+    # would silently first-match in the broadcast attach but MULTIPLY
+    # pair rows in the cogroup merge — and the new (probe) hash is the
+    # authoritative one for a re-ingested id.
     def _anti(batch: pa.Table) -> pa.Table:
         seen = ray.get(new_id_ref)
         if len(seen) == 0:

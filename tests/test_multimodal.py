@@ -388,3 +388,87 @@ def test_incremental_degenerate_new_bucket(ray_session):
     }
     assert stats2.get("dropped_rows", 0) > 0
     assert all(not d.startswith("r") for _, d in got2)  # ref displaced
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _inc_tables(draw):
+    """Random new/ref hash tables with planted collisions, overlap ids
+    (re-ingest), and near-dup perturbations."""
+    bases = [0x0123456789ABCDEF, -0x7EDCBA9876543211]
+    n_new = draw(st.integers(1, 6))
+    n_ref = draw(st.integers(0, 8))
+    n_overlap = draw(st.integers(0, min(2, n_new)))
+
+    def _hash():
+        base = draw(st.sampled_from(bases))
+        nbits = draw(st.integers(0, 6))
+        mask = 0
+        for _ in range(nbits):
+            mask |= 1 << draw(st.integers(0, 63))
+        h = (base ^ mask) & 0xFFFFFFFFFFFFFFFF
+        return h - (1 << 64) if h >= (1 << 63) else h  # signed int64
+
+    new = {f"n{i}": _hash() for i in range(n_new)}
+    ref = {f"r{i}": _hash() for i in range(n_ref)}
+    for k in list(new)[:n_overlap]:  # re-ingested ids (ref hash may differ)
+        ref[k] = _hash()
+    return new, ref
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(_inc_tables())
+def test_incremental_property_vs_bruteforce(ray_session, tables):
+    """Property: at full cap, incremental_banded_dup_pairs equals the
+    brute force over the resolved entity set (new wins an overlapped
+    id) restricted to pairs touching the new shard — for ANY hash
+    layout, overlap pattern, and side sizes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.image.codec import hamming64
+    from analiticcl_ray.stages.multimodal import incremental_banded_dup_pairs
+
+    new, ref = tables
+    max_h = 3
+    # resolved entities: new hash supersedes an overlapped id's ref hash
+    resolved = dict(ref) | dict(new)
+    ids = sorted(resolved)
+    hs = np.array([resolved[i] for i in ids], dtype=np.int64)
+    new_ids = set(new)
+    iu, ju = np.triu_indices(len(ids), 1)
+    ham = hamming64(hs[iu], hs[ju]) if len(ids) >= 2 else np.array([], int)
+    expected = {}
+    for a, b, h in zip(iu, ju, ham):
+        if h > max_h:
+            continue
+        ia, ib = ids[a], ids[b]
+        a_new, b_new = ia in new_ids, ib in new_ids
+        if not a_new and not b_new:
+            continue  # ref x ref never emitted
+        if a_new and b_new:
+            key = (ia, ib)  # sorted already
+        else:  # src is the new side
+            key = (ia, ib) if a_new else (ib, ia)
+        expected[key] = int(h)
+
+    def _tab(d):
+        ks = sorted(d)
+        return pa.table(
+            {
+                "hid": pa.array(ks, pa.string()),
+                "h": pa.array([d[k] for k in ks], pa.int64()),
+            }
+        )
+
+    got = {
+        (r["src_id"], r["dst_id"]): r["hamming"]
+        for r in incremental_banded_dup_pairs(
+            rd.from_arrow(_tab(new)).materialize(),
+            rd.from_arrow(_tab(ref)).materialize(),
+            "hid", "h", max_hamming=max_h, cap=10_000,
+        ).take_all()
+    }
+    assert got == expected
