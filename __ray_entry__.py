@@ -85,6 +85,21 @@ def _audio_corpus_ds(sf_dir: str):
     return read_table(audio_corpus_path(_corpus_rows_for(sf_dir)))
 
 
+def _parity_half(id_col: str, parity: int):
+    """Vectorized Arrow filter keeping rows whose id's trailing digit
+    has the given parity — the deterministic new/ref shard split shared
+    by the incremental_{image,audio,video}_dedup queries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _f(t: "pa.Table") -> "pa.Table":
+        last = pc.utf8_slice_codeunits(t[id_col], -1)
+        dig = pc.cast(last, pa.int64())
+        return t.filter(pc.equal(pc.bit_wise_and(dig, 1), parity))
+
+    return _f
+
+
 def entry() -> Any:
     """Flagship: full image+caption dedup on the sf0.001-scale corpus —
     returns the verified pairs table."""
@@ -706,21 +721,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             incremental_audio_dup_pairs,
         )
 
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        def _half(parity: int):
-            def _f(t: pa.Table) -> pa.Table:
-                last = pc.utf8_slice_codeunits(t["audio_id"], -1)
-                dig = pc.cast(last, pa.int64())
-                return t.filter(pc.equal(pc.bit_wise_and(dig, 1), parity))
-
-            return _f
-
         corpus = _audio_corpus_ds(sf_dir)
-        new_ds = corpus.map_batches(_half(1), batch_format="pyarrow")
+        new_ds = corpus.map_batches(
+            _parity_half("audio_id", 1), batch_format="pyarrow"
+        )
         ref_fps = _af2(
-            corpus.map_batches(_half(0), batch_format="pyarrow")
+            corpus.map_batches(_parity_half("audio_id", 0), batch_format="pyarrow")
         ).materialize()
         return incremental_audio_dup_pairs(new_ds, ref_fps, max_hamming=3)
 
@@ -734,24 +740,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             incremental_image_dup_pairs,
         )
 
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        def _half(parity: int):
-            def _f(t: pa.Table) -> pa.Table:
-                last = pc.utf8_slice_codeunits(t["image_id"], -1)
-                dig = pc.cast(last, pa.int64())
-                return t.filter(
-                    pc.equal(pc.bit_wise_and(dig, 1), parity)
-                )
-
-            return _f
-
         corpus = _corpus_ds(sf_dir)
         # deterministic halves via the trailing digit of image_id
         # (vectorized Arrow filter, no per-row Python)
-        new_ds = corpus.map_batches(_half(1), batch_format="pyarrow")
-        ref_ds = corpus.map_batches(_half(0), batch_format="pyarrow")
+        new_ds = corpus.map_batches(
+            _parity_half("image_id", 1), batch_format="pyarrow"
+        )
+        ref_ds = corpus.map_batches(
+            _parity_half("image_id", 0), batch_format="pyarrow"
+        )
         ref_hashes = _ih2(ref_ds).materialize()
         return incremental_image_dup_pairs(new_ds, ref_hashes, "dhash")
 
@@ -811,21 +808,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             video_frame_hashes as _vfh2,
         )
 
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        def _half(parity: int):
-            def _f(t: pa.Table) -> pa.Table:
-                last = pc.utf8_slice_codeunits(t["video_id"], -1)
-                dig = pc.cast(last, pa.int64())
-                return t.filter(pc.equal(pc.bit_wise_and(dig, 1), parity))
-
-            return _f
-
         corpus = _video_corpus_ds(sf_dir)
-        new_ds = corpus.map_batches(_half(1), batch_format="pyarrow")
+        new_ds = corpus.map_batches(
+            _parity_half("video_id", 1), batch_format="pyarrow"
+        )
         ref_fh = _vfh2(
-            corpus.map_batches(_half(0), batch_format="pyarrow")
+            corpus.map_batches(_parity_half("video_id", 0), batch_format="pyarrow")
         ).materialize()
         return incremental_video_dup_pairs(
             new_ds, ref_fh, max_hamming=3, min_frame_matches=2

@@ -424,9 +424,13 @@ def incremental_banded_dup_pairs(
     shuffle over new+ref slim rows.
 
     Re-ingest overlap: an id present in BOTH tables (a retried or
-    overlapping shard) never self-pairs, and the verify resolves the
-    overlapped id to its NEW (probe) hash — the fresher measurement
-    supersedes the persisted one."""
+    overlapping shard) is SUPERSEDED — its stale ref copy is
+    anti-joined out before banding, so it never self-pairs, never emits
+    reversed-orientation duplicates from stale band buckets, and every
+    pair involving it is generated and verified against its NEW (probe)
+    hash. Lossless in the pigeonhole-complete regime (max_hamming <
+    bands): any pair that verifies under the resolved hashes shares a
+    band via the new-side rows."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -448,6 +452,41 @@ def incremental_banded_dup_pairs(
     # image_hashes output with all three hash columns)
     new_hashes = new_hashes.select_columns([id_col, hash_col])
     ref_hashes = ref_hashes.select_columns([id_col, hash_col])
+
+    # supersession: an id present in BOTH tables (a retried/overlapping
+    # shard) keeps only its NEW (probe) hash — the stale ref copy is
+    # anti-joined out BEFORE banding. In the pigeonhole-complete regime
+    # (max_hamming < bands) this is lossless: every pair that verifies
+    # under the resolved hashes shares a band via the new-side rows,
+    # and the stale rows could only produce duplicate-orientation
+    # candidates or verify-rejected ones while eating per-band cap
+    # budget. The broadcast id set is bounded by the ingest shard (same
+    # class as dedup.py's needed_ids); a shard too large to broadcast
+    # would swap this for the distributed Bloom semi-join of
+    # text.incremental_dedup.
+    new_ids: list = []
+    for b in new_hashes.select_columns([id_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        new_ids.append(b[id_col].combine_chunks())
+    new_id_ref = ray.put(
+        pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in new_ids]
+        )
+        if new_ids
+        else pa.array([], pa.string())
+    )
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        seen = ray.get(new_id_ref)
+        if len(seen) == 0:
+            return batch
+        return batch.filter(
+            pc.invert(pc.is_in(batch[id_col], value_set=seen))
+        )
+
+    ref_hashes = ref_hashes.map_batches(_anti, batch_format="pyarrow")
 
     def _with_side(side: int):
         def _f(t: pa.Table) -> pa.Table:
@@ -597,69 +636,17 @@ def incremental_banded_dup_pairs(
         .groupby("bucket")
         .map_groups(_emit, batch_format="pandas")
     )
-    # new-id set broadcast — used twice: (a) the orientation fix below,
-    # (b) the verify-lookup anti-join. Bounded by the ingest shard (same
-    # class as dedup.py's needed_ids); a shard too large to broadcast
-    # would swap this for the distributed Bloom semi-join of
-    # text.incremental_dedup.
-    new_ids: list = []
-    for b in new_hashes.select_columns([id_col]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        new_ids.append(b[id_col].combine_chunks())
-    new_id_ref = ray.put(
-        pa.concat_arrays(
-            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-             for a in new_ids]
-        )
-        if new_ids
-        else pa.array([], pa.string())
-    )
-
-    def _canon(batch: pa.Table) -> pa.Table:
-        # a re-ingested id's REF copy can emit the reversed orientation
-        # of a new x new pair (src=new, dst=the overlapped id's ref row
-        # in another band bucket) — dedup_pairs would keep both. When
-        # BOTH sides are new ids, sort the pair so the duplicate
-        # collapses; sentinel rows and true new x ref pairs are
-        # untouched (their dst is never in the new-id set).
-        seen = ray.get(new_id_ref)
-        if len(batch) == 0 or len(seen) == 0:
-            return batch
-        flip = pc.and_(
-            pc.is_in(batch["dst_id"], value_set=seen),
-            pc.greater(batch["src_id"], batch["dst_id"]),
-        )
-        src = pc.if_else(flip, batch["dst_id"], batch["src_id"])
-        dst = pc.if_else(flip, batch["src_id"], batch["dst_id"])
-        i_src = batch.schema.get_field_index("src_id")
-        i_dst = batch.schema.get_field_index("dst_id")
-        return batch.set_column(i_src, "src_id", src).set_column(
-            i_dst, "dst_id", dst
-        )
-
-    cand = dedup_pairs(raw.map_batches(_canon, batch_format="pyarrow"))
+    cand = dedup_pairs(raw)
     if stats is not None:
         cand = cand.materialize()
         tally_sentinels(cand, stats, "str")
     cand = strip_sentinels(cand, "str")
 
-    # verify lookup = new ∪ (ref MINUS overlapped ids): duplicate ids
-    # would silently first-match in the broadcast attach but MULTIPLY
-    # pair rows in the cogroup merge — and the new (probe) hash is the
-    # authoritative one for a re-ingested id.
-    def _anti(batch: pa.Table) -> pa.Table:
-        seen = ray.get(new_id_ref)
-        if len(seen) == 0:
-            return batch
-        return batch.filter(
-            pc.invert(pc.is_in(batch[id_col], value_set=seen))
-        )
-
-    all_hashes = (
-        new_hashes.union(ref_hashes.map_batches(_anti, batch_format="pyarrow"))
-        .materialize()
-    )
+    # verify lookup: ref_hashes is already superseded (anti-joined
+    # above), so the union is duplicate-free by construction — required
+    # because duplicate ids would silently first-match in the broadcast
+    # attach but MULTIPLY pair rows in the cogroup merge.
+    all_hashes = new_hashes.union(ref_hashes).materialize()
     return _attach_hamming_verify(
         cand, all_hashes, id_col, hash_col, max_hamming
     )
@@ -911,15 +898,43 @@ def incremental_video_dup_pairs(
     (video_id, frame_idx, dhash)), then the shared frame→video pair
     aggregation with orientation preserved: src is always a NEW
     shard's video, dst is new (src < dst) or ref — never ref x ref.
-    A re-ingested video never pairs with itself (intra-video pairs are
-    dropped at aggregation; identical frame ids never self-pair in the
-    banded join)."""
+    A re-ingested video SUPERSEDES its persisted frame set wholesale:
+    every ref frame row belonging to a video id present in the new
+    shard is anti-joined out before the frame join (a truncated or
+    re-encoded re-ingest changes the frame SET, and stale leftover
+    frames would otherwise emit the reversed orientation of a new x new
+    video pair with split counts). The new-video-id broadcast is
+    bounded by the ingest shard."""
     new_fh = video_frame_hashes(new_videos).map_batches(
         _frame_id_table, batch_format="pyarrow"
     ).materialize()
+    new_vids: list = []
+    for b in new_fh.select_columns(["frame_id"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        import pyarrow.compute as pc
+
+        new_vids.extend(
+            s.rsplit("#", 1)[0] for s in b["frame_id"].to_pylist()
+        )
+    new_vid_ref = ray.put(pa.array(sorted(set(new_vids)), pa.string()))
+
+    def _supersede(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        seen = ray.get(new_vid_ref)
+        if len(seen) == 0:
+            return batch
+        return batch.filter(
+            pc.invert(pc.is_in(batch["video_id"], value_set=seen))
+        )
+
+    # materialize the slim ~40 B/frame projection once: the generic op
+    # consumes its ref side twice (band explode + verify lookup), and
+    # the per-frame f-string map must not run twice over the big side
     ref_fh = ref_frame_hashes.map_batches(
-        _frame_id_table, batch_format="pyarrow"
-    )
+        _supersede, batch_format="pyarrow"
+    ).map_batches(_frame_id_table, batch_format="pyarrow").materialize()
     frame_pairs = incremental_banded_dup_pairs(
         new_fh, ref_fh, "frame_id", "dhash", max_hamming, bands, cap, stats
     )

@@ -192,3 +192,57 @@ def test_incremental_video_dup_pairs_bruteforce(ray_session):
         ).take_all()
     }
     assert got == expected
+
+
+def test_incremental_video_reingest_supersedes(ray_session):
+    """A re-ingested video (present in the new shard AND the persisted
+    frame table, possibly with a DIFFERENT frame set — e.g. truncated)
+    is superseded wholesale: no self-pairs, no reversed-orientation
+    duplicates from stale leftover frames, counts computed against the
+    new frame set only."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.stages.multimodal import (
+        incremental_video_dup_pairs,
+        video_frame_hashes,
+    )
+
+    tab = generate_video_corpus(60, seed=11)
+    vids = tab["video_id"].to_pylist()
+    # pick a planted dup pair so cross evidence exists
+    pairs = _brute_video_pairs(tab, max_hamming=3, min_frame_matches=2)
+    assert pairs
+    va, vb = next(iter(sorted(pairs)))
+    ia, ib = vids.index(va), vids.index(vb)
+    # ref table: ALL videos' frames (va included — it is being re-ingested)
+    ref_fh_tab = video_frame_hashes(rd.from_arrow(tab)).materialize()
+    # new shard: va and vb re-ingested; va additionally TRUNCATED to its
+    # first 2 frames so its persisted frame set is strictly larger
+    from analiticcl_ray.stages.multimodal import rawv_decode, rawv_encode
+
+    frames_a = rawv_decode(tab["bytes"][ia].as_py())[:2]
+    new_tab = pa.table(
+        {
+            "video_id": pa.array([va, vb], pa.string()),
+            "bytes": pa.array(
+                [rawv_encode(frames_a), tab["bytes"][ib].as_py()],
+                pa.binary(),
+            ),
+            "fmt": pa.array(["rawv1", "rawv1"], pa.string()),
+        }
+    )
+    got = {
+        (r["src_id"], r["dst_id"]): r["n_frame_matches"]
+        for r in incremental_video_dup_pairs(
+            rd.from_arrow(new_tab), ref_fh_tab,
+            max_hamming=3, min_frame_matches=1,
+        ).take_all()
+    }
+    # no self-pairs, ONE orientation per unordered pair
+    assert all(s != d for s, d in got)
+    unordered = [tuple(sorted(p)) for p in got]
+    assert len(unordered) == len(set(unordered)), got
+    # the re-ingested pair is found via the NEW shard (both new -> sorted)
+    key = (va, vb) if va < vb else (vb, va)
+    assert key in got
