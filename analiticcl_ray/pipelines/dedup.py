@@ -40,7 +40,7 @@ import ray.data
 
 from ..config import DedupConfig
 from ..stages.cc import cc_label_propagation, cc_union_find
-from ..stages.lsh import candidate_pairs, dedup_pairs, exact_dup_pairs, explode_band_rows
+from ..stages.lsh import dedup_pairs, explode_band_rows
 from ..stages.signatures import CaptionSignatures, phash_band_table
 from ..stages.substring import SubstringFingerprints
 from ..stages.verify import (
@@ -142,34 +142,44 @@ def dedup_pipeline(
     keys_per_row = cfg.bands + (cfg.phash_bands if cfg.use_phash_bands else 0) + 8
     n_cg = adaptive_cogroups(n_corpus * keys_per_row)
     bucket_stats: dict = {}
-    cands = candidate_pairs(
-        band_rows, cfg.bucket_cap, stats=None, keep_sentinels=True,
-        n_cogroups=n_cg, sentinel_salt=0,
-    )
-    if phash_rows is not None:
-        # image-side candidates: separate co-occurrence pass with the
-        # tight phash degeneracy threshold (see DedupConfig)
-        from ..stages.lsh import cooccurrence_pairs
+    # caption bands/winnow/content keys and the phash bit-slices have
+    # different degeneracy policies but ride ONE cogroup exchange
+    # (cooccurrence_pairs_multi): the per-cogroup emission splits by
+    # source and applies each source's cap/threshold/prefilter — pair
+    # sets and sentinels are identical to the former two-pass union,
+    # at one all-to-all shuffle instead of two
+    from ..stages.lsh import cooccurrence_pairs_multi
 
-        cands = cands.union(
-            cooccurrence_pairs(
-                phash_rows,
-                "band",
-                "image_id",
-                cap=cfg.phash_bucket_cap,
-                drop_threshold=cfg.phash_drop_threshold,
-                keep_sentinels=True,
-                n_cogroups=n_cg,
-                # distinct salt: caption-band and phash sentinels from
-                # the same cogroup/seq must not collapse in dedup_pairs
-                sentinel_salt=1,
-                # exact 64-bit hamming prefilter at emission: DCT-sign
-                # slice collisions across natural images were ~90% of
-                # all candidates; a PSNR>=40dB dup is <=4 bits apart
-                attr_col="phash",
-                attr_maxham=cfg.phash_max_hamming,
-            )
+    sources = [
+        {
+            "rows": band_rows,
+            "key_col": "band",
+            "cap": cfg.bucket_cap,
+            "sentinel_salt": 0,
+        }
+    ]
+    if phash_rows is not None:
+        sources.append(
+            {
+                # image-side candidates: tight phash degeneracy
+                # threshold (see DedupConfig) + exact 64-bit hamming
+                # prefilter at emission: DCT-sign slice collisions
+                # across natural images were ~90% of all candidates; a
+                # PSNR>=40dB dup is <=4 bits apart. Distinct salt:
+                # caption-band and phash sentinels from the same
+                # cogroup/seq must not collapse in dedup_pairs.
+                "rows": phash_rows,
+                "key_col": "band",
+                "cap": cfg.phash_bucket_cap,
+                "drop_threshold": cfg.phash_drop_threshold,
+                "sentinel_salt": 1,
+                "attr_col": "phash",
+                "attr_maxham": cfg.phash_max_hamming,
+            }
         )
+    cands = cooccurrence_pairs_multi(
+        sources, "image_id", keep_sentinels=True, n_cogroups=n_cg
+    )
     t_ps = time.perf_counter()
     pairs = dedup_pairs(cands, n_cogroups=max(1024, n_cg // 8)).materialize()
     # this single materialize executes band explode + substring pool +

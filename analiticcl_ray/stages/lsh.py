@@ -551,6 +551,155 @@ def cooccurrence_pairs(
     return strip_sentinels(pairs, id_dtype)
 
 
+def cooccurrence_pairs_multi(
+    sources: list[dict],
+    id_col: str,
+    id_dtype: str = "str",
+    n_cogroups: int = 1024,
+    keep_sentinels: bool = False,
+    stats: Optional[dict] = None,
+) -> "ray.data.Dataset":
+    """Several co-occurrence passes sharing ONE cogroup shuffle.
+
+    The flagship pipeline generates candidates from two key families
+    with different degeneracy policies (caption MinHash/winnow/content
+    keys at ``bucket_cap`` vs phash bit-slices at the tight
+    ``phash_bucket_cap`` + hamming prefilter). Running them as two
+    ``cooccurrence_pairs`` calls costs two all-to-all groupby exchanges
+    whose fixed per-stage latency dominates at small corpus sizes and
+    whose shuffle count doubles at large ones. Here every source's rows
+    ride ONE exchange: each source is normalized to
+    (cogroup, band, id, attr, side) — ``side`` is the source index,
+    ``attr`` a zero placeholder where unused — and the per-cogroup
+    emission splits by side and applies that side's (cap,
+    drop_threshold, prefilter, sentinel_salt) exactly as the separate
+    passes would. Bucketing is the same ``(k ^ (k >> 17)) % n`` hash,
+    so pair sets, capped flags and sentinel rows are identical
+    byte-for-byte to the unioned two-pass output (sentinel seq numbers
+    are per side per cogroup, as before).
+
+    Each ``sources`` entry: ``rows`` (Dataset), ``key_col``, ``cap``,
+    optional ``drop_threshold`` (default 8*cap), ``sentinel_salt``
+    (must be distinct across sources), optional ``attr_col`` +
+    ``attr_ratio``/``attr_maxham``."""
+    assert len({s.get("sentinel_salt", 0) for s in sources}) == len(sources)
+    id_pa_type = pa.string() if id_dtype == "str" else pa.int64()
+
+    def _normalize(key_col: str, attr_col: Optional[str], side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            kv = batch[key_col].to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            bucket = (kv ^ (kv >> 17)) % n_cogroups
+            n = len(batch)
+            if attr_col is not None:
+                attr = batch[attr_col]
+            else:
+                attr = pa.array(np.zeros(n, dtype=np.int64), pa.int64())
+            return pa.table(
+                {
+                    "cogroup": pa.array(bucket, pa.int64()),
+                    "band": pa.array(kv, pa.int64()),
+                    id_col: batch[id_col],
+                    "attr": attr,
+                    "side": pa.array(
+                        np.full(n, side, dtype=np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return _f
+
+    rows = None
+    for side, s in enumerate(sources):
+        part = s["rows"].map_batches(
+            _normalize(s["key_col"], s.get("attr_col"), side),
+            batch_format="pyarrow",
+        )
+        rows = part if rows is None else rows.union(part)
+
+    side_cfg = [
+        {
+            "cap": s["cap"],
+            "drop_threshold": s.get("drop_threshold") or 8 * s["cap"],
+            "salt": s.get("sentinel_salt", 0),
+            "use_attr": s.get("attr_col") is not None
+            and (s.get("attr_ratio") is not None or s.get("attr_maxham") is not None),
+            "ratio": s.get("attr_ratio"),
+            "maxham": s.get("attr_maxham"),
+        }
+        for s in sources
+    ]
+
+    def _pairs_multi(group: pd.DataFrame) -> pa.Table:
+        cg = int(group["cogroup"].iloc[0]) if len(group) else 0
+        parts_s: list = []
+        parts_d: list = []
+        parts_c: list = []
+        sides = group["side"].to_numpy()
+        for i, cfgd in enumerate(side_cfg):
+            m = sides == i
+            if not m.any():
+                continue
+            sub = group[m]
+            src, dst, capped, dropped = emit_pairs_grouped(
+                sub["band"].to_numpy(),
+                sub[id_col].to_numpy(),
+                sub["attr"].to_numpy() if cfgd["use_attr"] else None,
+                cfgd["cap"],
+                cfgd["drop_threshold"],
+                cfgd["ratio"],
+                cfgd["maxham"],
+            )
+            parts_s.append(src)
+            parts_d.append(dst)
+            parts_c.append(capped)
+            if dropped:
+                sent_s: list = []
+                sent_d: list = []
+                for seq, nrows in enumerate(dropped):
+                    if id_dtype == "str":
+                        sent_s.append(
+                            f"{DROPPED_SENTINEL}:{cfgd['salt']}:{cg}:{seq}"
+                        )
+                        sent_d.append(f"1:{nrows}")
+                    else:
+                        sent_s.append(
+                            -(1 + 2 * (cg + n_cogroups * seq) + (cfgd["salt"] & 1))
+                        )
+                        sent_d.append(nrows)
+                parts_s.append(np.asarray(sent_s))
+                parts_d.append(np.asarray(sent_d))
+                parts_c.append(np.full(len(dropped), True))
+        if not parts_s:
+            return pa.table(
+                {
+                    "src_id": pa.array([], id_pa_type),
+                    "dst_id": pa.array([], id_pa_type),
+                    "capped": pa.array([], pa.bool_()),
+                }
+            )
+        return pa.table(
+            {
+                "src_id": pa.array(np.concatenate(parts_s), id_pa_type),
+                "dst_id": pa.array(np.concatenate(parts_d), id_pa_type),
+                "capped": pa.array(
+                    np.concatenate(parts_c).astype(bool), pa.bool_()
+                ),
+            }
+        )
+
+    pairs = grouped_by_cogroup(rows, "cogroup", n_cogroups).map_groups(
+        _pairs_multi, batch_format="pandas"
+    )
+    if keep_sentinels:
+        return pairs
+    if stats is not None:
+        pairs = pairs.materialize()
+        tally_sentinels(pairs, stats, id_dtype)
+    return strip_sentinels(pairs, id_dtype)
+
+
 def _sentinel_mask(batch: pa.Table, id_dtype: str) -> pa.ChunkedArray:
     if id_dtype == "str":
         return pc.starts_with(batch["src_id"], DROPPED_SENTINEL)
