@@ -110,12 +110,31 @@ def frame_spectrogram(
 
 
 def band_edges(sr: int, n_bands: int, n_bins: int, frame: int) -> np.ndarray:
-    """Log-spaced band edge bin indices, length n_bands+1, increasing."""
+    """Log-spaced band edge bin indices, length n_bands+1, strictly
+    increasing and bounded by n_bins-1.
+
+    ADVICE r3 fix: the old version added arange() to EVERY edge after
+    clipping, which (a) skewed band boundaries even when the log-spaced
+    edges were already strictly increasing and (b) could push the top
+    edges past n_bins-1 at low sample rates / small frames, collapsing
+    top bands to log(1e-12). Now duplicates are bumped minimally
+    (cummax(e - i) + i leaves already-strict sequences untouched) and
+    the result is pulled back under the strictly-increasing cap line
+    n_bins-1-(n-1-i) — the elementwise min of two strictly increasing
+    sequences stays strictly increasing, so every band keeps >= 1 bin
+    in-bounds."""
+    n = n_bands + 1
+    if n_bins <= n:
+        raise ValueError(
+            f"spectrogram has {n_bins} bins; need > {n} for {n_bands} "
+            "bands with one bin each — raise the frame size"
+        )
     fmax = FP_FMAX_FRAC * sr
-    freqs = np.geomspace(FP_FMIN, fmax, n_bands + 1)
+    freqs = np.geomspace(FP_FMIN, fmax, n)
     edges = np.clip((freqs * frame / sr).astype(np.int64), 1, n_bins - 1)
-    # force strictly increasing so every band has >= 1 bin
-    return np.maximum.accumulate(edges + np.arange(n_bands + 1))
+    i = np.arange(n)
+    edges = np.maximum.accumulate(edges - i) + i
+    return np.minimum(edges, (n_bins - 1) - (n - 1 - i))
 
 
 def band_energies(spec: np.ndarray, sr: int, n_bands: int, frame: int) -> np.ndarray:

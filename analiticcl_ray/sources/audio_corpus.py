@@ -13,8 +13,12 @@ Planted duplicate structure (all seeded, reproducible, mirrors the image
 corpus' mutation taxonomy):
 - ~20% of rows are near-duplicates of a base clip: identical bytes,
   gain change (fingerprint-invariant by construction — log-energy
-  differences cancel a constant gain), small additive noise
-  (fingerprint hamming <= ~3), strong noise (hamming >> 3, negative
+  differences cancel a constant gain), small additive noise (often
+  within the fingerprint dup threshold, but decaying-envelope clips
+  leave late time slices noise-dominated, so a fraction lands above
+  it — the brute-force oracle counts whatever the kernel says, and
+  the detected-dup demonstration rests on the exact/gain classes),
+  strong noise (hamming >> 3, negative
   control), with occasional A~B~C chains.
 - ~1% "room tone" skew block: near-silent noise-only clips whose
   fingerprints collapse to a handful of values -> hot LSH band bucket,
@@ -61,7 +65,9 @@ def _mutate_clip(
         return x
     if kind == "gain":  # volume change — fingerprint-invariant
         return np.clip(x * float(rng.uniform(0.55, 0.9)), -1.0, 1.0)
-    if kind == "noise":  # small additive noise, fp hamming <= ~3
+    if kind == "noise":  # small additive noise (fp hamming varies —
+        # decaying tails push some clips past the dup threshold; the
+        # brute-force oracles count whatever the kernel says)
         return np.clip(x + 0.004 * rng.standard_normal(len(x)), -1.0, 1.0)
     if kind == "strong":  # negative control, fp hamming >> threshold
         return np.clip(x + 0.25 * rng.standard_normal(len(x)), -1.0, 1.0)

@@ -232,8 +232,8 @@ def bucket_by_keys(
 
 def emit_bucket_pairs_attr(
     ids: np.ndarray, attrs: np.ndarray, cap: int, ratio: Optional[float] = None,
-    maxham: Optional[int] = None,
-) -> tuple[np.ndarray, np.ndarray, bool]:
+    maxham: Optional[int] = None, return_attrs: bool = False,
+) -> tuple:
     """Vectorized pair emission with an attribute prefilter, applied at
     the earliest possible point (inside the cogroup — no extra shuffle,
     no attach):
@@ -251,12 +251,19 @@ def emit_bucket_pairs_attr(
     Salting chain links are kept unconditionally (connectivity for CC
     consumers). ``ids`` must be unique and sorted ascending with
     ``attrs`` aligned; returns (src, dst, was_capped) as numpy arrays
-    of ids' dtype."""
+    of ids' dtype — or (src, dst, attr_src, attr_dst, was_capped) when
+    ``return_attrs`` is set (so a hamming-exact caller can emit the
+    verified distance straight out of the bucket, skipping the slim
+    attach + re-verify stage entirely)."""
     n = len(ids)
     if n < 2:
+        if return_attrs:
+            return ids[:0], ids[:0], attrs[:0], attrs[:0], False
         return ids[:0], ids[:0], False
     srcs: list = []
     dsts: list = []
+    a_srcs: list = []
+    a_dsts: list = []
     capped = n > cap
     for c0 in range(0, n, cap):
         idc = ids[c0 : c0 + cap]
@@ -273,9 +280,23 @@ def emit_bucket_pairs_attr(
             keep = ham <= np.uint64(maxham)
         srcs.append(idc[iu[keep]])
         dsts.append(idc[ju[keep]])
+        if return_attrs:
+            a_srcs.append(a[keep])
+            a_dsts.append(b[keep])
         if c0 + cap < n:  # chain link keeps the bucket connected
             srcs.append(idc[:1])
             dsts.append(ids[c0 + cap : c0 + cap + 1])
+            if return_attrs:
+                a_srcs.append(atc[:1])
+                a_dsts.append(attrs[c0 + cap : c0 + cap + 1])
+    if return_attrs:
+        return (
+            np.concatenate(srcs),
+            np.concatenate(dsts),
+            np.concatenate(a_srcs),
+            np.concatenate(a_dsts),
+            capped,
+        )
     return np.concatenate(srcs), np.concatenate(dsts), capped
 
 
@@ -313,7 +334,8 @@ def emit_pairs_grouped(
     drop_threshold: int,
     ratio: Optional[float] = None,
     maxham: Optional[int] = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, list]:
+    return_attrs: bool = False,
+) -> tuple:
     """ALL-bucket pair emission for one cogroup, vectorized by bucket
     SIZE CLASS: one lexsort co-locates every bucket, buckets sharing a
     unique-id count n are gathered into a (k, n) matrix, and the
@@ -332,9 +354,17 @@ def emit_pairs_grouped(
       links keep them connected; every pair flagged capped=True);
     - ``ratio``/``maxham`` prefilters as in emit_bucket_pairs_attr.
 
-    Returns (src, dst, capped, dropped_raw_rowcounts)."""
+    Returns (src, dst, capped, dropped_raw_rowcounts) — or, with
+    ``return_attrs`` (requires ``attrs``), (src, dst, attr_src,
+    attr_dst, capped, dropped): the per-pair attribute values ride out
+    of the bucket so an exact-by-attr caller (banded hash hamming) can
+    finish verification without any downstream attach."""
+    assert not return_attrs or attrs is not None
     empty = ids[:0]
+    e_attr = attrs[:0] if attrs is not None else None
     if len(keys) == 0:
+        if return_attrs:
+            return empty, empty, e_attr, e_attr, np.zeros(0, dtype=bool), []
         return empty, empty, np.zeros(0, dtype=bool), []
     order = np.lexsort((ids, keys))
     keys = keys[order]
@@ -356,6 +386,8 @@ def emit_pairs_grouped(
     row_keep &= ~dup
     ids_u = ids[row_keep]
     if not len(ids_u):
+        if return_attrs:
+            return empty, empty, e_attr, e_attr, np.zeros(0, dtype=bool), dropped
         return empty, empty, np.zeros(0, dtype=bool), dropped
     at_u = attrs[row_keep] if attrs is not None else None
     starts = np.flatnonzero(newkey[row_keep])
@@ -364,6 +396,8 @@ def emit_pairs_grouped(
     srcs: list = []
     dsts: list = []
     caps: list = []
+    at_s: list = []
+    at_d: list = []
     for n in np.unique(sizes):
         n = int(n)
         if n < 2:
@@ -373,10 +407,15 @@ def emit_pairs_grouped(
             # salted-chunk fallback; degenerate-adjacent, so rare
             for st in sel:
                 seg_ids = ids_u[st : st + n]
-                if use_attr:
-                    s, d, capped = emit_bucket_pairs_attr(
-                        seg_ids, at_u[st : st + n], cap, ratio, maxham
+                if use_attr or return_attrs:
+                    out = emit_bucket_pairs_attr(
+                        seg_ids, at_u[st : st + n], cap, ratio, maxham,
+                        return_attrs=return_attrs,
                     )
+                    if return_attrs:
+                        s, d, a_s, a_d, capped = out
+                    else:
+                        s, d, capped = out
                 else:
                     sl, dl, capped = emit_bucket_pairs(list(seg_ids), cap)
                     s = np.asarray(sl, dtype=ids_u.dtype)
@@ -385,16 +424,21 @@ def emit_pairs_grouped(
                     srcs.append(s)
                     dsts.append(d)
                     caps.append(np.full(len(s), capped))
+                    if return_attrs:
+                        at_s.append(a_s)
+                        at_d.append(a_d)
             continue
         idx = sel[:, None] + np.arange(n)
         idm = ids_u[idx]
         iu, ju = np.triu_indices(n, 1)
         s = idm[:, iu].ravel()
         d = idm[:, ju].ravel()
-        if use_attr:
+        a = b = None
+        if use_attr or return_attrs:
             am = at_u[idx]
             a = am[:, iu].ravel()
             b = am[:, ju].ravel()
+        if use_attr:
             if ratio is not None:
                 keep = np.minimum(a, b) >= ratio * np.maximum(a, b)
             else:
@@ -405,12 +449,29 @@ def emit_pairs_grouped(
                 keep = ham <= np.uint64(maxham)
             s = s[keep]
             d = d[keep]
+            if return_attrs:
+                a = a[keep]
+                b = b[keep]
         if len(s):
             srcs.append(s)
             dsts.append(d)
             caps.append(np.zeros(len(s), dtype=bool))
+            if return_attrs:
+                at_s.append(a)
+                at_d.append(b)
     if not srcs:
+        if return_attrs:
+            return empty, empty, e_attr, e_attr, np.zeros(0, dtype=bool), dropped
         return empty, empty, np.zeros(0, dtype=bool), dropped
+    if return_attrs:
+        return (
+            np.concatenate(srcs),
+            np.concatenate(dsts),
+            np.concatenate(at_s),
+            np.concatenate(at_d),
+            np.concatenate(caps),
+            dropped,
+        )
     return (
         np.concatenate(srcs),
         np.concatenate(dsts),
@@ -549,6 +610,111 @@ def cooccurrence_pairs(
         pairs = pairs.materialize()
         tally_sentinels(pairs, stats, id_dtype)
     return strip_sentinels(pairs, id_dtype)
+
+
+def cooccurrence_hamming_pairs(
+    rows: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    cap: int = 256,
+    drop_threshold: Optional[int] = None,
+    stats: Optional[dict] = None,
+    n_cogroups: int = 1024,
+    sentinel_salt: int = 0,
+) -> "ray.data.Dataset":
+    """cooccurrence_pairs specialized for banded 64-bit hash hamming,
+    emitting the EXACT verified distance straight out of the bucket.
+
+    The in-bucket ``maxham`` prefilter of cooccurrence_pairs is already
+    the exact hamming over the full 64-bit hashes riding the band rows
+    — every id has exactly ONE hash, so a pair's hamming is identical
+    no matter which band bucket emitted it. Re-verifying after a slim
+    hash attach (the round-3 shape) therefore re-derived a number the
+    bucket already knew, at the cost of an extra materialize barrier
+    and a broadcast/cogroup lookup over the hash table. Here the
+    per-pair hash values ride out of the bucket
+    (emit_pairs_grouped(return_attrs=True)), hamming is computed in the
+    same task, and salted-chunk chain links — emitted unconditionally
+    for CC connectivity in the generic op — are subjected to the same
+    ``<= max_hamming`` filter the old downstream verify applied, so the
+    output pair set is identical to banded-emit + attach + verify.
+    Output: (src_id, dst_id, hamming, capped) with possible cross-band
+    duplicates — callers run dedup_pairs (which now carries extra
+    columns through) and strip sentinels (hamming = -1 on sentinel
+    rows). String ids only (the multimodal tiers)."""
+    if drop_threshold is None:
+        drop_threshold = 8 * cap
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        kv = batch[key_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        bucket = (kv ^ (kv >> 17)) % n_cogroups
+        return pa.table(
+            {
+                "cogroup": pa.array(bucket, pa.int64()),
+                key_col: batch[key_col],
+                id_col: batch[id_col],
+                hash_col: batch[hash_col],
+            }
+        )
+
+    def _pairs(group: pd.DataFrame) -> pa.Table:
+        cg = int(group["cogroup"].iloc[0]) if len(group) else 0
+        src, dst, a_s, a_d, capped, dropped = emit_pairs_grouped(
+            group[key_col].to_numpy(),
+            group[id_col].to_numpy(),
+            group[hash_col].to_numpy(),
+            cap,
+            drop_threshold,
+            None,
+            max_hamming,
+            return_attrs=True,
+        )
+        ham = _popcount_u64(
+            a_s.astype(np.int64).view(np.uint64)
+            ^ a_d.astype(np.int64).view(np.uint64)
+        ).astype(np.int64)
+        # chain links from salted chunks bypass the in-bucket prefilter;
+        # apply the exact filter here (the old attach+verify did this)
+        ok = ham <= max_hamming
+        src, dst, ham, capped = src[ok], dst[ok], ham[ok], capped[ok]
+        parts_s: list = [src]
+        parts_d: list = [dst]
+        parts_h: list = [ham]
+        parts_c: list = [capped]
+        if dropped:
+            sent_s = [
+                f"{DROPPED_SENTINEL}:{sentinel_salt}:{cg}:{seq}"
+                for seq in range(len(dropped))
+            ]
+            sent_d = [f"1:{nrows}" for nrows in dropped]
+            parts_s.append(np.asarray(sent_s, dtype=object))
+            parts_d.append(np.asarray(sent_d, dtype=object))
+            parts_h.append(np.full(len(dropped), -1, dtype=np.int64))
+            parts_c.append(np.full(len(dropped), True))
+        return pa.table(
+            {
+                "src_id": pa.array(np.concatenate(parts_s), pa.string()),
+                "dst_id": pa.array(np.concatenate(parts_d), pa.string()),
+                "hamming": pa.array(np.concatenate(parts_h), pa.int64()),
+                "capped": pa.array(
+                    np.concatenate(parts_c).astype(bool), pa.bool_()
+                ),
+            }
+        )
+
+    pairs = grouped_by_cogroup(
+        rows.map_batches(_bucketize, batch_format="pyarrow"),
+        "cogroup",
+        n_cogroups,
+    ).map_groups(_pairs, batch_format="pandas")
+    if stats is not None:
+        pairs = pairs.materialize()
+        tally_sentinels(pairs, stats, "str")
+    return strip_sentinels(pairs, "str")
 
 
 def cooccurrence_pairs_multi(
@@ -783,23 +949,50 @@ def dedup_pairs(
             index=False,
         ).to_numpy()
 
+    # extra columns (e.g. cooccurrence_hamming_pairs' ``hamming``) ride
+    # through: dedup is keyed on (src_id, dst_id) only, and any carried
+    # value is a function of the id pair (one hash per id), so keeping
+    # the uncapped-first row is well-defined. Schema is pinned from the
+    # input batch — from_pandas on an empty object column would
+    # otherwise degrade string columns to null type and trip Ray's
+    # block-size estimator on size-0 object arrays.
     def _local(batch: pa.Table) -> pa.Table:
-        df = batch.select(["src_id", "dst_id", "capped"]).to_pandas()
+        cols = [c for c in batch.column_names if c != "cogroup"]
+        df = batch.select(cols).to_pandas()
         df = df.sort_values("capped").drop_duplicates(
             ["src_id", "dst_id"], keep="first"
         )
         df["cogroup"] = (_pair_hash(df) % np.uint64(n_cogroups)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        schema = pa.schema(
+            [batch.schema.field(c) for c in cols]
+            + [pa.field("cogroup", pa.int64())]
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False, schema=schema
+        ).replace_schema_metadata(None)
 
     def _dedup(group: pd.DataFrame) -> pa.Table:
         out = group.sort_values("capped").drop_duplicates(
             ["src_id", "dst_id"], keep="first"
         )
-        # emit metadata-free Arrow: pandas blocks would be re-converted
-        # downstream with a b'pandas' schema blob that defeats Ray's
-        # reduce-side schema dedup (unhashable-dict warning)
+        cols = [c for c in out.columns if c != "cogroup"]
+        # emit metadata-free Arrow with pinned types: object-dtype
+        # columns are always id strings here, and pinning keeps empty
+        # groups from degrading them to null type (block-schema drift +
+        # size-estimator warnings on size-0 object arrays)
+        schema = pa.schema(
+            [
+                pa.field(
+                    c,
+                    pa.string()
+                    if out[c].dtype == object
+                    else pa.from_numpy_dtype(out[c].dtype),
+                )
+                for c in cols
+            ]
+        )
         return pa.Table.from_pandas(
-            out[["src_id", "dst_id", "capped"]], preserve_index=False
+            out[cols], preserve_index=False, schema=schema
         ).replace_schema_metadata(None)
 
     return grouped_by_cogroup(

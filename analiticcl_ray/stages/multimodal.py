@@ -320,16 +320,22 @@ def banded_hash_dup_pairs(
     (id, hash) table — shared skeleton of the image and audio tiers
     (same pigeonhole argument as simhash_dup_pairs): slice the hash
     into ``bands`` 16-bit band keys (COMPLETE for
-    ``max_hamming < bands``), ONE cogrouped shuffle of (band, id,
-    hash) rows with the in-bucket ``attr_maxham`` hamming prefilter at
-    emission, then an exact hamming verify after a slim hash attach
-    (the prefilter is exact for within-chunk pairs, but over-cap
-    buckets emit unconditional chain-link pairs for CC connectivity —
-    the verify removes those). Output: distinct (src_id, dst_id,
-    hamming), src < dst. Shuffle volume is bands x rows of
-    (u64, id, i64). ``hashes`` should be materialized (32 B/row): it
-    is consumed by both the band explode and the attach."""
-    from .lsh import cooccurrence_pairs, dedup_pairs, explode_band_rows
+    ``max_hamming < bands``), then ONE cogrouped shuffle of (band, id,
+    hash) rows whose in-bucket emission computes the EXACT 64-bit
+    hamming (the full hashes ride the band rows) and filters at
+    ``max_hamming`` — including the salted-chunk chain links, so the
+    pair set is identical to the former emit → slim-attach → re-verify
+    chain while skipping that chain's extra materialize + lookup
+    stages entirely (round 4; lsh.cooccurrence_hamming_pairs). A pair
+    duplicated across bands carries the same hamming (one hash per
+    id), so the trailing dedup_pairs keeps any copy. Output: distinct
+    (src_id, dst_id, hamming), src < dst. Shuffle volume is bands x
+    rows of (u64, id, i64); nothing else moves."""
+    from .lsh import (
+        cooccurrence_hamming_pairs,
+        dedup_pairs,
+        explode_band_rows,
+    )
     from .signatures import hash_band_table
 
     banded = hashes.map_batches(
@@ -340,55 +346,10 @@ def banded_hash_dup_pairs(
         banded, band_cols=(f"{hash_col}_bands",), id_col=id_col,
         carry_cols=(hash_col,),
     )
-    cand = dedup_pairs(
-        cooccurrence_pairs(
-            rows,
-            key_col="band",
-            id_col=id_col,
-            cap=cap,
-            id_dtype="str",
-            stats=stats,
-            attr_col=hash_col,
-            attr_maxham=max_hamming,
-        )
+    cand = cooccurrence_hamming_pairs(
+        rows, "band", id_col, hash_col, max_hamming, cap, stats=stats
     )
-    return _attach_hamming_verify(
-        cand, hashes, id_col, hash_col, max_hamming
-    )
-
-
-def _attach_hamming_verify(
-    cand: "ray.data.Dataset",
-    hashes: "ray.data.Dataset",
-    id_col: str,
-    hash_col: str,
-    max_hamming: int,
-) -> "ray.data.Dataset":
-    """Slim hash attach + exact hamming verify shared by the banded and
-    incremental dup-pair ops: (src_id, dst_id) candidates -> distinct
-    verified (src_id, dst_id, hamming)."""
-    from .verify import attach_pair_sides
-    from ..image.codec import hamming64
-
-    attached = attach_pair_sides(
-        cand, hashes, [hash_col], method="auto", concurrency=(1, 4),
-        id_col=id_col,
-    )
-
-    def _verify(batch: pa.Table) -> pa.Table:
-        a = batch[f"src_{hash_col}"].to_numpy(zero_copy_only=False)
-        b = batch[f"dst_{hash_col}"].to_numpy(zero_copy_only=False)
-        ham = hamming64(a, b)
-        keep = ham <= max_hamming
-        return pa.table(
-            {
-                "src_id": batch["src_id"].filter(pa.array(keep)),
-                "dst_id": batch["dst_id"].filter(pa.array(keep)),
-                "hamming": pa.array(ham[keep], pa.int64()),
-            }
-        )
-
-    return attached.map_batches(_verify, batch_format="pyarrow")
+    return dedup_pairs(cand).select_columns(["src_id", "dst_id", "hamming"])
 
 
 def incremental_banded_dup_pairs(
@@ -409,10 +370,11 @@ def incremental_banded_dup_pairs(
     band key (>=2 rows AND >=1 new row — ref-only keys are skipped
     vectorized, which is the asymmetry win: at steady state ref >> new
     and almost every bucket is ref-only) the emission is the new x new
-    triangle plus the new x ref cross, hamming-prefiltered in-bucket,
-    then the shared slim-attach exact verify. Output: distinct
-    (src_id, dst_id, hamming) where src is always NEW and dst is new
-    (src < dst) or ref — never ref x ref.
+    triangle plus the new x ref cross, with the EXACT 64-bit hamming
+    computed and filtered in-bucket (the full hashes ride the band
+    rows, so no downstream attach or re-verify exists). Output:
+    distinct (src_id, dst_id, hamming) where src is always NEW and dst
+    is new (src < dst) or ref — never ref x ref.
 
     Cap semantics: a band-key group larger than ``cap`` keeps all new
     rows and the id-ordered prefix of ref rows up to ``cap`` total
@@ -430,7 +392,20 @@ def incremental_banded_dup_pairs(
     pair involving it is generated and verified against its NEW (probe)
     hash. Lossless in the pigeonhole-complete regime (max_hamming <
     bands): any pair that verifies under the resolved hashes shares a
-    band via the new-side rows."""
+    band via the new-side rows.
+
+    Stage shape (round 4 — fused so the incremental op beats full
+    recompute at bench scale, not just asymptotically): ONE driver pull
+    over the (caller-materialized) probe shard yields both the new-id
+    broadcast AND the probe band-key broadcast (band keys recomputed
+    locally on the pulled hashes — a vectorized pass over the shard, so
+    the banded probe rows never need their own materialize), and the
+    whole ref side — supersession anti-join, banding, explode,
+    probe-key collision filter — is ONE fused map_batches with exactly
+    one consumer (the band shuffle; the verify union that used to
+    consume the ref side a second time is gone — ADVICE r3's
+    double-consumption finding is resolved by eliminating the second
+    consumer, not by materializing)."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -439,46 +414,63 @@ def incremental_banded_dup_pairs(
         bucket_by_keys,
         dedup_pairs,
         emit_bucket_pairs_attr,
-        explode_band_rows,
         strip_sentinels,
         tally_sentinels,
     )
     from .signatures import hash_band_table
     from ..image.codec import hamming64
 
-    # slim both sides up front: the band shuffle and the attach need
-    # only (id, hash), and the union below requires matching schemas —
-    # callers may hand over wider persisted tables (e.g. the full
+    # slim both sides up front: the band shuffle needs only (id, hash)
+    # — callers may hand over wider persisted tables (e.g. the full
     # image_hashes output with all three hash columns)
     new_hashes = new_hashes.select_columns([id_col, hash_col])
     ref_hashes = ref_hashes.select_columns([id_col, hash_col])
 
-    # supersession: an id present in BOTH tables (a retried/overlapping
-    # shard) keeps only its NEW (probe) hash — the stale ref copy is
-    # anti-joined out BEFORE banding. In the pigeonhole-complete regime
-    # (max_hamming < bands) this is lossless: every pair that verifies
-    # under the resolved hashes shares a band via the new-side rows,
-    # and the stale rows could only produce duplicate-orientation
-    # candidates or verify-rejected ones while eating per-band cap
-    # budget. The broadcast id set is bounded by the ingest shard (same
-    # class as dedup.py's needed_ids); a shard too large to broadcast
-    # would swap this for the distributed Bloom semi-join of
+    # ONE driver pull over the probe shard: new ids (for ref
+    # supersession + the self-pair guard) and the probe band keys (for
+    # the ref-side pre-shuffle semi-join) come from the same pass.
+    # Both broadcasts are bounded by the ingest shard (bands x |new|
+    # u64s; same class as dedup.py's needed_ids) — a shard too large to
+    # broadcast would swap this for the distributed Bloom semi-join of
     # text.incremental_dedup.
-    new_ids: list = []
-    for b in new_hashes.select_columns([id_col]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        new_ids.append(b[id_col].combine_chunks())
-    new_id_ref = ray.put(
-        pa.concat_arrays(
-            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-             for a in new_ids]
+    id_parts: list = []
+    hash_parts: list = []
+    for b in new_hashes.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        id_parts.append(b[id_col].combine_chunks())
+        hash_parts.append(b[hash_col].combine_chunks())
+
+    def _cat(parts, typ):
+        return (
+            pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in parts]
+            )
+            if parts
+            else pa.array([], typ)
         )
-        if new_ids
-        else pa.array([], pa.string())
+
+    new_id_arr = _cat(id_parts, pa.string())
+    local = pa.table({id_col: new_id_arr, hash_col: _cat(hash_parts, pa.int64())})
+    probe_keys = (
+        pc.unique(
+            hash_band_table(local, hash_col, bands)[f"{hash_col}_bands"]
+            .combine_chunks()
+            .flatten()
+        )
+        if len(local)
+        else pa.array([], pa.int64())
     )
+    new_id_ref = ray.put(new_id_arr)
+    probe_keys_ref = ray.put(probe_keys)
 
     def _anti(batch: pa.Table) -> pa.Table:
+        # supersession: an id present in BOTH tables keeps only its NEW
+        # (probe) hash — the stale ref copy is anti-joined out BEFORE
+        # banding. In the pigeonhole-complete regime (max_hamming <
+        # bands) this is lossless: every pair that verifies under the
+        # resolved hashes shares a band via the new-side rows, and the
+        # stale rows could only produce duplicate-orientation candidates
+        # or verify-rejected ones while eating per-band cap budget.
         seen = ray.get(new_id_ref)
         if len(seen) == 0:
             return batch
@@ -486,64 +478,53 @@ def incremental_banded_dup_pairs(
             pc.invert(pc.is_in(batch[id_col], value_set=seen))
         )
 
-    ref_hashes = ref_hashes.map_batches(_anti, batch_format="pyarrow")
-
-    def _with_side(side: int):
-        def _f(t: pa.Table) -> pa.Table:
-            banded = hash_band_table(t, hash_col, bands)
-            return banded.append_column(
-                "side", pa.array(np.full(len(t), side, np.int8), pa.int8())
-            )
-
-        return _f
-
-    new_rows = explode_band_rows(
-        new_hashes.map_batches(_with_side(1), batch_format="pyarrow"),
-        band_cols=(f"{hash_col}_bands",), id_col=id_col,
-        carry_cols=(hash_col, "side"),
-    ).materialize()  # probe side: bands x |new shard| slim rows
-
-    # probe-key semi-join BEFORE the shuffle: a ref band row whose key
-    # no new row shares can never produce a pair (pairs need >=1 new
-    # row per band key), so the cogroup input is O(key collisions),
-    # not O(ref) — the actual asymmetry win at steady state where
-    # ref >> new. The broadcast key set is bands x |new shard| u64s
-    # (same bounded class as the new-id broadcast below).
-    key_parts: list = []
-    for b in new_rows.select_columns(["band"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        key_parts.append(b["band"].combine_chunks())
-    probe_keys_ref = ray.put(
-        pc.unique(
-            pa.concat_arrays(
-                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-                 for a in key_parts]
-            )
+    def _band_explode(t: pa.Table, side: int) -> pa.Table:
+        banded = hash_band_table(t, hash_col, bands)[
+            f"{hash_col}_bands"
+        ].combine_chunks()
+        width = banded.type.list_size
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), width))
+        n_rows = len(t) * width
+        return pa.table(
+            {
+                "band": banded.flatten(),
+                id_col: t[id_col].take(idx),
+                hash_col: t[hash_col].take(idx),
+                "side": pa.array(
+                    np.full(n_rows, side, np.int8), pa.int8()
+                ),
+            }
         )
-        if key_parts
-        else pa.array([], pa.int64())
-    )
 
-    def _collide(batch: pa.Table) -> pa.Table:
+    def _ref_fused(batch: pa.Table) -> pa.Table:
+        # one task stage for the whole ref side: supersede -> band ->
+        # explode -> probe-key collision filter. The collision filter
+        # is the asymmetry win: a ref band row whose key no new row
+        # shares can never produce a pair (pairs need >=1 new row per
+        # band key), so the cogroup input is O(key collisions), not
+        # O(ref) — at steady state ref >> new and almost every ref row
+        # dies here, before the shuffle.
         keys = ray.get(probe_keys_ref)
+        rows = _band_explode(_anti(batch), 0)
         if len(keys) == 0:
-            return batch.slice(0, 0)
-        return batch.filter(pc.is_in(batch["band"], value_set=keys))
+            return rows.slice(0, 0)
+        return rows.filter(pc.is_in(rows["band"], value_set=keys))
 
-    ref_rows = explode_band_rows(
-        ref_hashes.map_batches(_with_side(0), batch_format="pyarrow"),
-        band_cols=(f"{hash_col}_bands",), id_col=id_col,
-        carry_cols=(hash_col, "side"),
-    ).map_batches(_collide, batch_format="pyarrow")
+    # probe side: a single cheap map off the caller-materialized shard
+    # (bands x |new| slim rows) — consumed once by the union below
+    new_rows = new_hashes.map_batches(
+        lambda t: _band_explode(t, 1), batch_format="pyarrow"
+    )
+    ref_rows = ref_hashes.map_batches(_ref_fused, batch_format="pyarrow")
     rows = new_rows.union(ref_rows)
 
-    def _emit(group: pd.DataFrame) -> pd.DataFrame:
+    def _emit(group: pd.DataFrame) -> pa.Table:
         # vectorized key prefilter: only bands with >=2 rows and >=1 new
         agg = group.groupby("band", sort=False)["side"].agg(["size", "max"])
         live = agg.index[(agg["size"] >= 2) & (agg["max"] == 1)]
         srcs: list[np.ndarray] = []
         dsts: list[np.ndarray] = []
+        hams: list[np.ndarray] = []
         caps: list[np.ndarray] = []
         dropped: list[int] = []  # per-capped-band dropped ref rows
         cg = int(group["bucket"].iloc[0]) if len(group) else 0
@@ -561,15 +542,21 @@ def incremental_banded_dup_pairs(
                     # (cap^2 pairs per chunk + chain links, subset of
                     # brute force like banded_hash_dup_pairs under a
                     # tiny cap); every ref row is dropped and counted
-                    s, d, _ = emit_bucket_pairs_attr(
+                    s, d, a_s, a_d, _ = emit_bucket_pairs_attr(
                         keep_new[id_col].to_numpy(dtype=object),
                         keep_new[hash_col].to_numpy(dtype=np.int64),
                         cap,
                         maxham=max_hamming,
+                        return_attrs=True,
                     )
-                    srcs.append(s)
-                    dsts.append(d)
-                    caps.append(np.full(len(s), True))
+                    # chain links bypass the in-chunk prefilter — apply
+                    # the same exact filter the verify stage used to
+                    chham = hamming64(a_s, a_d).astype(np.int64)
+                    lok = chham <= max_hamming
+                    srcs.append(s[lok])
+                    dsts.append(d[lok])
+                    hams.append(chham[lok])
+                    caps.append(np.full(int(lok.sum()), True))
                     if len(g) > len(keep_new):  # ref rows displaced
                         dropped.append(len(g) - len(keep_new))
                     continue
@@ -599,32 +586,43 @@ def incremental_banded_dup_pairs(
             if pair_i:
                 i = np.concatenate(pair_i)
                 j = np.concatenate(pair_j)
-                ok = hamming64(hs[i], hs[j]) <= max_hamming
+                ham = hamming64(hs[i], hs[j]).astype(np.int64)
+                ok = ham <= max_hamming
                 # a re-ingested id sits on BOTH sides of the cross —
                 # never emit the hamming-0 self-edge
                 ok &= ids[i] != ids[j]
                 srcs.append(ids[i[ok]])
                 dsts.append(ids[j[ok]])
+                hams.append(ham[ok])
                 caps.append(np.full(int(ok.sum()), was_capped))
         for seq, nrows in enumerate(dropped):
             # globally-unique sentinel per capped band (lsh.py scheme);
             # worker-side dict mutation would never reach the driver
             srcs.append(np.array([f"{DROPPED_SENTINEL}:inc:{cg}:{seq}"], object))
             dsts.append(np.array([f"1:{nrows}"], object))
+            hams.append(np.array([-1], np.int64))
             caps.append(np.array([True]))
+        # typed Arrow out (never an object-dtype pandas frame): empty
+        # groups otherwise emit blocks Ray's size estimator can't
+        # sample ("cannot call `vectorize` on size 0 inputs") and whose
+        # from_pandas schema would degrade string columns to null type
         if not srcs:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "src_id": pd.Series([], dtype=object),
-                    "dst_id": pd.Series([], dtype=object),
-                    "capped": pd.Series([], dtype=bool),
+                    "src_id": pa.array([], pa.string()),
+                    "dst_id": pa.array([], pa.string()),
+                    "hamming": pa.array([], pa.int64()),
+                    "capped": pa.array([], pa.bool_()),
                 }
             )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "src_id": np.concatenate(srcs),
-                "dst_id": np.concatenate(dsts),
-                "capped": np.concatenate(caps),
+                "src_id": pa.array(np.concatenate(srcs), pa.string()),
+                "dst_id": pa.array(np.concatenate(dsts), pa.string()),
+                "hamming": pa.array(np.concatenate(hams), pa.int64()),
+                "capped": pa.array(
+                    np.concatenate(caps).astype(bool), pa.bool_()
+                ),
             }
         )
 
@@ -636,19 +634,19 @@ def incremental_banded_dup_pairs(
         .groupby("bucket")
         .map_groups(_emit, batch_format="pandas")
     )
+    # hamming rode out of the bucket (exact — the full hashes were in
+    # the group), chain links were filtered there, and a cross-band
+    # duplicate pair carries the same hamming, so dedup_pairs' carried
+    # columns finish the job: no slim attach, no re-verify, no verify
+    # union over the ref side (round 4 — this removed the last two
+    # barriers that made the incremental op slower than full recompute
+    # at bench scale).
     cand = dedup_pairs(raw)
     if stats is not None:
         cand = cand.materialize()
         tally_sentinels(cand, stats, "str")
-    cand = strip_sentinels(cand, "str")
-
-    # verify lookup: ref_hashes is already superseded (anti-joined
-    # above), so the union is duplicate-free by construction — required
-    # because duplicate ids would silently first-match in the broadcast
-    # attach but MULTIPLY pair rows in the cogroup merge.
-    all_hashes = new_hashes.union(ref_hashes).materialize()
-    return _attach_hamming_verify(
-        cand, all_hashes, id_col, hash_col, max_hamming
+    return strip_sentinels(cand, "str").select_columns(
+        ["src_id", "dst_id", "hamming"]
     )
 
 
@@ -694,10 +692,12 @@ def image_hash_dup_pairs(
 ) -> "ray.data.Dataset":
     """Near-dup image pairs by banded perceptual-hash hamming: decode +
     hash in an actor pool (bytes never shuffle), then the shared
-    banded_hash_dup_pairs skeleton."""
-    hashes = image_hashes(corpus).materialize()  # 32 B/row
+    banded_hash_dup_pairs skeleton. No materialize: the hash table has
+    a single consumer now (hamming rides out of the band bucket), so
+    decode streams straight into the band shuffle."""
     return banded_hash_dup_pairs(
-        hashes, "image_id", hash_col, max_hamming, bands, cap, stats
+        image_hashes(corpus), "image_id", hash_col, max_hamming, bands,
+        cap, stats,
     )
 
 
@@ -791,7 +791,7 @@ def video_dup_pairs(
     mean frame count."""
     frame_hashes = video_frame_hashes(videos).map_batches(
         _frame_id_table, batch_format="pyarrow"
-    ).materialize()  # ~40 B/frame; consumed by band explode + attach
+    )  # ~40 B/frame; single consumer (band shuffle) — no materialize
     frame_pairs = banded_hash_dup_pairs(
         frame_hashes, "frame_id", "dhash", max_hamming, bands, cap, stats
     )
@@ -802,8 +802,30 @@ def _frame_id_table(t: pa.Table) -> pa.Table:
     """(video_id, frame_idx, dhash) -> (frame_id, dhash). Zero-padded
     frame index keeps frame_id ordering aligned with
     (video_id, frame_idx) ordering, so src<dst at the frame level
-    implies src_vid <= dst_vid at the video level."""
+    implies src_vid <= dst_vid at the video level.
+
+    Id-charset contract (ADVICE r3): the alignment relies on the '#'
+    separator (0x23) sorting BELOW every character of every video id —
+    an id containing ' ' or '!' would let a frame-level src<dst cross a
+    video-level src>dst, breaking the documented orientation of
+    incremental_video_dup_pairs (canonical_swap=False). Validated here
+    (vectorized min-codepoint check) rather than documented-only, so a
+    violating corpus fails loudly at the first map instead of emitting
+    silently mis-oriented pairs; the symmetric path keeps its defensive
+    swap regardless."""
     vid = t["video_id"].to_pandas().to_numpy(dtype=object)
+    if len(vid):
+        import pyarrow.compute as pc
+
+        bad = pc.match_substring_regex(
+            pa.array(vid, pa.string()), r"[\x00-\x23]"
+        )
+        if pc.any(bad).as_py():
+            raise ValueError(
+                "video_id contains characters <= '#' (0x23); the "
+                "frame_id ordering contract requires every id char "
+                "above '#' — rename or escape video ids"
+            )
     idx = t["frame_idx"].to_numpy(zero_copy_only=False)
     fids = np.array(
         [f"{v}#{i:06d}" for v, i in zip(vid, idx)], dtype=object
@@ -929,12 +951,12 @@ def incremental_video_dup_pairs(
             pc.invert(pc.is_in(batch["video_id"], value_set=seen))
         )
 
-    # materialize the slim ~40 B/frame projection once: the generic op
-    # consumes its ref side twice (band explode + verify lookup), and
-    # the per-frame f-string map must not run twice over the big side
+    # no materialize: the generic op consumes its ref side exactly once
+    # now (band path only — the verify union is gone), so the per-frame
+    # f-string map runs once either way
     ref_fh = ref_frame_hashes.map_batches(
         _supersede, batch_format="pyarrow"
-    ).map_batches(_frame_id_table, batch_format="pyarrow").materialize()
+    ).map_batches(_frame_id_table, batch_format="pyarrow")
     frame_pairs = incremental_banded_dup_pairs(
         new_fh, ref_fh, "frame_id", "dhash", max_hamming, bands, cap, stats
     )
@@ -1061,11 +1083,9 @@ def audio_fp_dup_pairs(
     fingerprint in an actor pool (bytes never shuffle), then the shared
     banded_hash_dup_pairs skeleton — identical shuffle shape to the
     image tier, so the 100-TB argument carries over unchanged."""
-    fps = (
-        audio_features(corpus)
-        .select_columns(["audio_id", "fp64"])
-        .materialize()  # 32 B/row; consumed by band explode + attach
-    )
+    fps = audio_features(corpus).select_columns(["audio_id", "fp64"])
+    # no materialize: single consumer (the band shuffle) — decode
+    # streams straight through
     return banded_hash_dup_pairs(
         fps, "audio_id", "fp64", max_hamming, bands, cap, stats
     )
