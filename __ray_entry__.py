@@ -681,8 +681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def image_hashes(sf_dir):
-        # one decode -> phash + dhash + ahash per image (rows-only:
-        # binary decode isn't SQL-expressible; brute-force-verified in
+        # one decode -> phash + dhash + ahash per image (SQL-hash-
+        # checked against the locally-recomputed handoff table,
+        # sources/oracle_tables.py; also brute-force-verified in
         # tests/test_multimodal.py)
         from analiticcl_ray.stages.multimodal import image_hashes as _ih
 
@@ -697,8 +698,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def audio_features(sf_dir):
         # actor-pool decode -> DSP features + 64-bit spectro-temporal
-        # fingerprint per clip (rows-only: waveform DSP isn't
-        # SQL-expressible; kernel-verified in tests/test_audio.py)
+        # fingerprint per clip (SQL-hash-checked against the
+        # locally-recomputed handoff table; kernel-verified in
+        # tests/test_audio.py)
         from analiticcl_ray.stages.multimodal import audio_features as _af
 
         return _af(_audio_corpus_ds(sf_dir))
@@ -714,8 +716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def incremental_audio_dedup(sf_dir):
         # daily-ingest audio shape: fingerprint only the "new" half and
         # probe it against the persisted fingerprint table of the
-        # "reference" half (rows-only; brute-force oracle in
-        # tests/test_audio.py)
+        # "reference" half (SQL-hash-checked: restricted brute-force
+        # DuckDB oracle over the handoff table; also pytest-verified)
         from analiticcl_ray.stages.multimodal import (
             audio_features as _af2,
             incremental_audio_dup_pairs,
@@ -734,7 +736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # daily-ingest shape: hash only the "new" half of the corpus
         # and match it against itself + the persisted hash table of the
         # "reference" half — ref x ref pairs are never formed
-        # (rows-only; brute-force oracle in tests/test_multimodal.py)
+        # (SQL-hash-checked: restricted brute-force DuckDB oracle
+        # over the handoff table; also pytest-verified)
         from analiticcl_ray.stages.multimodal import (
             image_hashes as _ih2,
             incremental_image_dup_pairs,
@@ -754,7 +757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def image_quality_signals(sf_dir):
         # decode -> sharpness/entropy/saturation/exposure per image
-        # (rows-only; kernel-verified in tests/test_multimodal.py)
+        # (SQL-hash-checked against the handoff table; also
+        # kernel-verified in tests/test_multimodal.py)
         from analiticcl_ray.stages.multimodal import (
             image_quality_signals as _iqs,
         )
@@ -768,8 +772,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return image_quality_filter(_corpus_ds(sf_dir))
 
     def audio_quality_signals(sf_dir):
-        # decode -> clipping/silence/crest/DC per clip (rows-only;
-        # kernel-verified in tests/test_audio.py)
+        # decode -> clipping/silence/crest/DC per clip (SQL-hash-
+        # checked against the handoff table; kernel-verified in
+        # tests/test_audio.py)
         from analiticcl_ray.stages.multimodal import (
             audio_quality_signals as _aqs,
         )
@@ -783,8 +788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return audio_quality_filter(_audio_corpus_ds(sf_dir))
 
     def video_frame_hashes(sf_dir):
-        # actor-pool rawv1 decode -> per-frame dHash (rows-only:
-        # binary decode isn't SQL-expressible; kernel-verified in
+        # actor-pool rawv1 decode -> per-frame dHash (SQL-hash-
+        # checked against the handoff table; kernel-verified in
         # tests/test_video.py)
         from analiticcl_ray.stages.multimodal import video_frame_hashes as _vfh
 
@@ -801,8 +806,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def incremental_video_dedup(sf_dir):
         # daily-ingest video shape: frame-hash only the "new" half and
         # probe its frames against the persisted frame-hash table of
-        # the "reference" half (rows-only; brute-force oracle in
-        # tests/test_video.py)
+        # the "reference" half (SQL-hash-checked: restricted
+        # brute-force DuckDB oracle over the handoff table; also
+        # pytest-verified)
         from analiticcl_ray.stages.multimodal import (
             incremental_video_dup_pairs,
             video_frame_hashes as _vfh2,
@@ -1088,6 +1094,20 @@ def _splitmix_doc_cte() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # multimodal handoff tables: locally recomputed (no Ray) with the
+    # actor pools' exact kernels (sources/oracle_tables.py), pinned to
+    # the sf0.01 gate scale the driver compares at (driver contract:
+    # correctness runs at sf=0.01 -> 2000 images, 2000 clips, 200
+    # videos). Built once, cached under /tmp/analiticcl_ray/oracle/.
+    from analiticcl_ray.sources.oracle_tables import (
+        audio_oracle_path,
+        image_oracle_path,
+        video_oracle_path,
+    )
+
+    _IMG_ORACLE = image_oracle_path(2000)
+    _AUD_ORACLE = audio_oracle_path(2000)
+    _VID_ORACLE = video_oracle_path(200)
     # token splitting is guarded for empty/whitespace-only documents
     # (ADVICE r1): DuckDB's regexp_split_to_array('', ...) returns ['']
     # (1 token) while the engine counts 0 — the CASE aligns the oracle
@@ -2380,9 +2400,140 @@ def oracle_sql() -> dict[str, str]:
                    + CASE WHEN samecase THEN 0.125 ELSE 0.0 END) / 0.875
                     >= 0.5
         """,
+        # --- multimodal tiers (VERDICT r3 item 1) --------------------
+        # Decode is not SQL-expressible, but everything AFTER the
+        # per-row hash/feature columns is. sources/oracle_tables.py
+        # recomputes those columns locally (same pure-numpy kernels the
+        # Ray actor pools run, single process, no Ray) and persists
+        # them as parquet; these oracles read_parquet() that handoff
+        # table, so hash-green certifies (a) distributed decode ==
+        # local decode and (b) the banded pair combinatorics == the
+        # brute-force SQL definition (the same assertion the pytest
+        # brute-force oracles make, lifted into the graded gate). The
+        # banded ops are pigeonhole-complete at max_hamming=3 < 4 bands
+        # and no bucket exceeds the cap at gate scale, so brute force
+        # IS the expected pair population.
+        "image_hashes": f"""
+            SELECT image_id, phash, dhash, ahash
+            FROM read_parquet('{_IMG_ORACLE}')
+        """,
+        "image_features": f"""
+            SELECT image_id, phash, mean, std
+            FROM read_parquet('{_IMG_ORACLE}')
+        """,
+        "image_quality_signals": f"""
+            SELECT image_id, sharpness, entropy, saturated_frac,
+                   gray_mean, gray_std
+            FROM read_parquet('{_IMG_ORACLE}')
+        """,
+        # gate constants mirror multimodal.image_quality_filter defaults
+        "image_quality_keep": f"""
+            SELECT image_id FROM read_parquet('{_IMG_ORACLE}')
+            WHERE sharpness >= 1.0 AND entropy >= 1.0
+              AND saturated_frac <= 0.5
+        """,
+        "image_dup_pairs_dhash": f"""
+            SELECT a.image_id AS src_id, b.image_id AS dst_id,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT)
+                     AS hamming
+            FROM read_parquet('{_IMG_ORACLE}') a
+            JOIN read_parquet('{_IMG_ORACLE}') b
+              ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        """,
+        "audio_features": f"""
+            SELECT audio_id, duration_s, rms, zcr, centroid_hz, fp64
+            FROM read_parquet('{_AUD_ORACLE}')
+        """,
+        "audio_quality_signals": f"""
+            SELECT audio_id, clipping_frac, silence_frac, crest_db,
+                   dc_offset
+            FROM read_parquet('{_AUD_ORACLE}')
+        """,
+        # gate constants mirror multimodal.audio_quality_filter defaults
+        "audio_quality_keep": f"""
+            SELECT audio_id FROM read_parquet('{_AUD_ORACLE}')
+            WHERE clipping_frac <= 0.01 AND silence_frac <= 0.9
+        """,
+        "audio_dup_pairs_fp": f"""
+            SELECT a.audio_id AS src_id, b.audio_id AS dst_id,
+                   CAST(bit_count(xor(a.fp64, b.fp64)) AS BIGINT)
+                     AS hamming
+            FROM read_parquet('{_AUD_ORACLE}') a
+            JOIN read_parquet('{_AUD_ORACLE}') b
+              ON a.audio_id < b.audio_id
+            WHERE bit_count(xor(a.fp64, b.fp64)) <= 3
+        """,
+        "video_frame_hashes": f"""
+            SELECT video_id, frame_idx, dhash
+            FROM read_parquet('{_VID_ORACLE}')
+        """,
+        # frame-pair evidence -> video pairs: every cross-video frame
+        # combo within hamming 3 counts once (a.video < b.video), the
+        # min_frame_matches=2 floor is the HAVING
+        "video_dup_pairs": f"""
+            SELECT a.video_id AS src_id, b.video_id AS dst_id,
+                   CAST(count(*) AS BIGINT) AS n_frame_matches
+            FROM read_parquet('{_VID_ORACLE}') a
+            JOIN read_parquet('{_VID_ORACLE}') b
+              ON a.video_id < b.video_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        """,
+        # incremental (daily-ingest) restriction: the queries split the
+        # corpus by the trailing digit's parity (odd = new shard,
+        # even = persisted reference); src is always NEW, dst is new
+        # (src < dst) or ref, ref x ref never pairs
+        "incremental_image_dedup": f"""
+            WITH h AS (
+              SELECT image_id, dhash,
+                     CAST(substr(image_id, length(image_id), 1) AS INT)
+                       % 2 AS par
+              FROM read_parquet('{_IMG_ORACLE}')
+            )
+            SELECT a.image_id AS src_id, b.image_id AS dst_id,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT)
+                     AS hamming
+            FROM h a JOIN h b
+              ON a.par = 1
+             AND ((b.par = 1 AND a.image_id < b.image_id) OR b.par = 0)
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        """,
+        "incremental_audio_dedup": f"""
+            WITH h AS (
+              SELECT audio_id, fp64,
+                     CAST(substr(audio_id, length(audio_id), 1) AS INT)
+                       % 2 AS par
+              FROM read_parquet('{_AUD_ORACLE}')
+            )
+            SELECT a.audio_id AS src_id, b.audio_id AS dst_id,
+                   CAST(bit_count(xor(a.fp64, b.fp64)) AS BIGINT)
+                     AS hamming
+            FROM h a JOIN h b
+              ON a.par = 1
+             AND ((b.par = 1 AND a.audio_id < b.audio_id) OR b.par = 0)
+            WHERE bit_count(xor(a.fp64, b.fp64)) <= 3
+        """,
+        "incremental_video_dedup": f"""
+            WITH f AS (
+              SELECT video_id, frame_idx, dhash,
+                     CAST(substr(video_id, length(video_id), 1) AS INT)
+                       % 2 AS par
+              FROM read_parquet('{_VID_ORACLE}')
+            )
+            SELECT a.video_id AS src_id, b.video_id AS dst_id,
+                   CAST(count(*) AS BIGINT) AS n_frame_matches
+            FROM f a JOIN f b
+              ON a.par = 1 AND a.video_id <> b.video_id
+             AND ((b.par = 1 AND a.video_id < b.video_id) OR b.par = 0)
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        """,
         # ann_ivf_topk / ann_lsh_topk / context_rules / find_variants /
-        # search_correct / learn_variants / corpus_* are rows-only here
-        # (approximate search or non-SQL kernels: FST decoding, PSNR
-        # over decoded pixels); exact semantics are pytest-verified
-        # against brute-force oracles.
+        # search_correct / learn_variants / corpus_* / image_resize are
+        # rows-only here (approximate search or non-SQL kernels: FST
+        # decoding, PSNR over decoded pixels); exact semantics are
+        # pytest-verified against brute-force oracles.
     }
