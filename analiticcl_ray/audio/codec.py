@@ -8,6 +8,12 @@ libs stubbed honestly):
 - ``rawa1``: a deterministic PCM container (magic + sample_rate +
   int16 mono samples) — encode/decode REAL, so every downstream DSP
   kernel runs on actual waveforms.
+- ``mulw1``: a REAL lossy path (round 4 — the audio analog of the
+  image tier's baseline-JPEG codec): 8-bit mu-law companding per the
+  public G.711 mu=255 curve (sgn(x)·ln(1+mu|x|)/ln(1+mu), quantized
+  to 256 levels). A round trip is genuinely lossy (~30-40 dB SNR at
+  tone level), so the fingerprint's robustness is exercised on
+  actually-degraded bytes the way PSNR is for JPEG images.
 - mp3 / flac / ogg / wav-with-compression: no codec library in this
   container; ``decode`` raises a clearly-marked NotImplementedError.
   The Ray-side plumbing (schema, actor signature, batch sizing) is
@@ -71,11 +77,65 @@ def rawa_decode(data: bytes) -> tuple[np.ndarray, int]:
     return x.astype(np.float64) / 32768.0, int(sr)
 
 
+MULAW_MAGIC = b"MULW1\x00"
+MU = 255.0
+
+
+def mulaw_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono float [-1, 1] (or int16) -> mulw1 container bytes: 8-bit
+    mu-law codes (public G.711 mu=255 companding curve). Genuinely
+    lossy — 16 -> 8 bits through a nonlinear quantizer."""
+    x = np.asarray(samples, dtype=np.float64)
+    if np.asarray(samples).dtype.kind != "f":
+        x = x / 32768.0
+    x = np.clip(x, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(MU * np.abs(x)) / np.log1p(MU)  # [-1, 1]
+    codes = np.clip(np.rint((y + 1.0) * 127.5), 0, 255).astype(np.uint8)
+    header = MULAW_MAGIC + np.array(
+        [sample_rate, len(codes)], dtype=np.uint32
+    ).tobytes()
+    return header + codes.tobytes()
+
+
+def mulaw_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """mulw1 bytes -> (float64 mono in [-1, 1], sample_rate) — the
+    mu-law expander; the round trip through mulaw_encode carries real
+    quantization loss (finite SNR)."""
+    if not data.startswith(MULAW_MAGIC):
+        raise ValueError("not a mulw1 container")
+    off = len(MULAW_MAGIC)
+    sr, n = np.frombuffer(data[off : off + 8], np.uint32)
+    if len(data) < off + 8 + int(n):
+        raise ValueError(
+            f"truncated mulw1 container: header promises {int(n)} codes, "
+            f"payload holds {len(data) - off - 8}"
+        )
+    codes = np.frombuffer(data[off + 8 : off + 8 + int(n)], np.uint8)
+    y = codes.astype(np.float64) / 127.5 - 1.0
+    x = np.sign(y) * (np.power(1.0 + MU, np.abs(y)) - 1.0) / MU
+    return x, int(sr)
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio in dB of ``test`` against ``ref`` — the
+    waveform analog of the image tier's PSNR gate. inf for identical
+    signals; a mu-law round trip lands ~30-40 dB at tone level."""
+    ref = np.asarray(ref, dtype=np.float64)
+    err = ref - np.asarray(test, dtype=np.float64)
+    p_sig = float(np.sum(ref * ref))
+    p_err = float(np.sum(err * err))
+    if p_err == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(p_sig / p_err) if p_sig > 0 else 0.0
+
+
 def decode(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    """Dispatch on fmt. rawa1 is real; compressed codecs are honest
-    stubs (no soundfile/ffmpeg in this container)."""
+    """Dispatch on fmt. rawa1 and the lossy mulw1 are real; compressed
+    codecs are honest stubs (no soundfile/ffmpeg in this container)."""
     if fmt == "rawa1":
         return rawa_decode(data)
+    if fmt == "mulw1":
+        return mulaw_decode(data)
     raise NotImplementedError(
         f"audio codec {fmt!r} requires a decoder library not present in "
         "this container; plug one in here (soundfile / ffmpeg bindings) — "
