@@ -2473,6 +2473,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, phash, dhash, ahash
             FROM read_parquet('{_IMG_ORACLE}')
         """,
+        # resize emits one row per input at the fixed target geometry;
+        # the resized BYTES are pytest-verified (pixel goldens), the
+        # row population + geometry contract is the SQL-checkable slice
+        "image_resize": f"""
+            SELECT image_id, CAST(32 AS INTEGER) AS w,
+                   CAST(32 AS INTEGER) AS h, 'png' AS fmt
+            FROM read_parquet('{_IMG_ORACLE}')
+        """,
         "image_features": f"""
             SELECT image_id, phash, mean, std
             FROM read_parquet('{_IMG_ORACLE}')
