@@ -426,13 +426,20 @@ def incremental_banded_dup_pairs(
     new_hashes = new_hashes.select_columns([id_col, hash_col])
     ref_hashes = ref_hashes.select_columns([id_col, hash_col])
 
-    # ONE driver pull over the probe shard: new ids (for ref
-    # supersession + the self-pair guard) and the probe band keys (for
-    # the ref-side pre-shuffle semi-join) come from the same pass.
-    # Both broadcasts are bounded by the ingest shard (bands x |new|
-    # u64s; same class as dedup.py's needed_ids) — a shard too large to
-    # broadcast would swap this for the distributed Bloom semi-join of
-    # text.incremental_dedup.
+    # ONE streaming driver pull over the probe shard — the only time
+    # the new side's upstream (typically the decode actor pool)
+    # executes. It yields, in the same pass: the new-id broadcast (ref
+    # supersession + the self-pair guard), the probe band-key broadcast
+    # (the ref-side pre-shuffle semi-join), and the banded probe rows
+    # themselves, exploded LOCALLY (a vectorized numpy pass over the
+    # shard) and re-entered as pre-sliced object-store blocks via
+    # ray.data.from_arrow — so the probe side costs NO materialize
+    # barrier and NO second execution. All of this is bounded by the
+    # ingest shard (bands x |new| slim rows; same class as dedup.py's
+    # needed_ids) — the op's documented premise. A shard too large to
+    # hold driver-side would swap this pull for the distributed Bloom
+    # semi-join of text.incremental_dedup and the round-3 distributed
+    # explode+materialize shape.
     id_parts: list = []
     hash_parts: list = []
     for b in new_hashes.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -451,17 +458,7 @@ def incremental_banded_dup_pairs(
 
     new_id_arr = _cat(id_parts, pa.string())
     local = pa.table({id_col: new_id_arr, hash_col: _cat(hash_parts, pa.int64())})
-    probe_keys = (
-        pc.unique(
-            hash_band_table(local, hash_col, bands)[f"{hash_col}_bands"]
-            .combine_chunks()
-            .flatten()
-        )
-        if len(local)
-        else pa.array([], pa.int64())
-    )
     new_id_ref = ray.put(new_id_arr)
-    probe_keys_ref = ray.put(probe_keys)
 
     def _anti(batch: pa.Table) -> pa.Table:
         # supersession: an id present in BOTH tables keeps only its NEW
@@ -496,6 +493,25 @@ def incremental_banded_dup_pairs(
             }
         )
 
+    new_rows_local = (
+        _band_explode(local, 1)
+        if len(local)
+        else pa.table(
+            {
+                "band": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.string()),
+                hash_col: pa.array([], pa.int64()),
+                "side": pa.array([], pa.int8()),
+            }
+        )
+    )
+    probe_keys = (
+        pc.unique(new_rows_local["band"].combine_chunks())
+        if len(new_rows_local)
+        else pa.array([], pa.int64())
+    )
+    probe_keys_ref = ray.put(probe_keys)
+
     def _ref_fused(batch: pa.Table) -> pa.Table:
         # one task stage for the whole ref side: supersede -> band ->
         # explode -> probe-key collision filter. The collision filter
@@ -510,10 +526,17 @@ def incremental_banded_dup_pairs(
             return rows.slice(0, 0)
         return rows.filter(pc.is_in(rows["band"], value_set=keys))
 
-    # probe side: a single cheap map off the caller-materialized shard
-    # (bands x |new| slim rows) — consumed once by the union below
-    new_rows = new_hashes.map_batches(
-        lambda t: _band_explode(t, 1), batch_format="pyarrow"
+    # probe side: the locally-exploded band rows re-enter Ray as
+    # pre-sliced blocks (no barrier, no re-execution of the decode
+    # upstream); slice count targets the shuffle's map parallelism
+    n_slices = max(1, min(64, len(new_rows_local) // 16384 + 1))
+    step = -(-len(new_rows_local) // n_slices) if len(new_rows_local) else 1
+    new_rows = ray.data.from_arrow(
+        [
+            new_rows_local.slice(i * step, step)
+            for i in range(n_slices)
+            if i * step < max(1, len(new_rows_local))
+        ]
     )
     ref_rows = ref_hashes.map_batches(_ref_fused, batch_format="pyarrow")
     rows = new_rows.union(ref_rows)
@@ -665,11 +688,10 @@ def incremental_image_dup_pairs(
     ``image_hashes`` output of prior runs) via
     incremental_banded_dup_pairs — the reference images are never
     re-decoded and never paired against each other."""
-    new_h = (
-        image_hashes(new_corpus)
-        .select_columns(["image_id", hash_col])
-        .materialize()
-    )
+    # no materialize: the generic op executes this decode pipeline
+    # exactly once (its streaming driver pull re-enters the banded rows
+    # as local blocks)
+    new_h = image_hashes(new_corpus).select_columns(["image_id", hash_col])
     return incremental_banded_dup_pairs(
         new_h,
         ref_hashes.select_columns(["image_id", hash_col]),
@@ -927,6 +949,9 @@ def incremental_video_dup_pairs(
     frames would otherwise emit the reversed orientation of a new x new
     video pair with split counts). The new-video-id broadcast is
     bounded by the ingest shard."""
+    # materialize stays here (unlike the image/audio wrappers): new_fh
+    # has TWO consumers — the new-video-id pull below and the generic
+    # op's own probe pull — and the upstream is the decode actor pool
     new_fh = video_frame_hashes(new_videos).map_batches(
         _frame_id_table, batch_format="pyarrow"
     ).materialize()
@@ -1107,11 +1132,9 @@ def incremental_audio_dup_pairs(
     fingerprint table (e.g. a prior run's ``audio_features`` output) —
     reference clips are never re-decoded and never paired against each
     other."""
-    new_fps = (
-        audio_features(new_corpus)
-        .select_columns(["audio_id", "fp64"])
-        .materialize()
-    )
+    # no materialize: the generic op executes this decode pipeline
+    # exactly once (streaming driver pull)
+    new_fps = audio_features(new_corpus).select_columns(["audio_id", "fp64"])
     return incremental_banded_dup_pairs(
         new_fps,
         ref_fps.select_columns(["audio_id", "fp64"]),
