@@ -305,3 +305,41 @@ def test_emit_pairs_grouped_matches_per_bucket_reference():
         for a, b, c in zip(src.tolist(), dst.tolist(), capflags.tolist()):
             got_cap[(a, b)] = got_cap.get((a, b), False) or c
         assert got_cap == ref_capped, (trial, mode, str_ids)
+
+
+def test_emit_pairs_grouped_return_attrs_parity():
+    """return_attrs=True (round 4: hamming rides out of the bucket)
+    emits the SAME (src, dst, capped) stream as return_attrs=False and
+    every attr value equals the emitter's id -> attr mapping — so
+    computing hamming from the returned attrs is identical to the old
+    attach + re-verify."""
+    import numpy as np
+
+    from analiticcl_ray.stages.lsh import emit_pairs_grouped
+
+    rng = np.random.default_rng(13)
+    for trial in range(30):
+        n_rows = int(rng.integers(0, 400))
+        n_keys = max(1, int(rng.integers(1, 30)))
+        cap = int(rng.integers(2, 12))
+        drop_threshold = int(rng.integers(3, 30))
+        keys = rng.integers(0, n_keys, size=n_rows).astype(np.int64)
+        raw_ids = rng.integers(0, 60, size=n_rows)
+        ids = np.array([f"id{int(v):03d}" for v in raw_ids], dtype=object)
+        # one attr per ID (the emitter dedups (key, id) rows, so the
+        # same id must carry one value — exactly the hash-table setup)
+        id_attr = {f"id{v:03d}": int(v) * 7 + 1 for v in range(60)}
+        attrs = np.array([id_attr[i] for i in ids], dtype=np.int64)
+        maxham = 64  # keep-everything prefilter: pure pairing parity
+
+        s0, d0, c0, drop0 = emit_pairs_grouped(
+            keys, ids, attrs, cap, drop_threshold, None, maxham
+        )
+        s1, d1, a_s, a_d, c1, drop1 = emit_pairs_grouped(
+            keys, ids, attrs, cap, drop_threshold, None, maxham,
+            return_attrs=True,
+        )
+        assert list(s0) == list(s1) and list(d0) == list(d1)
+        assert list(c0) == list(c1) and drop0 == drop1
+        assert [id_attr[i] for i in s1] == list(a_s)
+        assert [id_attr[i] for i in d1] == list(a_d)
