@@ -33,7 +33,6 @@ from __future__ import annotations
 import time
 from typing import Optional
 
-import numpy as np
 import pyarrow as pa
 
 import ray.data
