@@ -343,3 +343,137 @@ def test_emit_pairs_grouped_return_attrs_parity():
         assert list(c0) == list(c1) and drop0 == drop1
         assert [id_attr[i] for i in s1] == list(a_s)
         assert [id_attr[i] for i in d1] == list(a_d)
+
+
+def test_cooccurrence_pairs_multi_equals_separate_passes(ray_session):
+    """The single-shuffle multi-source candidate stage (round 4,
+    flagship pipeline) is byte-equivalent — pairs, capped flags AND
+    sentinel rows — to the two separate cooccurrence_pairs calls it
+    replaced, across caps/thresholds/prefilter modes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.stages.lsh import (
+        cooccurrence_pairs,
+        cooccurrence_pairs_multi,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 600
+    # source A: caption-band-shaped keys (some hot, some degenerate —
+    # the first 60 rows share one boilerplate key, well over source A's
+    # drop_threshold of 20, so the sentinel path is exercised)
+    keys_a = rng.integers(0, 80, size=n).astype(np.int64)
+    keys_a[:60] = 7777
+    ids_a = np.array([f"img{int(v):04d}" for v in rng.integers(0, 200, n)])
+    # source B: phash-shaped keys with an attr for the maxham prefilter
+    keys_b = rng.integers(0, 40, size=n).astype(np.int64)
+    ids_b = np.array([f"img{int(v):04d}" for v in rng.integers(0, 200, n)])
+    attr_b = rng.integers(-(1 << 62), 1 << 62, size=n).astype(np.int64)
+
+    rows_a = rd.from_arrow(
+        pa.table({"band": keys_a, "image_id": pa.array(ids_a, pa.string())})
+    )
+    rows_b = rd.from_arrow(
+        pa.table(
+            {
+                "band": keys_b,
+                "image_id": pa.array(ids_b, pa.string()),
+                "phash": attr_b,
+            }
+        )
+    )
+
+    def collect(ds):
+        df = ds.to_pandas()
+        return sorted(map(tuple, df[["src_id", "dst_id", "capped"]].values.tolist()))
+
+    sep = collect(
+        cooccurrence_pairs(
+            rows_a, "band", "image_id", cap=6, keep_sentinels=True,
+            n_cogroups=64, sentinel_salt=0, drop_threshold=20,
+        ).union(
+            cooccurrence_pairs(
+                rows_b, "band", "image_id", cap=4, keep_sentinels=True,
+                n_cogroups=64, sentinel_salt=1, drop_threshold=30,
+                attr_col="phash", attr_maxham=20,
+            )
+        )
+    )
+    merged = collect(
+        cooccurrence_pairs_multi(
+            [
+                {
+                    "rows": rows_a, "key_col": "band", "cap": 6,
+                    "sentinel_salt": 0, "drop_threshold": 20,
+                },
+                {
+                    "rows": rows_b, "key_col": "band", "cap": 4,
+                    "sentinel_salt": 1, "drop_threshold": 30,
+                    "attr_col": "phash", "attr_maxham": 20,
+                },
+            ],
+            "image_id",
+            keep_sentinels=True,
+            n_cogroups=64,
+        )
+    )
+    assert merged == sep
+    # sentinels present (the fixture's hot keys exceed the thresholds)
+    assert any(s.startswith("__DROPPED_BUCKET__") for s, _, _ in merged)
+
+
+def test_banded_hamming_pairs_capped_bucket_connectivity(ray_session):
+    """cooccurrence_hamming_pairs under a tiny cap (round 4: hamming
+    emitted from the bucket, chain links filtered in-task): output is
+    a SUBSET of brute force at the threshold, and an identical-hash
+    clique bigger than the cap stays CONNECTED through its salted
+    chain links (hamming-0 links survive the filter)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.stages.multimodal import banded_hash_dup_pairs
+    from analiticcl_ray.image.codec import hamming64
+
+    rng = np.random.default_rng(5)
+    ids = [f"h{i:04d}" for i in range(80)]
+    hashes = np.empty(80, dtype=np.int64)
+    hashes[:40] = 0x0123456789ABCDE7  # one 40-id identical-hash clique
+    hashes[40:] = rng.integers(-(1 << 62), 1 << 62, size=40)
+    tab = pa.table(
+        {"hid": pa.array(ids, pa.string()), "h": pa.array(hashes, pa.int64())}
+    )
+    stats: dict = {}
+    got = banded_hash_dup_pairs(
+        rd.from_arrow(tab), "hid", "h", max_hamming=3, cap=8, stats=stats
+    ).to_pandas()
+    hmap = dict(zip(ids, hashes))
+    # every emitted pair is hamming-verified and correctly valued
+    for s, d, hm in got[["src_id", "dst_id", "hamming"]].values.tolist():
+        assert hm <= 3
+        assert hm == int(
+            hamming64(np.array([hmap[s]]), np.array([hmap[d]]))[0]
+        )
+    # subset of brute force
+    iu, ju = np.triu_indices(80, 1)
+    bf = {
+        (ids[a], ids[b])
+        for a, b in zip(iu, ju)
+        if int(hamming64(hashes[a : a + 1], hashes[b : b + 1])[0]) <= 3
+    }
+    assert set(map(tuple, got[["src_id", "dst_id"]].values.tolist())) <= bf
+    # the capped identical-hash clique stays one connected component
+    parent = {i: i for i in ids[:40]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in got[["src_id", "dst_id"]].values.tolist():
+        if s in parent and d in parent:
+            parent[find(s)] = find(d)
+    assert len({find(i) for i in ids[:40]}) == 1
