@@ -1808,23 +1808,29 @@ def simhash_dup_pairs(
     the hamming-threshold pair set exactly expressible in DuckDB
     (``md5_number_upper`` + ``bit_count(xor(...))``); completeness is
     additionally pytest-verified against brute-force hamming over the
-    simhash column."""
-    from ..stages.lsh import cooccurrence_pairs, dedup_pairs
-    from ..stages.verify import attach_pair_sides
+    simhash column.
+
+    Round 4: the full simhash rides the band rows, so the EXACT
+    hamming is computed and filtered inside the band bucket
+    (lsh.cooccurrence_hamming_pairs, id_dtype="int") and carried
+    through the pair dedup — the slim attach + re-verify stage and the
+    fingerprint materialize barrier are gone (the signature table now
+    has exactly one consumer). Same shape the image/audio/video tiers
+    took; output identical (hash-green vs the unchanged DuckDB
+    oracle)."""
+    from ..stages.lsh import cooccurrence_hamming_pairs, dedup_pairs
 
     assert max_hamming < n_bands, "pigeonhole completeness needs k < n_bands"
     width = 64 // n_bands
 
-    # materialized once: consumed by the band explode, the attach
-    # count, and the attach lookup — 16 bytes/row, far cheaper than
-    # recomputing the signatures three times
-    sims = simhash_fingerprints(docs, n=n).materialize()
+    sims = simhash_fingerprints(docs, n=n)
 
     def _bands(batch: pa.Table) -> pa.Table:
         h = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
         nr = len(h)
         bands = np.empty(nr * n_bands, dtype=np.int64)
         ids = np.empty(nr * n_bands, dtype=np.int64)
+        sh = np.empty(nr * n_bands, dtype=np.int64)
         did = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
         mask = np.uint64((1 << width) - 1)
         for b in range(n_bands):
@@ -1835,42 +1841,34 @@ def simhash_dup_pairs(
                 (np.int64(b) << np.int64(48)) | slice_.astype(np.int64)
             )
             ids[b * nr : (b + 1) * nr] = did
-        return pa.table(
-            {"band": pa.array(bands, pa.int64()), "doc_id": pa.array(ids, pa.int64())}
-        )
-
-    cand = dedup_pairs(
-        cooccurrence_pairs(
-            sims.map_batches(_bands, batch_format="pyarrow"),
-            "band", "doc_id", cap=bucket_cap, id_dtype="int",
-        ),
-        id_dtype="int",
-    )
-    attached = attach_pair_sides(
-        cand, sims, ["simhash"], method="auto", id_col="doc_id",
-        concurrency=(1, 4),
-    )
-
-    def _verify(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["src_simhash"].to_pylist(), dtype=np.int64)
-        b = np.asarray(batch["dst_simhash"].to_pylist(), dtype=np.int64)
-        ham = _popcount64((a ^ b).view(np.uint64))
-        keep = ham <= max_hamming
+            sh[b * nr : (b + 1) * nr] = h.view(np.int64)
         return pa.table(
             {
-                "a": pa.array(
-                    np.asarray(batch["src_id"].to_pylist(), dtype=np.int64)[keep],
-                    pa.int64(),
-                ),
-                "b": pa.array(
-                    np.asarray(batch["dst_id"].to_pylist(), dtype=np.int64)[keep],
-                    pa.int64(),
-                ),
-                "hamming": pa.array(ham[keep], pa.int64()),
+                "band": pa.array(bands, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": pa.array(sh, pa.int64()),
             }
         )
 
-    return attached.map_batches(_verify, batch_format="pyarrow")
+    verified = dedup_pairs(
+        cooccurrence_hamming_pairs(
+            sims.map_batches(_bands, batch_format="pyarrow"),
+            "band", "doc_id", "simhash", max_hamming, cap=bucket_cap,
+            id_dtype="int",
+        ),
+        id_dtype="int",
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch["src_id"],
+                "b": batch["dst_id"],
+                "hamming": batch["hamming"],
+            }
+        )
+
+    return verified.map_batches(_rename, batch_format="pyarrow")
 
 
 def doc_fingerprints(docs: "ray.data.Dataset", kgram: int = 16, window: int = 8) -> "ray.data.Dataset":

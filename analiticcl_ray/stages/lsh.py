@@ -623,6 +623,7 @@ def cooccurrence_hamming_pairs(
     stats: Optional[dict] = None,
     n_cogroups: int = 1024,
     sentinel_salt: int = 0,
+    id_dtype: str = "str",
 ) -> "ray.data.Dataset":
     """cooccurrence_pairs specialized for banded 64-bit hash hamming,
     emitting the EXACT verified distance straight out of the bucket.
@@ -643,9 +644,12 @@ def cooccurrence_hamming_pairs(
     Output: (src_id, dst_id, hamming, capped) with possible cross-band
     duplicates — callers run dedup_pairs (which now carries extra
     columns through) and strip sentinels (hamming = -1 on sentinel
-    rows). String ids only (the multimodal tiers)."""
+    rows). ``id_dtype``: "str" (the multimodal tiers) or "int"
+    (simhash over int64 doc_ids — sentinel rows use the negative-id
+    encoding of cooccurrence_pairs)."""
     if drop_threshold is None:
         drop_threshold = 8 * cap
+    id_pa_type = pa.string() if id_dtype == "str" else pa.int64()
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         kv = batch[key_col].to_numpy(zero_copy_only=False).astype(
@@ -686,19 +690,32 @@ def cooccurrence_hamming_pairs(
         parts_h: list = [ham]
         parts_c: list = [capped]
         if dropped:
-            sent_s = [
-                f"{DROPPED_SENTINEL}:{sentinel_salt}:{cg}:{seq}"
-                for seq in range(len(dropped))
-            ]
-            sent_d = [f"1:{nrows}" for nrows in dropped]
-            parts_s.append(np.asarray(sent_s, dtype=object))
-            parts_d.append(np.asarray(sent_d, dtype=object))
+            if id_dtype == "str":
+                sent_s: list = [
+                    f"{DROPPED_SENTINEL}:{sentinel_salt}:{cg}:{seq}"
+                    for seq in range(len(dropped))
+                ]
+                sent_d: list = [f"1:{nrows}" for nrows in dropped]
+                parts_s.append(np.asarray(sent_s, dtype=object))
+                parts_d.append(np.asarray(sent_d, dtype=object))
+            else:
+                parts_s.append(
+                    np.asarray(
+                        [
+                            -(1 + 2 * (cg + n_cogroups * seq)
+                              + (sentinel_salt & 1))
+                            for seq in range(len(dropped))
+                        ],
+                        dtype=np.int64,
+                    )
+                )
+                parts_d.append(np.asarray(dropped, dtype=np.int64))
             parts_h.append(np.full(len(dropped), -1, dtype=np.int64))
             parts_c.append(np.full(len(dropped), True))
         return pa.table(
             {
-                "src_id": pa.array(np.concatenate(parts_s), pa.string()),
-                "dst_id": pa.array(np.concatenate(parts_d), pa.string()),
+                "src_id": pa.array(np.concatenate(parts_s), id_pa_type),
+                "dst_id": pa.array(np.concatenate(parts_d), id_pa_type),
                 "hamming": pa.array(np.concatenate(parts_h), pa.int64()),
                 "capped": pa.array(
                     np.concatenate(parts_c).astype(bool), pa.bool_()
@@ -713,8 +730,8 @@ def cooccurrence_hamming_pairs(
     ).map_groups(_pairs, batch_format="pandas")
     if stats is not None:
         pairs = pairs.materialize()
-        tally_sentinels(pairs, stats, "str")
-    return strip_sentinels(pairs, "str")
+        tally_sentinels(pairs, stats, id_dtype)
+    return strip_sentinels(pairs, id_dtype)
 
 
 def cooccurrence_pairs_multi(
