@@ -198,24 +198,23 @@ def variants_dl(
     deletion-variant rows and meet in ONE shuffle (same machinery as
     ``dl_pairs``); scoring is per-pair in an actor pool."""
     from ..stages.lsh import cooccurrence_pairs, dedup_pairs
-    from .text import token_counts
+    from .text import top_terms
 
     cfg = cfg or SearchConfig(max_edit_distance=2, score_threshold=0.5)
 
-    vocab = (
-        token_counts(docs)
-        .map_batches(
-            lambda t: t.rename_columns(["token", "freq"]), batch_format="pyarrow"
-        )
-    )
-
-    # rank on the (small, already-aggregated) vocab: one sort + limit;
-    # materialized because three consumers pull it (queries, the tagged
-    # lexicon union, the freq broadcast) and each pull would otherwise
-    # re-run the token count + global sort
+    # top-k lexicon via the per-block top-k combiner (text.top_terms:
+    # each count bucket holds a token's FULL count, so the global top-k
+    # is a subset of per-block top-ks + one constant-sized final merge)
+    # — replaces the former global sort+limit over the whole vocabulary
+    # (round 4; same (freq desc, token asc) order, identical row set).
+    # Materialized because three consumers pull it (queries, the tagged
+    # lexicon union, the freq broadcast).
     top = (
-        vocab.sort(["freq", "token"], descending=[True, False])
-        .limit(vocab_top)
+        top_terms(docs, k=vocab_top)
+        .map_batches(
+            lambda t: pa.table({"token": t["token"], "freq": t["cnt"]}),
+            batch_format="pyarrow",
+        )
         .materialize()
     )
 
