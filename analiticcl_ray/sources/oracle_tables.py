@@ -150,14 +150,14 @@ def audio_oracle_path(n_rows: int, seed: int = 42) -> str:
 
 def video_oracle_path(n_videos: int, seed: int = 42) -> str:
     """(video_id, frame_idx, dhash) — one row per frame, decoded
-    locally with the rawv1 container + dhash64 (exactly what
-    VideoFrameHashes runs per batch)."""
+    locally with video_decode (rawv1 / lossy mjpg1) + dhash64
+    (exactly what VideoFrameHashes runs per batch)."""
     path = os.path.join(ORACLE_ROOT, f"video_n{n_videos}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     from .video_corpus import video_corpus_path
     from ..image.codec import dhash64
-    from ..stages.multimodal import rawv_decode
+    from ..stages.multimodal import video_decode
 
     tab = pds.dataset(video_corpus_path(n_videos, seed)).to_table(
         columns=["video_id", "bytes", "fmt"]
@@ -170,8 +170,7 @@ def video_oracle_path(n_videos: int, seed: int = 42) -> str:
         tab["bytes"].to_pylist(),
         tab["fmt"].to_pylist(),
     ):
-        assert fmt == "rawv1"
-        frames = rawv_decode(data)
+        frames = video_decode(data, fmt)
         for fi in range(len(frames)):
             vids.append(vid)
             idxs.append(fi)

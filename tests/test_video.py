@@ -246,3 +246,88 @@ def test_incremental_video_reingest_supersedes(ray_session):
     # the re-ingested pair is found via the NEW shard (both new -> sorted)
     key = (va, vb) if va < vb else (vb, va)
     assert key in got
+
+
+def test_mjpg_lossy_roundtrip():
+    """The lossy video path (round 4): an mjpg1 round trip decodes to
+    the same geometry with FINITE per-frame PSNR (genuinely degraded
+    bytes), and per-frame dHash stays within the dup threshold — the
+    video analog of the image tier's JPEG+PSNR and the audio tier's
+    mu-law+SNR."""
+    import numpy as np
+
+    from analiticcl_ray.image.codec import dhash64, hamming64
+    from analiticcl_ray.sources.video_corpus import _base_video
+    from analiticcl_ray.stages.multimodal import (
+        mjpg_decode,
+        mjpg_encode,
+        video_decode,
+    )
+
+    rng = np.random.default_rng(17)
+    frames = _base_video(rng)
+    # quality 95: measured across 30 corpus seeds the per-frame dHash
+    # stays <= 2 bits while PSNR stays finite (35-45 dB) — q90 lands
+    # ham<=3 on most seeds but an occasional frame flips 4
+    data = mjpg_encode(frames, quality=95)
+    out = mjpg_decode(data)
+    assert out.shape == frames.shape
+    assert not np.array_equal(out, frames)  # truly lossy
+    for f, g in zip(frames, out):
+        mse = float(np.mean((f.astype(np.float64) - g.astype(np.float64)) ** 2))
+        psnr = 10.0 * np.log10(255.0**2 / max(mse, 1e-12))
+        assert 20.0 < psnr < 60.0  # finite: real loss, recognizable
+        ham = int(
+            hamming64(np.array([dhash64(f)]), np.array([dhash64(g)]))[0]
+        )
+        assert ham <= 3
+    # dispatch parity + honest stub for inter-frame codecs
+    assert np.array_equal(video_decode(data, "mjpg1"), out)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        video_decode(b"\x00" * 16, "mp4")
+
+
+def test_mjpg_cross_container_video_dup(ray_session):
+    """video_dup_pairs detects a video and its mjpg1 lossy re-encode as
+    a duplicate pair across container formats — decode dispatch and the
+    frame-hash join are fmt-agnostic end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.sources.video_corpus import _base_video
+    from analiticcl_ray.stages.multimodal import (
+        mjpg_encode,
+        rawv_encode,
+        video_dup_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    base = _base_video(rng)
+    rows = {
+        "video_id": ["vid00", "vid01"],
+        "bytes": [rawv_encode(base), mjpg_encode(base, quality=95)],
+        "fmt": ["rawv1", "mjpg1"],
+    }
+    for i in range(2, 10):  # unrelated negatives
+        v = _base_video(rng)
+        rows["video_id"].append(f"vid{i:02d}")
+        rows["bytes"].append(rawv_encode(v))
+        rows["fmt"].append("rawv1")
+    tab = pa.table(
+        {
+            "video_id": pa.array(rows["video_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+        }
+    )
+    got = {
+        (r["src_id"], r["dst_id"]): r["n_frame_matches"]
+        for r in video_dup_pairs(
+            rd.from_arrow(tab), max_hamming=3, min_frame_matches=2
+        ).take_all()
+    }
+    assert ("vid00", "vid01") in got
+    assert got[("vid00", "vid01")] >= len(base) - 1
