@@ -16,8 +16,11 @@ the same kernels) AND that the banded/incremental pair logic equals
 the brute-force SQL definition.
 
 Everything here is seeded/deterministic; tables are cached by
-(n_rows, seed) with an atomic tmp+rename write, mirroring
-sources/corpus.py's caching discipline. No Ray imports — oracle_sql()
+(n_rows, seed, kernel-source fingerprint) with an atomic tmp+rename
+write — the fingerprint (``_src_tag``) auto-invalidates the cache when
+any contributing kernel or generator module changes, so a later round's
+kernel edit can never pit a stale handoff table against a fresh Ray
+side. No Ray imports — oracle_sql()
 must be able to build these without touching the cluster.
 """
 
@@ -33,6 +36,24 @@ import pyarrow.parquet as pq
 ORACLE_ROOT = "/tmp/analiticcl_ray/oracle"
 
 
+def _src_tag(*modules) -> str:
+    """8-hex fingerprint of the given modules' SOURCE FILES, baked into
+    every cache filename: a kernel edit in a later sitting/round then
+    misses the cache automatically instead of serving handoff tables
+    computed by the OLD kernel against a Ray side running the NEW one
+    (which would fail the driver's hash gate for a non-bug reason).
+    The corpus generators get the same treatment — they feed both
+    sides' inputs."""
+    import hashlib
+    import inspect
+
+    h = hashlib.md5()
+    for m in modules:
+        with open(inspect.getsourcefile(m), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:8]
+
+
 def _write_atomic(table: pa.Table, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
@@ -45,7 +66,13 @@ def image_oracle_path(n_rows: int, seed: int = 42) -> str:
     saturated_frac, gray_mean, gray_std) — one row per corpus image,
     decoded locally with image/codec.py's kernels (the exact functions
     ImageHashes / ImageFeatures / ImageQuality run per batch)."""
-    path = os.path.join(ORACLE_ROOT, f"image_n{n_rows}_s{seed}.parquet")
+    from . import corpus as _corpus_mod
+    from ..image import codec as _icodec, jpeg as _ijpeg
+
+    tag = _src_tag(_icodec, _ijpeg, _corpus_mod)
+    path = os.path.join(
+        ORACLE_ROOT, f"image_n{n_rows}_s{seed}_{tag}.parquet"
+    )
     if os.path.exists(path):
         return path
     from .corpus import corpus_path
@@ -106,7 +133,13 @@ def audio_oracle_path(n_rows: int, seed: int = 42) -> str:
     clipping_frac, silence_frac, crest_db, dc_offset) — one row per
     clip, decoded locally with audio/codec.py's kernels (exactly what
     AudioFeatures / AudioQuality run per batch)."""
-    path = os.path.join(ORACLE_ROOT, f"audio_n{n_rows}_s{seed}.parquet")
+    from . import audio_corpus as _acorpus_mod
+    from ..audio import codec as _acodec
+
+    tag = _src_tag(_acodec, _acorpus_mod)
+    path = os.path.join(
+        ORACLE_ROOT, f"audio_n{n_rows}_s{seed}_{tag}.parquet"
+    )
     if os.path.exists(path):
         return path
     from .audio_corpus import audio_corpus_path
@@ -152,7 +185,14 @@ def video_oracle_path(n_videos: int, seed: int = 42) -> str:
     """(video_id, frame_idx, dhash) — one row per frame, decoded
     locally with video_decode (rawv1 / lossy mjpg1) + dhash64
     (exactly what VideoFrameHashes runs per batch)."""
-    path = os.path.join(ORACLE_ROOT, f"video_n{n_videos}_s{seed}.parquet")
+    from . import video_corpus as _vcorpus_mod
+    from ..image import codec as _icodec, jpeg as _ijpeg
+    from ..stages import multimodal as _mm_mod
+
+    tag = _src_tag(_icodec, _ijpeg, _mm_mod, _vcorpus_mod)
+    path = os.path.join(
+        ORACLE_ROOT, f"video_n{n_videos}_s{seed}_{tag}.parquet"
+    )
     if os.path.exists(path):
         return path
     from .video_corpus import video_corpus_path
