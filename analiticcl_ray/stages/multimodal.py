@@ -418,6 +418,7 @@ def incremental_banded_dup_pairs(
     bands: int = 4,
     cap: int = 256,
     stats: dict = None,
+    local_probe_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Asymmetric (probe-vs-index) banded near-dup join — the daily-
     ingest shape: match a NEW shard's hashes against itself and against
@@ -550,23 +551,43 @@ def incremental_banded_dup_pairs(
             }
         )
 
-    new_rows_local = (
-        _band_explode(local, 1)
-        if len(local)
-        else pa.table(
-            {
-                "band": pa.array([], pa.int64()),
-                id_col: pa.array([], pa.string()),
-                hash_col: pa.array([], pa.int64()),
-                "side": pa.array([], pa.int8()),
-            }
+    # ``local_probe_limit`` is the ENFORCED boundary of the local-explode
+    # premise (not just documented): the (id, hash) pull above is ~the
+    # same size as the unavoidable new-id broadcast, but the band
+    # explode multiplies it by ``bands`` — beyond the limit the explode
+    # runs distributed instead (the round-3 shape: Ray map + one
+    # materialize, probe keys pulled from the banded rows). Output is
+    # identical either way (pytest-locked); only the barrier count
+    # differs.
+    use_local = len(local) <= local_probe_limit
+    if use_local:
+        new_rows_local = (
+            _band_explode(local, 1)
+            if len(local)
+            else pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.string()),
+                    hash_col: pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
         )
-    )
-    probe_keys = (
-        pc.unique(new_rows_local["band"].combine_chunks())
-        if len(new_rows_local)
-        else pa.array([], pa.int64())
-    )
+        probe_keys = (
+            pc.unique(new_rows_local["band"].combine_chunks())
+            if len(new_rows_local)
+            else pa.array([], pa.int64())
+        )
+    else:
+        new_rows_dist = new_hashes.map_batches(
+            lambda t: _band_explode(t, 1), batch_format="pyarrow"
+        ).materialize()  # two consumers: probe-key pull + band union
+        key_parts: list = []
+        for b in new_rows_dist.select_columns(["band"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            key_parts.append(b["band"].combine_chunks())
+        probe_keys = pc.unique(_cat(key_parts, pa.int64()))
     probe_keys_ref = ray.put(probe_keys)
 
     def _ref_fused(batch: pa.Table) -> pa.Table:
@@ -585,16 +606,20 @@ def incremental_banded_dup_pairs(
 
     # probe side: the locally-exploded band rows re-enter Ray as
     # pre-sliced blocks (no barrier, no re-execution of the decode
-    # upstream); slice count targets the shuffle's map parallelism
-    n_slices = max(1, min(64, len(new_rows_local) // 16384 + 1))
-    step = -(-len(new_rows_local) // n_slices) if len(new_rows_local) else 1
-    new_rows = ray.data.from_arrow(
-        [
-            new_rows_local.slice(i * step, step)
-            for i in range(n_slices)
-            if i * step < max(1, len(new_rows_local))
-        ]
-    )
+    # upstream); slice count targets the shuffle's map parallelism.
+    # Over-limit shards use the already-materialized distributed rows.
+    if use_local:
+        n_slices = max(1, min(64, len(new_rows_local) // 16384 + 1))
+        step = -(-len(new_rows_local) // n_slices) if len(new_rows_local) else 1
+        new_rows = ray.data.from_arrow(
+            [
+                new_rows_local.slice(i * step, step)
+                for i in range(n_slices)
+                if i * step < max(1, len(new_rows_local))
+            ]
+        )
+    else:
+        new_rows = new_rows_dist
     ref_rows = ref_hashes.map_batches(_ref_fused, batch_format="pyarrow")
     rows = new_rows.union(ref_rows)
 

@@ -472,3 +472,41 @@ def test_incremental_property_vs_bruteforce(ray_session, tables):
         ).take_all()
     }
     assert got == expected
+
+
+def test_incremental_local_probe_limit_fallback(ray_session):
+    """The enforced local-explode boundary: forcing the distributed
+    fallback (local_probe_limit=0) yields EXACTLY the same pair set as
+    the local-explode fast path — only the barrier count differs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from analiticcl_ray.stages.multimodal import incremental_banded_dup_pairs
+
+    rng = np.random.default_rng(31)
+    n = 400
+    ids = np.array([f"h{i:04d}" for i in range(n)], dtype=object)
+    hashes = rng.integers(-(1 << 62), 1 << 62, size=n).astype(np.int64)
+    hashes[10] = hashes[5]  # planted cross-side dup (even=ref, odd=new?)
+    hashes[21] = hashes[20] ^ (1 << 7)  # near dup, hamming 1
+    new_m = np.arange(n) % 2 == 1
+    mk = lambda m: rd.from_arrow(
+        pa.table(
+            {
+                "hid": pa.array(ids[m], pa.string()),
+                "h": pa.array(hashes[m], pa.int64()),
+            }
+        )
+    )
+
+    def run(**kw):
+        out = incremental_banded_dup_pairs(
+            mk(new_m), mk(~new_m), "hid", "h", max_hamming=3, **kw
+        ).to_pandas()
+        return sorted(map(tuple, out.values.tolist()))
+
+    fast = run()
+    dist = run(local_probe_limit=0)
+    assert fast == dist
+    assert fast, "fixture must produce pairs"
