@@ -1146,19 +1146,28 @@ def _splitmix_doc_cte() -> str:
 
 def oracle_sql() -> dict[str, str]:
     # multimodal handoff tables: locally recomputed (no Ray) with the
-    # actor pools' exact kernels (sources/oracle_tables.py), pinned to
-    # the sf0.01 gate scale the driver compares at (driver contract:
-    # correctness runs at sf=0.01 -> 2000 images, 2000 clips, 200
-    # videos). Built once, cached under /tmp/analiticcl_ray/oracle/.
+    # actor pools' exact kernels (sources/oracle_tables.py). Sized from
+    # the SAME sf tier the query closures use (ADVICE r4 — a hardcoded
+    # 2000/200 made every multimodal gate hash-red at any other sf for
+    # a non-bug reason): the driver's contract compares at sf0.01 (the
+    # default); a harness running at another sf sets
+    # ANALITICCL_ORACLE_SF_DIR to its sf_dir (scripts/check_correctness
+    # does). Built once, cached under /tmp/analiticcl_ray/oracle/.
+    import os
+
     from analiticcl_ray.sources.oracle_tables import (
         audio_oracle_path,
         image_oracle_path,
         video_oracle_path,
     )
 
-    _IMG_ORACLE = image_oracle_path(2000)
-    _AUD_ORACLE = audio_oracle_path(2000)
-    _VID_ORACLE = video_oracle_path(200)
+    _sf_dir = os.environ.get(
+        "ANALITICCL_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    _n_corpus = _corpus_rows_for(_sf_dir)
+    _IMG_ORACLE = image_oracle_path(_n_corpus)
+    _AUD_ORACLE = audio_oracle_path(_n_corpus)
+    _VID_ORACLE = video_oracle_path(max(50, _n_corpus // 10))
     # token splitting is guarded for empty/whitespace-only documents
     # (ADVICE r1): DuckDB's regexp_split_to_array('', ...) returns ['']
     # (1 token) while the engine counts 0 — the CASE aligns the oracle

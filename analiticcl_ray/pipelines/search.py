@@ -802,6 +802,7 @@ def find_all_matches_formatted_ds(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        max_restarts=0,  # broadcast refs in ctor args (ray#53727)
     )
 
 
@@ -830,4 +831,5 @@ def find_all_matches_ds(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        max_restarts=0,  # broadcast refs in ctor args (ray#53727)
     )

@@ -2924,6 +2924,7 @@ def lm_perplexity(
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,
+        max_restarts=0,  # broadcast ref in ctor args (ray#53727)
     )
 
 

@@ -272,12 +272,18 @@ def emit_bucket_pairs_attr(
         a, b = atc[iu], atc[ju]
         if ratio is not None:
             keep = np.minimum(a, b) >= ratio * np.maximum(a, b)
-        else:
+        elif maxham is not None:
             ham = _popcount_u64(
                 (a.astype(np.int64).view(np.uint64))
                 ^ (b.astype(np.int64).view(np.uint64))
             )
             keep = ham <= np.uint64(maxham)
+        else:
+            # no prefilter configured: return_attrs callers may still
+            # route here just to carry attrs out of the bucket (ADVICE
+            # r4 — np.uint64(None) would otherwise TypeError on any
+            # over-cap bucket)
+            keep = np.ones(len(a), dtype=bool)
         srcs.append(idc[iu[keep]])
         dsts.append(idc[ju[keep]])
         if return_attrs:
@@ -804,7 +810,14 @@ def cooccurrence_pairs_multi(
     side_cfg = [
         {
             "cap": s["cap"],
-            "drop_threshold": s.get("drop_threshold") or 8 * s["cap"],
+            # explicit None check (ADVICE r4): a falsy-but-set 0 must
+            # mean "drop every bucket of >0 rows", exactly as
+            # cooccurrence_pairs resolves its own default
+            "drop_threshold": (
+                8 * s["cap"]
+                if s.get("drop_threshold") is None
+                else s["drop_threshold"]
+            ),
             "salt": s.get("sentinel_salt", 0),
             "use_attr": s.get("attr_col") is not None
             and (s.get("attr_ratio") is not None or s.get("attr_maxham") is not None),

@@ -242,12 +242,22 @@ def mjpg_decode(data: bytes) -> np.ndarray:
     if not data.startswith(MJPG_MAGIC):
         raise ValueError("not a mjpg1 container")
     off = len(MJPG_MAGIC)
+    if off + 4 > len(data):
+        raise ValueError("truncated mjpg1 container")
     (n,) = np.frombuffer(data[off : off + 4], np.uint32)
     off += 4
     frames = []
     for _ in range(int(n)):
+        # bounds-check the header-declared counts against the actual
+        # payload (ADVICE r4): a truncated container must fail cleanly
+        # here, like mulaw_decode, not as a confusing downstream
+        # jpeg_decode/np.frombuffer error
+        if off + 4 > len(data):
+            raise ValueError("truncated mjpg1 container")
         (ln,) = np.frombuffer(data[off : off + 4], np.uint32)
         off += 4
+        if off + int(ln) > len(data):
+            raise ValueError("truncated mjpg1 container")
         px = jpeg_decode(data[off : off + int(ln)])
         if px.ndim == 2:  # grayscale stream: normalize to (h, w, 1)
             px = px[..., None]
@@ -463,7 +473,14 @@ def incremental_banded_dup_pairs(
     one consumer (the band shuffle; the verify union that used to
     consume the ref side a second time is gone — ADVICE r3's
     double-consumption finding is resolved by eliminating the second
-    consumer, not by materializing)."""
+    consumer, not by materializing).
+
+    Memory contract: the (id, hash) driver pull is O(|shard|) in ALL
+    regimes — that slim pull is the op's premise (same class as the
+    unavoidable new-id broadcast). ``local_probe_limit`` bounds only
+    the ×``bands`` LOCAL explode of those rows; past it the explode
+    runs distributed, fed from the already-pulled shard so the probe
+    upstream (decode pool) still executes exactly once."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -579,7 +596,25 @@ def incremental_banded_dup_pairs(
             else pa.array([], pa.int64())
         )
     else:
-        new_rows_dist = new_hashes.map_batches(
+        # over-limit fallback: the explode (the ×bands blowup) runs
+        # distributed, but it is fed from the ALREADY-PULLED (id, hash)
+        # shard re-entered as object-store blocks — NOT from
+        # ``new_hashes`` — so the probe upstream (typically the decode
+        # actor pool) still executes exactly once (ADVICE r4: mapping
+        # new_hashes here re-ran it a second time). Note the driver
+        # pull itself remains O(|shard|) regardless of
+        # ``local_probe_limit`` — the limit bounds only the ×bands
+        # local explode, which is what multiplies driver memory.
+        n_sl = max(1, min(256, len(local) // 65536 + 1))
+        sl_step = -(-len(local) // n_sl)
+        base = ray.data.from_arrow(
+            [
+                local.slice(i * sl_step, sl_step)
+                for i in range(n_sl)
+                if i * sl_step < len(local)
+            ]
+        )
+        new_rows_dist = base.map_batches(
             lambda t: _band_explode(t, 1), batch_format="pyarrow"
         ).materialize()  # two consumers: probe-key pull + band union
         key_parts: list = []

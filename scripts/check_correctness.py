@@ -63,6 +63,9 @@ def _value_hash(df: pd.DataFrame) -> int:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # size the multimodal/sequence handoff-oracle tables to the sf we
+    # actually compare at (ADVICE r4)
+    os.environ["ANALITICCL_ORACLE_SF_DIR"] = sf_dir
 
     import ray
 
