@@ -175,6 +175,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return ds
 
+    def incremental_minhash_dedup(sf_dir):
+        # incremental (daily-ingest) TEXT NEAR-dup dedup: odd doc_ids
+        # play the new crawl shard, even doc_ids the persisted corpus
+        # whose MinHash signature table prior runs left behind. The
+        # probe-vs-index banded join never forms ref x ref pairs and
+        # verifies by exact n-gram Jaccard, so the DuckDB oracle is the
+        # parity-restricted brute-force Jaccard (miss probability at
+        # this banding ~5e-8 per pair, as for minhash_dedup).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _half(parity):
+            def _f(t):
+                keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), parity)
+                return t.filter(keep).select(["doc_id", "text"])
+
+            return _f
+
+        docs = _docs(sf_dir)
+        new = docs.map_batches(_half(1), batch_format="pyarrow")
+        ref = docs.map_batches(_half(0), batch_format="pyarrow")
+        # the persisted index: built once per ingest, untimed at probe
+        # time (the daily-ingest premise)
+        ref_sigs = text.minhash_signatures(ref).materialize()
+        return text.incremental_minhash_dedup_pairs(new, ref_sigs, ref)
+
     def exact_dup_clusters(sf_dir):
         # content-hash pairs -> equality verify -> distributed CC over
         # the 40-char head fold (same de-vacuation as incremental_dedup
@@ -882,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": source_overlap,
         "dup_ngram_fraction": dup_ngram_fraction,
         "incremental_dedup": incremental_dedup,
+        "incremental_minhash_dedup": incremental_minhash_dedup,
         "exact_dup_clusters": exact_dup_clusters,
         "doc_stats": doc_stats,
         "quality_filter": quality_filter,
@@ -1678,6 +1705,34 @@ def oracle_sql() -> dict[str, str]:
         # J>=0.8] ≈ 1-5e-8; after exact-Jaccard verification its output
         # is identical to ngram_jaccard's — same oracle (VERDICT r1 §1).
         "minhash_dedup": ngram_jaccard_sql,
+        # incremental probe-vs-index MinHash text near-dup: the oracle
+        # is the parity-restricted exact-Jaccard brute force (a = new
+        # shard = odd ids; b = odd with a < b, or ref = even; ref x ref
+        # never pairs). Engine completeness at this banding is the
+        # symmetric minhash_dedup's 1 - 5e-8 per-pair guarantee.
+        "incremental_minhash_dedup": """
+            WITH seq AS (SELECT i FROM generate_series(1, 4096) t(i)),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(text, i, 3) AS gram
+              FROM documents JOIN seq ON i <= length(text) - 2
+              WHERE length(text) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+              FROM grams g1 JOIN grams g2
+                ON g1.gram = g2.gram
+               AND g1.doc_id % 2 = 1
+               AND g1.doc_id <> g2.doc_id
+               AND ((g2.doc_id % 2 = 1 AND g1.doc_id < g2.doc_id)
+                    OR g2.doc_id % 2 = 0)
+              GROUP BY 1, 2
+            )
+            SELECT a, b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+                       JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+        """,
         "simhash": simhash_cte + """
             SELECT doc_id, simhash FROM sh
         """,

@@ -1637,6 +1637,384 @@ def minhash_dedup_pairs(
     )
 
 
+def _minhash_cfg(cfg: DedupConfig | None) -> DedupConfig:
+    """Shared banding default for the doc-table MinHash ops: 32 bands ×
+    r=4 (see minhash_dedup_pairs) unless the caller pinned a config.
+    ``minhash_signatures`` and ``incremental_minhash_dedup_pairs`` MUST
+    resolve identically — a persisted index banded differently from the
+    probe side would silently miss every pair."""
+    import dataclasses
+
+    if cfg is None:
+        cfg = DedupConfig()
+        if cfg.num_perm % 32 == 0:
+            cfg = dataclasses.replace(cfg, bands=32)
+    return cfg
+
+
+def minhash_signatures(
+    docs: "ray.data.Dataset", cfg: DedupConfig | None = None, n: int = 3
+) -> "ray.data.Dataset":
+    """Persisted-index builder for incremental MinHash dedup: one row
+    per doc — (doc_id, bands: fixed_size_list<int64>, n_grams). A daily
+    ingest writes this table once per shard and probes later shards
+    against it (incremental_minhash_dedup_pairs) instead of re-signing
+    the whole corpus. Same DocMinHash actor pool the symmetric op uses,
+    so a persisted index and a fresh signature of the same text are
+    bit-identical."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        DocMinHash,
+        fn_constructor_args=(_minhash_cfg(cfg), n),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def incremental_minhash_dedup_pairs(
+    new_docs: "ray.data.Dataset",
+    ref_sigs: "ray.data.Dataset",
+    ref_docs: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    attach_method: str = "auto",
+    cap: int | None = None,
+    local_probe_limit: int = 2_000_000,
+    stats: dict | None = None,
+) -> "ray.data.Dataset":
+    """Incremental (daily-ingest) TEXT near-dup dedup: MinHash-LSH
+    probe-vs-index join of a NEW document shard against a persisted
+    signature table (``minhash_signatures`` output of the already-
+    ingested corpus), verified by EXACT n-gram Jaccard — the asymmetric
+    analog of ``minhash_dedup_pairs`` the way
+    ``incremental_banded_dup_pairs`` (stages/multimodal.py) is the
+    asymmetric analog of ``banded_hash_dup_pairs``. Reference analog:
+    the anagram index IS a probe-vs-index lookup — queries probe a
+    persisted AnaIndex built once from the lexicon
+    (src/lib.rs:1143-1308); here the "index" is the band-key space of
+    the persisted corpus and the probe shard never re-pairs ref × ref.
+
+    Returns (a, b, jaccard): ``a`` is ALWAYS from the new shard, ``b``
+    is new (a < b) or ref — ref × ref pairs are never formed, so at
+    steady state (ref >> new) the pair population is O(|new| × dup
+    rate), not O(|corpus|²·collision rate).
+
+    Shape (mirrors the multimodal incremental op, round-4 fused form):
+
+    1. Only the NEW shard is signed (DocMinHash pool) — the persisted
+       ref side costs zero signature compute.
+    2. ONE streaming driver pull over the new signatures yields the
+       new-id broadcast (ref supersession + self-pair guard), the probe
+       band-key broadcast, AND the locally-exploded probe band rows
+       re-entered as ``from_arrow`` blocks — no probe-side materialize
+       barrier. The pull is O(|shard|·bands) (the bands column is
+       already band-wide); ``local_probe_limit`` bounds the exploded
+       row count, past which the explode runs distributed from the
+       pulled table (upstream executes exactly once either way).
+    3. Ref side: ONE fused map_batches — supersession anti-join (an id
+       re-ingested in the new shard drops its stale ref signature, so
+       it never self-pairs and always resolves to the fresh text) →
+       band explode → probe-key collision filter. A ref band row whose
+       key no new row shares dies at the map side, BEFORE the shuffle:
+       cogroup input is O(key collisions), not O(ref).
+    4. One band-bucket cogroup emits, per band key with >=2 rows and
+       >=1 new row, the new × new triangle plus the new × ref cross,
+       with the gram-set size-ratio prefilter (min >= t·max, a
+       NECESSARY condition for J >= t — exact-safe) applied in-bucket.
+       Groups over ``cap`` keep all new rows plus the id-ordered ref
+       prefix (new × new evidence is never sacrificed for ref fill);
+       dropped ref rows are reported through globally-unique sentinels
+       into ``stats`` — no silent caps. All-new degenerate bands take
+       the symmetric op's salted-chunk path.
+    5. Pair dedup (orientation-preserving exact-tuple dedup), then
+       exact Jaccard verify with texts attached ONLY for ids referenced
+       by surviving candidates (``id_filter`` — bounded by collisions,
+       the same contract as dedup_pipeline's needed_ids). A production
+       deployment at ref sizes where even the filtered slim text scan
+       hurts would persist per-doc gram sketches next to the signature
+       index; the join shape is unchanged.
+
+    Recall: both sides band identically (``_minhash_cfg``), so the
+    per-pair candidate probability at J >= 0.8 is the symmetric op's
+    1 - (1 - 0.8^4)^32 ≈ 1 - 5e-8 — the verified output equals the
+    restricted exact-Jaccard brute force with probability ≈ 1 (DuckDB
+    hash oracle in __ray_entry__.py; brute-force pytest in
+    tests/test_text_ops.py)."""
+    import ray as _ray
+
+    from ..stages.lsh import (
+        dedup_pairs,
+        emit_bucket_pairs_attr,
+        strip_sentinels,
+        tally_sentinels,
+    )
+    from ..stages.verify import attach_pair_sides
+
+    cfg = _minhash_cfg(cfg)
+    if cap is None:
+        cap = cfg.bucket_cap
+    n_cogroups = 1024
+
+    new_sigs = minhash_signatures(new_docs, cfg, n)
+
+    # --- step 2: one driver pull over the probe shard ------------------
+    id_parts: list = []
+    band_parts: list = []
+    sz_parts: list = []
+    for b in new_sigs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        id_parts.append(b["doc_id"].combine_chunks())
+        band_parts.append(b["bands"].combine_chunks())
+        sz_parts.append(b["n_grams"].combine_chunks())
+
+    def _cat(parts, typ):
+        return (
+            pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in parts]
+            )
+            if parts
+            else pa.array([], typ)
+        )
+
+    new_id_arr = _cat(id_parts, pa.int64())
+    band_type = pa.list_(pa.int64(), cfg.bands)
+    local = pa.table(
+        {
+            "doc_id": new_id_arr,
+            "bands": _cat(band_parts, band_type),
+            "n_grams": _cat(sz_parts, pa.int64()),
+        }
+    )
+    new_id_ref = _ray.put(new_id_arr)
+
+    def _explode(t: pa.Table, side: int) -> pa.Table:
+        arr = t["bands"].combine_chunks()
+        width = arr.type.list_size
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), width))
+        n_rows = len(t) * width
+        return pa.table(
+            {
+                "band": arr.flatten(),
+                "doc_id": t["doc_id"].take(idx),
+                "n_grams": t["n_grams"].take(idx),
+                "side": pa.array(np.full(n_rows, side, np.int8), pa.int8()),
+            }
+        )
+
+    use_local = len(local) * cfg.bands <= local_probe_limit
+    if use_local:
+        new_rows_local = (
+            _explode(local, 1)
+            if len(local)
+            else pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        )
+        probe_keys = (
+            pc.unique(new_rows_local["band"].combine_chunks())
+            if len(new_rows_local)
+            else pa.array([], pa.int64())
+        )
+        n_slices = max(1, min(64, len(new_rows_local) // 16384 + 1))
+        step = -(-len(new_rows_local) // n_slices) if len(new_rows_local) else 1
+        new_rows = ray.data.from_arrow(
+            [
+                new_rows_local.slice(i * step, step)
+                for i in range(n_slices)
+                if i * step < max(1, len(new_rows_local))
+            ]
+        )
+    else:
+        # distributed fallback, fed from the pulled shard (upstream
+        # signature pool never re-executes)
+        n_sl = max(1, min(256, len(local) // 65536 + 1))
+        sl_step = -(-len(local) // n_sl)
+        base = ray.data.from_arrow(
+            [
+                local.slice(i * sl_step, sl_step)
+                for i in range(n_sl)
+                if i * sl_step < len(local)
+            ]
+        )
+        new_rows = base.map_batches(
+            lambda t: _explode(t, 1), batch_format="pyarrow"
+        ).materialize()  # two consumers: probe-key pull + band union
+        key_parts: list = []
+        for b in new_rows.select_columns(["band"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            key_parts.append(b["band"].combine_chunks())
+        probe_keys = pc.unique(_cat(key_parts, pa.int64()))
+    probe_keys_ref = _ray.put(probe_keys)
+
+    # --- step 3: fused ref side ----------------------------------------
+    def _ref_fused(batch: pa.Table) -> pa.Table:
+        seen = _ray.get(new_id_ref)
+        if len(seen):
+            batch = batch.filter(
+                pc.invert(pc.is_in(batch["doc_id"], value_set=seen))
+            )
+        rows = _explode(batch, 0)
+        keys = _ray.get(probe_keys_ref)
+        if len(keys) == 0:
+            return rows.slice(0, 0)
+        return rows.filter(pc.is_in(rows["band"], value_set=keys))
+
+    rows = new_rows.union(
+        ref_sigs.select_columns(["doc_id", "bands", "n_grams"]).map_batches(
+            _ref_fused, batch_format="pyarrow"
+        )
+    )
+
+    # --- step 4: asymmetric in-bucket emission -------------------------
+    thr = jaccard_threshold
+
+    def _emit(group: pd.DataFrame) -> pa.Table:
+        agg = group.groupby("band", sort=False)["side"].agg(["size", "max"])
+        live = agg.index[(agg["size"] >= 2) & (agg["max"] == 1)]
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
+        caps: list[np.ndarray] = []
+        dropped: list[int] = []
+        cg = int(group["bucket"].iloc[0]) if len(group) else 0
+        sub = group[group["band"].isin(live)]
+        for _, g in sub.groupby("band", sort=False):
+            g = g.sort_values("doc_id", kind="stable")
+            was_capped = len(g) > cap
+            if was_capped:
+                keep_new = g[g["side"] == 1]
+                if len(keep_new) > cap:
+                    # degenerate all-new band: salted-chunk path (the
+                    # ratio prefilter applies in-chunk; chain links pass
+                    # through to the exact verify, which rejects any
+                    # non-dup — same subset-of-brute-force semantics as
+                    # the symmetric op under a tiny cap)
+                    s, d, _ = emit_bucket_pairs_attr(
+                        keep_new["doc_id"].to_numpy(dtype=np.int64),
+                        keep_new["n_grams"].to_numpy(dtype=np.int64),
+                        cap,
+                        ratio=thr,
+                    )
+                    srcs.append(s)
+                    dsts.append(d)
+                    caps.append(np.full(len(s), True))
+                    if len(g) > len(keep_new):
+                        dropped.append(len(g) - len(keep_new))
+                    continue
+                keep_ref = g[g["side"] == 0].head(max(0, cap - len(keep_new)))
+                n_drop = len(g) - len(keep_new) - len(keep_ref)
+                if n_drop:
+                    dropped.append(n_drop)
+                g = pd.concat([keep_new, keep_ref]).sort_values(
+                    "doc_id", kind="stable"
+                )
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            szs = g["n_grams"].to_numpy(dtype=np.int64)
+            new = g["side"].to_numpy() == 1
+            ni, ri = np.flatnonzero(new), np.flatnonzero(~new)
+            pair_i: list[np.ndarray] = []
+            pair_j: list[np.ndarray] = []
+            if len(ni) >= 2:
+                a, b = np.triu_indices(len(ni), 1)
+                pair_i.append(ni[a])
+                pair_j.append(ni[b])
+            if len(ni) and len(ri):
+                pair_i.append(np.repeat(ni, len(ri)))
+                pair_j.append(np.tile(ri, len(ni)))
+            if pair_i:
+                i = np.concatenate(pair_i)
+                j = np.concatenate(pair_j)
+                sa, sb = szs[i], szs[j]
+                # size-ratio prefilter: necessary for J >= thr
+                ok = np.minimum(sa, sb) >= thr * np.maximum(sa, sb)
+                # supersession already removed stale ref copies, but a
+                # duplicated id WITHIN the shard must still never
+                # self-pair
+                ok &= ids[i] != ids[j]
+                srcs.append(ids[i[ok]])
+                dsts.append(ids[j[ok]])
+                caps.append(np.full(int(ok.sum()), was_capped))
+        for seq, nrows in enumerate(dropped):
+            srcs.append(
+                np.array([-(1 + 2 * (cg + n_cogroups * seq))], np.int64)
+            )
+            dsts.append(np.array([nrows], np.int64))
+            caps.append(np.array([True]))
+        if not srcs:
+            return pa.table(
+                {
+                    "src_id": pa.array([], pa.int64()),
+                    "dst_id": pa.array([], pa.int64()),
+                    "capped": pa.array([], pa.bool_()),
+                }
+            )
+        return pa.table(
+            {
+                "src_id": pa.array(np.concatenate(srcs), pa.int64()),
+                "dst_id": pa.array(np.concatenate(dsts), pa.int64()),
+                "capped": pa.array(
+                    np.concatenate(caps).astype(bool), pa.bool_()
+                ),
+            }
+        )
+
+    raw = (
+        rows.map_batches(
+            lambda t: bucket_by_keys(t, ["band"], n_cogroups),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(_emit, batch_format="pandas")
+    )
+    cand = dedup_pairs(raw, id_dtype="int").materialize()
+    if stats is not None:
+        tally_sentinels(cand, stats, "int")
+    cand = strip_sentinels(cand, "int")
+
+    # --- step 5: exact Jaccard verify over the referenced ids only -----
+    needed: set[int] = set()
+    for b in cand.select_columns(["src_id", "dst_id"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        needed.update(b["src_id"].to_pylist())
+        needed.update(b["dst_id"].to_pylist())
+
+    def _ref_docs_live(batch: pa.Table) -> pa.Table:
+        # superseded ids read their fresh text from the new shard
+        seen = _ray.get(new_id_ref)
+        if len(seen) == 0:
+            return batch
+        return batch.filter(
+            pc.invert(pc.is_in(batch["doc_id"], value_set=seen))
+        )
+
+    docs_all = new_docs.select_columns(["doc_id", "text"]).union(
+        ref_docs.select_columns(["doc_id", "text"]).map_batches(
+            _ref_docs_live, batch_format="pyarrow"
+        )
+    )
+    attached = attach_pair_sides(
+        cand,
+        docs_all,
+        ["text"],
+        method=attach_method,
+        id_filter=needed,
+        id_col="doc_id",
+        concurrency=(1, 8),
+    )
+    return attached.map_batches(
+        _JaccardVerifier,
+        fn_constructor_args=(n, jaccard_threshold),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 # ---------------------------------------------------------------------
 # SimHash + fingerprinting + language ID (rows-only oracles)
 # ---------------------------------------------------------------------

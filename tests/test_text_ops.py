@@ -2059,3 +2059,164 @@ def test_kmeans_assign_matches_numpy(ray_session):
     assert list(out["sim_q"]) == list(
         np.floor(best * 1e9 + 0.5).astype(np.int64)
     )
+
+
+# ---------------------------------------------------------------------
+# incremental (probe-vs-index) MinHash text near-dup dedup
+# ---------------------------------------------------------------------
+
+def _jac_grams(t, n=3):
+    return (
+        frozenset(t[i : i + n] for i in range(len(t) - n + 1))
+        if len(t) >= n
+        else frozenset()
+    )
+
+
+def _restricted_bruteforce(df, is_new, threshold=0.8):
+    """All (a, b) with a new, b new (a<b) or ref, exact Jaccard >= t."""
+    g = {int(r.doc_id): _jac_grams(r.text) for r in df.itertuples()}
+    want = {}
+    ids = sorted(g)
+    for a in ids:
+        if not is_new(a):
+            continue
+        for b in ids:
+            if b == a:
+                continue
+            if is_new(b) and not a < b:
+                continue
+            u = g[a] | g[b]
+            j = len(g[a] & g[b]) / len(u) if u else 0.0
+            if j >= threshold:
+                want[(a, b)] = j
+    return want
+
+
+def test_incremental_minhash_matches_restricted_bruteforce(docs):
+    """Parity split of the sf0.001 documents table: the probe-vs-index
+    op must equal the parity-restricted exact-Jaccard brute force
+    (pairs AND values), with src always from the new shard."""
+    import pyarrow.compute as pc
+
+    from analiticcl_ray.pipelines.text import (
+        incremental_minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    def _half(par):
+        def _f(t):
+            keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), par)
+            return t.filter(keep).select(["doc_id", "text"])
+
+        return _f
+
+    new = docs.map_batches(_half(1), batch_format="pyarrow")
+    ref = docs.map_batches(_half(0), batch_format="pyarrow")
+    ref_sigs = minhash_signatures(ref).materialize()
+    stats = {}
+    out = incremental_minhash_dedup_pairs(
+        new, ref_sigs, ref, stats=stats
+    ).to_pandas()
+    got = {(int(a), int(b)): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    want = _restricted_bruteforce(docs.to_pandas(), lambda i: i % 2 == 1)
+    assert set(got) == set(want), (
+        f"extra={sorted(set(got) - set(want))[:5]} "
+        f"missing={sorted(set(want) - set(got))[:5]}"
+    )
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-12
+    # src orientation: a is always a new-shard doc
+    assert all(a % 2 == 1 for a, _ in got)
+    assert stats["dropped_rows"] == 0
+
+
+def test_incremental_minhash_supersession_and_self_pair(ray_session):
+    """A re-ingested id (present in BOTH the persisted index and the
+    new shard, text changed) must never self-pair, and every pair it
+    joins must be computed from its FRESH text."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import (
+        incremental_minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    drift = base.replace("dog", "cat")
+    other = "completely unrelated content with nothing shared at all here"
+    # ref corpus: id 2 holds the OLD text (== base), id 4 unrelated
+    ref = rd.from_items(
+        [{"doc_id": 2, "text": base}, {"doc_id": 4, "text": other}]
+    )
+    # new shard: id 1 matches the OLD text of 2; id 2 re-ingested with
+    # drifted text; id 3 matches the drifted text
+    new = rd.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": drift},
+            {"doc_id": 3, "text": drift},
+        ]
+    )
+    ref_sigs = minhash_signatures(ref).materialize()
+    out = incremental_minhash_dedup_pairs(new, ref_sigs, ref).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    # no self pair for the superseded id
+    assert (2, 2) not in got
+    # expected = restricted brute force under SUPERSEDED texts
+    texts = {1: base, 2: drift, 3: drift, 4: other}
+    df = __import__("pandas").DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    )
+    want = _restricted_bruteforce(df, lambda i: i in (1, 2, 3))
+    assert got == set(want)
+    # sanity: the drifted pair (2, 3) must be there, computed from the
+    # fresh text on both sides
+    assert (2, 3) in got
+
+
+def test_incremental_minhash_cap_subset_and_sentinels(ray_session):
+    """Under a tiny cap the op emits a SUBSET of the restricted brute
+    force (exact verify -> no false positives) and reports every
+    dropped ref row through the sentinel tally."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import (
+        incremental_minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    # 12 near-identical docs -> every band key collides across all rows
+    texts = {
+        i: "shared boilerplate sentence repeated across the corpus %d" % (i % 2)
+        for i in range(12)
+    }
+    df = __import__("pandas").DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    )
+    new = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items() if i % 2 == 1]
+    )
+    ref = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items() if i % 2 == 0]
+    )
+    ref_sigs = minhash_signatures(ref).materialize()
+    stats = {}
+    out = incremental_minhash_dedup_pairs(
+        new, ref_sigs, ref, cap=4, stats=stats
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    want = set(_restricted_bruteforce(df, lambda i: i % 2 == 1))
+    assert got <= want
+    # capped groups keep all new rows: new x new evidence survives
+    assert any(a % 2 == 1 and b % 2 == 1 for a, b in got)
+    # ref rows were displaced and counted
+    assert stats["dropped_rows"] > 0
+
+    # distributed-fallback parity: forcing the over-limit path must not
+    # change the output (pytest analog of the multimodal boundary test)
+    out2 = incremental_minhash_dedup_pairs(
+        new, ref_sigs, ref, cap=4, local_probe_limit=0
+    ).to_pandas()
+    got2 = {(int(a), int(b)) for a, b in zip(out2["a"], out2["b"])}
+    assert got2 == got
