@@ -1195,6 +1195,25 @@ def oracle_sql() -> dict[str, str]:
     _IMG_ORACLE = image_oracle_path(_n_corpus)
     _AUD_ORACLE = audio_oracle_path(_n_corpus)
     _VID_ORACLE = video_oracle_path(max(50, _n_corpus // 10))
+    # sequence/search-tier handoff tables (VERDICT r4 item 1): the
+    # find_variants / search / context-rules / learn kernels recomputed
+    # in ONE local process (no Ray) over bit-parity inputs
+    # (sources/oracle_text.py); hash-green certifies distributed ==
+    # local over the reference-golden kernels (whose own semantics are
+    # pytest-anchored to tests/main.rs analogs).
+    from analiticcl_ray.sources.oracle_text import (
+        context_rules_oracle_path,
+        learn_oracle_path,
+        search_formatted_oracle_path,
+        search_oracle_path,
+        variants_oracle_path,
+    )
+
+    _VAR_ORACLE = variants_oracle_path(_sf_dir)
+    _SRCH_ORACLE = search_oracle_path(_sf_dir)
+    _SRCH_TSV_ORACLE = search_formatted_oracle_path(_sf_dir)
+    _CR_ORACLE = context_rules_oracle_path(_sf_dir)
+    _LEARN_ORACLE = learn_oracle_path(_sf_dir)
     # token splitting is guarded for empty/whitespace-only documents
     # (ADVICE r1): DuckDB's regexp_split_to_array('', ...) returns ['']
     # (1 token) while the engine counts 0 — the CASE aligns the oracle
@@ -2659,9 +2678,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING count(*) >= 2
         """,
-        # ann_ivf_topk / ann_lsh_topk / context_rules / find_variants /
-        # search_correct / learn_variants / corpus_* / image_resize are
-        # rows-only here (approximate search or non-SQL kernels: FST
-        # decoding, PSNR over decoded pixels); exact semantics are
+        # sequence/search tier: locally-recomputed handoff tables
+        # (sources/oracle_text.py — same kernels, one process, no Ray)
+        "find_variants": f"""
+            SELECT input, rank, text, dist_score, freq_score, via
+            FROM read_parquet('{_VAR_ORACLE}')
+        """,
+        "search_correct": f"""
+            SELECT line_id, match_text, begin, "end", output, score,
+                   tags, seqnr
+            FROM read_parquet('{_SRCH_ORACLE}')
+        """,
+        "search_formatted": f"""
+            SELECT line_id, match FROM read_parquet('{_SRCH_TSV_ORACLE}')
+        """,
+        "context_rules": f"""
+            SELECT line_id, match_text, begin, "end", output, score,
+                   tags, seqnr
+            FROM read_parquet('{_CR_ORACLE}')
+        """,
+        "learn_variants": f"""
+            SELECT reference, variant, score, frequency
+            FROM read_parquet('{_LEARN_ORACLE}')
+        """,
+        # ann_ivf_topk / ann_lsh_topk / corpus_* are rows-only here
+        # (approximate search; the headline composite is oracle'd via
+        # its own handoff below when present); exact semantics are
         # pytest-verified against brute-force oracles.
     }

@@ -40,6 +40,63 @@ from ..config import SearchConfig
 from .variants import INDEXED, TRANSPARENT, Lexicon, find_variants_ds
 
 
+def apply_learned_links(
+    lexicon: Lexicon,
+    triples,
+    agg: dict,
+) -> int:
+    """ONE iteration's mutation step (src/lib.rs:1098-1126 analog),
+    shared verbatim by the distributed loop below and the local
+    handoff-oracle recompute (sources/oracle_text.py) so the two can
+    never drift: for each (input, matched_text, score) result triple,
+    add the input as a TRANSPARENT vocab entry linked to the reference
+    (skipping exact matches, duplicate links within the iteration, and
+    links learned by a previous iteration). Returns the number of new
+    links learned."""
+    learned = 0
+    seen_links: set[tuple[str, str]] = set()
+    for inp, text, score in triples:
+        if inp == text:
+            continue  # exact match: nothing to learn
+        if (inp, text) in seen_links:
+            continue
+        seen_links.add((inp, text))
+        ref_idx = lexicon._encoder[text]
+        var_idx = lexicon._encoder.get(inp)
+        if var_idx is not None and any(
+            t == ref_idx for t, _ in lexicon.variants.get(var_idx, [])
+        ):
+            continue  # link already learned in a previous iteration
+        if var_idx is None:
+            var_idx = lexicon.add(inp, agg.get(inp, 1), INDEXED | TRANSPARENT)
+        else:
+            lexicon.vocab_types[var_idx] |= TRANSPARENT
+        lexicon.add_variant(var_idx, ref_idx, score)
+        learned += 1
+    return learned
+
+
+def reverse_index_table(lexicon: Lexicon) -> pa.Table:
+    """Reverse variant index (src/index.rs:14-23 analog) as one Arrow
+    table: (reference, variant, score, frequency) — shared by the
+    distributed loop and the handoff-oracle recompute."""
+    rows = {"reference": [], "variant": [], "score": [], "frequency": []}
+    for var_idx, links in lexicon.variants.items():
+        for ref_idx, score in links:
+            rows["reference"].append(lexicon.texts[ref_idx])
+            rows["variant"].append(lexicon.texts[var_idx])
+            rows["score"].append(float(score))
+            rows["frequency"].append(int(lexicon.freqs[var_idx]))
+    return pa.table(
+        {
+            "reference": pa.array(rows["reference"], pa.string()),
+            "variant": pa.array(rows["variant"], pa.string()),
+            "score": pa.array(rows["score"], pa.float64()),
+            "frequency": pa.array(rows["frequency"], pa.int64()),
+        }
+    )
+
+
 def learn_variants_ds(
     inputs: "ray.data.Dataset",
     lexicon: Lexicon,
@@ -76,53 +133,22 @@ def learn_variants_ds(
         results = find_variants_ds(
             distinct, lexicon, cfg, concurrency=concurrency
         )
-        learned = 0
-        seen_links: set[tuple[str, str]] = set()
-        for b in results.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            for inp, text, score in zip(
-                b["input"].to_pylist(),
-                b["text"].to_pylist(),
-                b["dist_score"].to_pylist(),
+
+        def _triples():
+            for b in results.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
             ):
-                if inp == text:
-                    continue  # exact match: nothing to learn
-                if (inp, text) in seen_links:
-                    continue
-                seen_links.add((inp, text))
-                ref_idx = lexicon._encoder[text]
-                var_idx = lexicon._encoder.get(inp)
-                if var_idx is not None and any(
-                    t == ref_idx for t, _ in lexicon.variants.get(var_idx, [])
-                ):
-                    continue  # link already learned in a previous iteration
-                if var_idx is None:
-                    var_idx = lexicon.add(
-                        inp, agg.get(inp, 1), INDEXED | TRANSPARENT
-                    )
-                else:
-                    lexicon.vocab_types[var_idx] |= TRANSPARENT
-                lexicon.add_variant(var_idx, ref_idx, score)
-                learned += 1
+                yield from zip(
+                    b["input"].to_pylist(),
+                    b["text"].to_pylist(),
+                    b["dist_score"].to_pylist(),
+                )
+
+        learned = apply_learned_links(lexicon, _triples(), agg)
         stats.append({"iteration": it + 1, "learned": learned})
         if learned == 0:
             break  # src/bin/analiticcl.rs:512-516
 
     # reverse index: reference -> variants
-    rows = {"reference": [], "variant": [], "score": [], "frequency": []}
-    for var_idx, links in lexicon.variants.items():
-        for ref_idx, score in links:
-            rows["reference"].append(lexicon.texts[ref_idx])
-            rows["variant"].append(lexicon.texts[var_idx])
-            rows["score"].append(float(score))
-            rows["frequency"].append(int(lexicon.freqs[var_idx]))
-    reverse = ray.data.from_arrow(
-        pa.table(
-            {
-                "reference": pa.array(rows["reference"], pa.string()),
-                "variant": pa.array(rows["variant"], pa.string()),
-                "score": pa.array(rows["score"], pa.float64()),
-                "frequency": pa.array(rows["frequency"], pa.int64()),
-            }
-        )
-    )
+    reverse = ray.data.from_arrow(reverse_index_table(lexicon))
     return lexicon, reverse, stats

@@ -1,0 +1,214 @@
+"""Locally-computed (no-Ray) sequence/search-tier oracle tables.
+
+The find_variants / search / context-rules / learn queries run
+deterministic pure-Python kernels (pipelines/variants.py, search.py,
+learn.py — the reference-golden semantic core, pytest-anchored against
+tests/main.rs analogs) inside Ray actor pools. The kernels themselves
+are not SQL-expressible (FST decoding, DL scoring), but the VERDICT-r4
+handoff structure applies verbatim (item 1): recompute each query's
+expected output in a SINGLE local process by driving the SAME actor
+classes over one in-memory batch — no Ray session, no object store —
+and persist it as parquet. The driver's DuckDB oracle then just
+``read_parquet()``s the handoff table, so a hash-green certifies
+distributed execution (broadcast lexicon + actor pool + streaming
+batches) == local execution over the byte-identical kernels.
+
+Inputs are rebuilt locally with bit-parity to the Ray side:
+- the corpus-token lexicon is the top-k of the SAME tokenizer
+  (``text.oracle_tokens``) with the SAME (cnt desc, token asc) total
+  order ``text.top_terms`` uses — ties cannot reorder;
+- the search line set is the first 50 parquet rows, which is exactly
+  what ``Dataset.limit(50)`` yields on an ordered parquet read
+  (probed; Ray's limit truncates the ordered block stream).
+
+Cache keying follows sources/oracle_tables.py: (sf tier, kernel-source
+fingerprint) with atomic writes — any later edit to the kernels or
+this module auto-invalidates the handoff tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .oracle_tables import ORACLE_ROOT, _src_tag, _write_atomic
+
+
+def _local_top_tokens(sf_dir: str, k: int) -> pd.DataFrame:
+    """Bit-parity local recompute of __ray_entry__._top_tokens: token
+    counts over the documents table via the shared oracle tokenizer,
+    ranked (cnt desc, token asc) and truncated to k."""
+    from ..pipelines.text import oracle_tokens
+
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )["text"].to_pandas()
+    vc = oracle_tokens(texts).explode().dropna().value_counts()
+    df = pd.DataFrame({"token": vc.index, "cnt": vc.to_numpy()})
+    df = df.sort_values(
+        ["cnt", "token"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return df.reset_index(drop=True)
+
+
+def _lexicon(sf_dir: str, k: int):
+    from ..pipelines.variants import Lexicon
+
+    tc = _local_top_tokens(sf_dir, k)
+    return Lexicon.from_rows(list(zip(tc["token"], tc["cnt"]))), tc
+
+
+def _search_cfg():
+    from ..config import SearchConfig
+
+    return SearchConfig(score_threshold=0.5, cutoff_threshold=0.0)
+
+
+def _lines_batch(sf_dir: str, n: int = 50) -> pa.Table:
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, n)
+    return pa.table({"line_id": t["doc_id"], "text": t["text"]})
+
+
+def _seq_tag() -> str:
+    """One fingerprint for the whole tier: every contributing kernel
+    module (a change in any invalidates all five tables — they share
+    the lexicon build and the search machinery)."""
+    from .. import config as _cfg_mod
+    from ..functions import alphabet as _alpha_mod, kernels as _kern_mod
+    from ..functions import confusables as _conf_mod, contextrules as _cr_mod
+    from ..pipelines import learn as _learn_mod, search as _search_mod
+    from ..pipelines import variants as _var_mod
+    from . import oracle_text as _self_mod
+
+    return _src_tag(
+        _cfg_mod, _alpha_mod, _kern_mod, _conf_mod, _cr_mod,
+        _learn_mod, _search_mod, _var_mod, _self_mod,
+    )
+
+
+def _tier_of(sf_dir: str) -> str:
+    # cache key segment: the sf tier determines the documents table
+    for t in ("0.001", "0.01", "0.1"):
+        if t in sf_dir:
+            return t.replace(".", "")
+    return "x"
+
+
+def _cached(name: str, sf_dir: str, build) -> str:
+    path = os.path.join(
+        ORACLE_ROOT, f"{name}_sf{_tier_of(sf_dir)}_{_seq_tag()}.parquet"
+    )
+    if os.path.exists(path):
+        return path
+    _write_atomic(build(), path)
+    return path
+
+
+def variants_oracle_path(sf_dir: str) -> str:
+    """Expected find_variants output: transposed typo forms of the top
+    corpus tokens against the corpus-token lexicon — exactly the driver
+    query's construction, driven through VariantFinder locally."""
+
+    def _build() -> pa.Table:
+        from ..pipelines.variants import VariantFinder
+
+        lex, tc = _lexicon(sf_dir, 200)
+        qs = [
+            t[0] + t[2] + t[1] + t[3:]
+            for t in tc["token"].head(30)
+            if len(t) >= 3
+        ]
+        vf = VariantFinder(lex, _search_cfg())
+        return vf(pa.table({"input": pa.array(qs, pa.string())}))
+
+    return _cached("variants", sf_dir, _build)
+
+
+def search_oracle_path(sf_dir: str) -> str:
+    """Expected search_correct output: find_all_matches over the first
+    50 document lines against the corpus-token lexicon."""
+
+    def _build() -> pa.Table:
+        from ..pipelines.search import SearchActor
+
+        lex, _ = _lexicon(sf_dir, 200)
+        return SearchActor(lex, _search_cfg())(_lines_batch(sf_dir))
+
+    return _cached("search", sf_dir, _build)
+
+
+def search_formatted_oracle_path(sf_dir: str) -> str:
+    """Expected search_formatted output (reference TSV per-match
+    format, byte-identical layout pytest-locked in test_search.py)."""
+
+    def _build() -> pa.Table:
+        from ..pipelines.search import FormattedSearchActor
+
+        lex, _ = _lexicon(sf_dir, 200)
+        return FormattedSearchActor(lex, _search_cfg(), fmt="tsv")(
+            _lines_batch(sf_dir)
+        )
+
+    return _cached("search_tsv", sf_dir, _build)
+
+
+def context_rules_oracle_path(sf_dir: str) -> str:
+    """Expected context_rules output: search with one tagging rule on
+    the corpus' most frequent token (the driver query's rule set)."""
+
+    def _build() -> pa.Table:
+        from ..functions.contextrules import ContextRuleSet
+        from ..pipelines.search import SearchActor
+
+        lex, tc = _lexicon(sf_dir, 200)
+        rs = ContextRuleSet()
+        rs.add_contextrule(
+            str(tc["token"].iloc[0]), 1.0, ["frequent"], [], [], lex._encoder
+        )
+        return SearchActor(lex, _search_cfg(), context_rules_or_ref=rs)(
+            _lines_batch(sf_dir)
+        )
+
+    return _cached("context_rules", sf_dir, _build)
+
+
+def learn_oracle_path(sf_dir: str) -> str:
+    """Expected learn_variants reverse index: the same two-iteration
+    learn loop as learn_variants_ds, with the distributed per-iteration
+    find_variants pass replaced by a local VariantFinder call — the
+    mutation step and reverse-index emission are the SHARED helpers
+    (pipelines/learn.apply_learned_links / reverse_index_table), so the
+    two loops cannot drift."""
+
+    def _build() -> pa.Table:
+        from ..pipelines.learn import apply_learned_links, reverse_index_table
+        from ..pipelines.variants import VariantFinder
+
+        lex, tc = _lexicon(sf_dir, 100)
+        cfg = _search_cfg()
+        inputs = [
+            t[0] + t[2] + t[1] + t[3:]
+            for t in tc["token"].head(30)
+            if len(t) >= 4
+        ]
+        agg: dict[str, int] = {}
+        for s in inputs:
+            agg[s] = agg.get(s, 0) + 1
+        distinct = sorted(agg)
+        for _ in range(2):  # iterations=2, as the driver query runs
+            vf = VariantFinder(lex, cfg)  # rebuild per iteration
+            triples = (
+                (q, lex.texts[r["vocab_id"]], r["dist_score"])
+                for q in distinct
+                for r in vf.find_variants(q)
+            )
+            if apply_learned_links(lex, triples, agg) == 0:
+                break
+        return reverse_index_table(lex)
+
+    return _cached("learn", sf_dir, _build)

@@ -92,3 +92,78 @@ def test_video_oracle_table_matches_ray_stage(ray_session):
     )
     assert len(local) == len(ray_f)
     assert (local["dhash"] == ray_f["dhash"]).all()
+
+
+# ---------------------------------------------------------------------
+# sequence/search-tier handoff tables (sources/oracle_text.py)
+# ---------------------------------------------------------------------
+
+def _canon(df, cols):
+    return (
+        df[cols]
+        .sort_values(cols, kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_sequence_oracle_tables_match_ray_queries(ray_session):
+    """The locally-recomputed sequence-tier handoff tables must equal
+    the distributed queries row-for-row at sf0.001 (the same identity
+    the driver's gate checks at sf0.01) — including bit-identical
+    float scores."""
+    import os
+
+    import __ray_entry__ as entry
+    import analiticcl_ray.sources.oracle_text as ot
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    pairs = [
+        ("find_variants", ot.variants_oracle_path,
+         ["input", "rank", "text", "dist_score", "freq_score", "via"]),
+        ("search_correct", ot.search_oracle_path,
+         ["line_id", "match_text", "begin", "end", "output", "score",
+          "tags", "seqnr"]),
+        ("search_formatted", ot.search_formatted_oracle_path,
+         ["line_id", "match"]),
+        ("context_rules", ot.context_rules_oracle_path,
+         ["line_id", "match_text", "begin", "end", "output", "score",
+          "tags", "seqnr"]),
+        ("learn_variants", ot.learn_oracle_path,
+         ["reference", "variant", "score", "frequency"]),
+    ]
+    for name, path_fn, cols in pairs:
+        got = _df(qs[name](sf))
+        want = pq.read_table(path_fn(sf)).to_pandas()
+        g, w = _canon(got, cols), _canon(want, cols)
+        assert len(g) == len(w), name
+        for c in cols:
+            gv, wv = g[c], w[c]
+            if gv.dtype.kind == "f":
+                # bit-identical floats (same kernels both sides); NaN
+                # == NaN under the int64 view
+                assert (
+                    gv.to_numpy().view(np.int64)
+                    == wv.to_numpy().view(np.int64)
+                ).all(), (name, c)
+            else:
+                assert gv.fillna("\0").eq(wv.fillna("\0")).all(), (name, c)
+
+
+def test_local_top_tokens_matches_ray_top_terms(ray_session):
+    """The handoff lexicon builder must reproduce text.top_terms'
+    (cnt desc, token asc) ranking exactly — it feeds every sequence
+    oracle's inputs."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines import text
+    from analiticcl_ray.sources.oracle_text import _local_top_tokens
+
+    sf = "/root/testdata/sf0.001"
+    local = _local_top_tokens(sf, 200)
+    ray_tc = (
+        text.top_terms(rd.read_parquet(f"{sf}/documents.parquet"), k=200)
+        .to_pandas()
+    )
+    assert list(local["token"]) == list(ray_tc["token"])
+    assert list(local["cnt"]) == list(ray_tc["cnt"])
