@@ -451,7 +451,18 @@ def kmeans_centroids(
     per-iteration ONE ``map_batches`` pass emitting per-centroid partial
     (sum, count) rows — the classic combiner shape; only the nlist×dim
     partials (small side state, like an alphabet) ever reach the driver.
-    Returns row-normalized centroids (cosine k-means)."""
+    Returns row-normalized centroids (cosine k-means).
+
+    Accumulation is NANO-QUANTIZED (the label_centroids trick, round 5):
+    each normalized row contributes ``floor(x*1e9 + 0.5)`` int64 values,
+    so the per-centroid sum is an exact integer — associative and
+    therefore BIT-IDENTICAL across any block layout, summation order, or
+    single-process recompute (the property the kmeans_assign handoff
+    oracle certifies; the old float64 partials differed in the last ulp
+    between layouts). Bound: int64 sums overflow at ~9.2e9 rows per
+    centroid per iteration — beyond that, split the fold into per-block
+    HUGEINT-style (hi, lo) pairs; documented, not expected at 1e12 rows
+    spread over >=2^20 centroids."""
     rng = np.random.default_rng(seed)
     dim = len(embeddings.take(1)[0]["embedding"])
     cent = _normalize_rows(rng.standard_normal((nlist, dim)))
@@ -463,20 +474,21 @@ def kmeans_centroids(
             _, emb = _emb_matrix(batch)
             emb = _normalize_rows(emb)
             a = np.argmax(emb @ c.T, axis=1)
-            sums = np.zeros((nlist, dim), dtype=np.float64)
-            np.add.at(sums, a, emb)
+            q = np.floor(emb * 1e9 + 0.5).astype(np.int64)
+            sums = np.zeros((nlist, dim), dtype=np.int64)
+            np.add.at(sums, a, q)
             counts = np.bincount(a, minlength=nlist).astype(np.int64)
             return pa.table(
                 {
                     "c": pa.array(np.arange(nlist, dtype=np.int64), pa.int64()),
                     "cnt": pa.array(counts, pa.int64()),
                     "vsum": pa.FixedSizeListArray.from_arrays(
-                        pa.array(sums.reshape(-1), pa.float64()), dim
+                        pa.array(sums.reshape(-1), pa.int64()), dim
                     ),
                 }
             )
 
-        sums = np.zeros((nlist, dim), dtype=np.float64)
+        sums = np.zeros((nlist, dim), dtype=np.int64)
         counts = np.zeros(nlist, dtype=np.int64)
         for b in embeddings.map_batches(
             _partial, batch_format="pyarrow"
@@ -488,12 +500,65 @@ def kmeans_centroids(
             np.add.at(
                 counts, cc, b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            np.add.at(sums, cc, _list_matrix(b["vsum"]))
-        nz = counts > 0
-        cent = cent.copy()
-        cent[nz] = sums[nz] / counts[nz, None]
-        cent = _normalize_rows(cent)
+            np.add.at(
+                sums, cc,
+                _list_matrix(b["vsum"]).astype(np.int64),
+            )
+        cent = _centroid_update(cent, sums, counts)
     return cent
+
+
+def _centroid_update(
+    cent: np.ndarray, sums_q: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """One Lloyd update from exact integer nano-sums — shared by the
+    distributed fold above and the local recompute
+    (kmeans_assign_table_local) so the two produce bit-identical
+    centroids."""
+    nz = counts > 0
+    cent = cent.copy()
+    cent[nz] = (sums_q[nz].astype(np.float64) / 1e9) / counts[nz, None]
+    return _normalize_rows(cent)
+
+
+def kmeans_assign_table_local(
+    ids: np.ndarray,
+    X: np.ndarray,
+    nlist: int = 16,
+    iters: int = 3,
+    seed: int = 0x5EED,
+) -> pa.Table:
+    """Single-process reference for the full kmeans_assign output —
+    (vec_id, cluster, cluster_size, sim_q) — over an in-memory
+    (ids, embeddings) matrix. Shares the seeded init and the
+    integer-sum centroid update with the distributed path, so on the
+    same input the two are bit-identical: the basis of the
+    kmeans_assign handoff oracle (sources/oracle_ann.py) and the pytest
+    parity check."""
+    rng = np.random.default_rng(seed)
+    Xn = _normalize_rows(X.astype(np.float64))
+    cent = _normalize_rows(rng.standard_normal((nlist, X.shape[1])))
+    q = np.floor(Xn * 1e9 + 0.5).astype(np.int64)
+    for _ in range(iters):
+        a = np.argmax(Xn @ cent.T, axis=1)
+        sums = np.zeros((nlist, X.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, q)
+        counts = np.bincount(a, minlength=nlist).astype(np.int64)
+        cent = _centroid_update(cent, sums, counts)
+    sims = Xn @ cent.T
+    a = np.argmax(sims, axis=1)
+    best = sims[np.arange(len(a)), a]
+    sizes = np.bincount(a, minlength=nlist).astype(np.int64)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.asarray(ids, dtype=np.int64), pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "sim_q": pa.array(
+                np.floor(best * 1e9 + 0.5).astype(np.int64), pa.int64()
+            ),
+            "cluster_size": pa.array(sizes[a], pa.int64()),
+        }
+    )
 
 
 def ivf_topk(

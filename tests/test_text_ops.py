@@ -644,7 +644,9 @@ def test_kmeans_centroids_block_layout_invariant(emb, ray_session):
 
     one = kmeans_centroids(emb.repartition(1), nlist=8, iters=2)
     many = kmeans_centroids(emb.repartition(7), nlist=8, iters=2)
-    assert np.allclose(one, many, atol=1e-12)
+    # BIT-identical, not allclose: integer nano-sum accumulation makes
+    # the fold associative (round 5 — the kmeans handoff-oracle basis)
+    assert np.array_equal(one, many)
 
 
 def test_token_counts_re_oracle_parity(ray_session):
@@ -2016,14 +2018,19 @@ def test_promo_revenue_matches_duckdb(ray_session):
     _duck_parity("promo_revenue", got, ["lineitem", "part"])
 
 
-def test_kmeans_assign_matches_numpy(ray_session):
-    """Distributed deterministic k-means assignment == a driver-side
-    numpy replica of the same seeded Lloyd iterations, exactly
-    (including nano-quantized cosine and cluster sizes)."""
-    import pandas as pd
+def test_kmeans_assign_matches_local_reference(ray_session):
+    """Distributed deterministic k-means assignment == the shared
+    single-process reference (kmeans_assign_table_local), exactly —
+    including the nano-quantized cosine and cluster sizes. The
+    integer-sum centroid update (round 5) makes this BIT-identity, not
+    allclose: it is the identity the kmeans_assign handoff oracle
+    certifies at the driver gate."""
     import ray.data as rd
 
-    from analiticcl_ray.pipelines.ann import kmeans_assign
+    from analiticcl_ray.pipelines.ann import (
+        kmeans_assign,
+        kmeans_assign_table_local,
+    )
 
     sf = "/root/testdata/sf0.001"
     emb_ds = rd.read_parquet(f"{sf}/embeddings.parquet")
@@ -2037,28 +2044,17 @@ def test_kmeans_assign_matches_numpy(ray_session):
 
     df = emb_ds.to_pandas().sort_values("vec_id")
     X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    cent = rng.standard_normal((nlist, X.shape[1]))
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
-    for _ in range(iters):
-        a = np.argmax(Xn @ cent.T, axis=1)
-        new = cent.copy()
-        for c in range(nlist):
-            m = a == c
-            if m.any():
-                new[c] = Xn[m].sum(axis=0) / m.sum()
-        cent = new / np.linalg.norm(new, axis=1, keepdims=True)
-    sims = Xn @ cent.T
-    a = np.argmax(sims, axis=1)
-    best = sims[np.arange(len(a)), a]
-    sizes = np.bincount(a, minlength=nlist)
-
-    assert list(out["cluster"]) == list(a)
-    assert list(out["cluster_size"]) == list(sizes[a])
-    assert list(out["sim_q"]) == list(
-        np.floor(best * 1e9 + 0.5).astype(np.int64)
+    want = (
+        kmeans_assign_table_local(
+            df["vec_id"].to_numpy(), X, nlist=nlist, iters=iters, seed=seed
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
     )
+    assert list(out["cluster"]) == list(want["cluster"])
+    assert list(out["cluster_size"]) == list(want["cluster_size"])
+    assert list(out["sim_q"]) == list(want["sim_q"])
 
 
 # ---------------------------------------------------------------------
