@@ -1247,6 +1247,15 @@ def oracle_sql() -> dict[str, str]:
     from analiticcl_ray.sources.oracle_ann import kmeans_oracle_path
 
     _KMEANS_ORACLE = kmeans_oracle_path(_sf_dir)
+    # headline-composite handoff (VERDICT r4 item 7): the INDEPENDENT
+    # brute-force oracle (no LSH, no caps — pipelines/oracle.py) as the
+    # gate for corpus_dedup_pairs/clusters, making the driver's
+    # headline metric itself oracle-gated
+    from analiticcl_ray.sources.oracle_dedup import dedup_oracle_paths
+
+    _DEDUP_PAIRS_ORACLE, _DEDUP_CLUSTERS_ORACLE = dedup_oracle_paths(
+        _n_corpus
+    )
     # token splitting is guarded for empty/whitespace-only documents
     # (ADVICE r1): DuckDB's regexp_split_to_array('', ...) returns ['']
     # (1 token) while the engine counts 0 — the CASE aligns the oracle
@@ -2737,6 +2746,17 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": f"""
             SELECT vec_id, cluster, sim_q, cluster_size
             FROM read_parquet('{_KMEANS_ORACLE}')
+        """,
+        # headline composite vs the INDEPENDENT brute-force oracle: a
+        # hash-green asserts the distributed candidate->verify->CC
+        # pipeline reproduced the ground-truth pair set exactly
+        "corpus_dedup_pairs": f"""
+            SELECT src_id, dst_id
+            FROM read_parquet('{_DEDUP_PAIRS_ORACLE}')
+        """,
+        "corpus_dedup_clusters": f"""
+            SELECT image_id, cluster_id
+            FROM read_parquet('{_DEDUP_CLUSTERS_ORACLE}')
         """,
         # ann_ivf_topk / ann_lsh_topk / corpus_* are rows-only here
         # (approximate search; the headline composite is oracle'd via

@@ -167,3 +167,34 @@ def test_local_top_tokens_matches_ray_top_terms(ray_session):
     )
     assert list(local["token"]) == list(ray_tc["token"])
     assert list(local["cnt"]) == list(ray_tc["cnt"])
+
+
+def test_dedup_oracle_tables_match_pipeline(ray_session):
+    """The headline handoff tables (independent brute-force oracle)
+    must equal the live dedup_pipeline output — the identity the
+    driver's corpus_dedup_pairs/clusters hash gates assert at sf0.01,
+    pinned here at n=400."""
+    from analiticcl_ray.pipelines.dedup import dedup_pipeline
+    from analiticcl_ray.sources.corpus import corpus_path
+    from analiticcl_ray.sources.oracle_dedup import dedup_oracle_paths
+    from analiticcl_ray.sources.storage import read_table
+
+    n = 400
+    corpus_path(n)
+    pairs_path, clusters_path = dedup_oracle_paths(n)
+    want_pairs = set(
+        map(tuple, pq.read_table(pairs_path).to_pandas().to_numpy())
+    )
+    want_clusters = set(
+        map(tuple, pq.read_table(clusters_path).to_pandas().to_numpy())
+    )
+    pairs_ds, clusters_ds, _ = dedup_pipeline(read_table(corpus_path(n)))
+    got_pairs = {
+        (r["src_id"], r["dst_id"])
+        for r in pairs_ds.select_columns(["src_id", "dst_id"]).take_all()
+    }
+    got_clusters = {
+        (r["image_id"], r["cluster_id"]) for r in clusters_ds.take_all()
+    }
+    assert got_pairs == want_pairs
+    assert got_clusters == want_clusters
