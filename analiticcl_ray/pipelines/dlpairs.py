@@ -331,7 +331,9 @@ def variants_dl(
                 }
             )
 
-    scored = cand.map_batches(_Scorer, batch_format="pyarrow", concurrency=(1, 4))
+    scored = cand.map_batches(
+        _Scorer, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0,
+    )
 
     # attach candidate freq: one-sided lookup against the (bounded,
     # vocab_top-row) lexicon as a zero-copy Arrow broadcast — the
@@ -354,7 +356,11 @@ def variants_dl(
             idx = pc.index_in(batch["candidate"], value_set=self.ids)
             return batch.append_column("freq", self.table["freq"].take(idx))
 
-    return scored.map_batches(_AttachFreq, batch_format="pyarrow", concurrency=(1, 4))
+    return scored.map_batches(
+        # the class closure captures a broadcast ObjectRef -> ray#53727
+        # restart warning unless restarts are off; lineage re-runs tasks
+        _AttachFreq, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0,
+    )
 
 
 def variants_scored(

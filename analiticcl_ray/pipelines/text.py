@@ -507,7 +507,10 @@ def doc_label_join(
     return (
         doc_stats(docs)
         .select_columns(["doc_id", "n_tokens"])
-        .map_batches(_Attach, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(
+            # closure-captured broadcast ref (ray#53727): restarts off
+            _Attach, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0,
+        )
     )
 
 
@@ -897,7 +900,7 @@ def lang_confusion(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     return (
         docs.select_columns(["doc_id", "text", "lang"])
-        .map_batches(_Confusion, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(_Confusion, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
         .repartition(1)
         .map_batches(_merge, batch_format="pyarrow", batch_size=None)
     )
@@ -1680,6 +1683,7 @@ def incremental_minhash_dedup_pairs(
     attach_method: str = "auto",
     cap: int | None = None,
     local_probe_limit: int = 2_000_000,
+    local_pair_limit: int = 2_000_000,
     stats: dict | None = None,
 ) -> "ray.data.Dataset":
     """Incremental (daily-ingest) TEXT near-dup dedup: MinHash-LSH
@@ -1726,13 +1730,27 @@ def incremental_minhash_dedup_pairs(
        dropped ref rows are reported through globally-unique sentinels
        into ``stats`` — no silent caps. All-new degenerate bands take
        the symmetric op's salted-chunk path.
-    5. Pair dedup (orientation-preserving exact-tuple dedup), then
-       exact Jaccard verify with texts attached ONLY for ids referenced
-       by surviving candidates (``id_filter`` — bounded by collisions,
-       the same contract as dedup_pipeline's needed_ids). A production
-       deployment at ref sizes where even the filtered slim text scan
-       hurts would persist per-doc gram sketches next to the signature
-       index; the join shape is unchanged.
+    5. Pair dedup + exact Jaccard verify, size-gated like the probe
+       explode: the emitted candidate stream is O(collisions), and
+       below ``local_pair_limit`` rows the tail runs LOCALLY — one
+       driver pull of the (materialized) candidates, pandas
+       drop_duplicates mirroring dedup_pairs, ONE task-only filtered
+       scan pulling just the referenced texts, and a vectorized bitset
+       Jaccard (gram vocab built over the needed texts only) on the
+       driver. Driver memory on this path is O(candidate pairs) int64
+       rows (~32 B each) + O(referenced ids) texts — bounded by
+       collisions, never the corpus. This deletes the dedup shuffle, the
+       broadcast-attach materialize and two actor-pool spawns whose
+       fixed latency made the probe slower than full recompute at
+       bench scale (the round-3 multimodal lesson). Above the limit
+       the distributed tail runs instead — dedup_pairs shuffle, then
+       texts attached only for ids referenced by surviving candidates
+       (``id_filter`` — bounded by collisions, the same contract as
+       dedup_pipeline's needed_ids) and an actor-pool verify; output
+       is identical either way (pytest-forced boundary parity). A
+       production deployment at ref sizes where even the filtered slim
+       text scan hurts would persist per-doc gram sketches next to the
+       signature index; the join shape is unchanged.
 
     Recall: both sides band identically (``_minhash_cfg``), so the
     per-pair candidate probability at J >= 0.8 is the symmetric op's
@@ -1970,19 +1988,11 @@ def incremental_minhash_dedup_pairs(
         )
         .groupby("bucket")
         .map_groups(_emit, batch_format="pandas")
-    )
-    cand = dedup_pairs(raw, id_dtype="int").materialize()
+    ).materialize()  # edge-list-sized candidate stream (collisions only)
     if stats is not None:
-        tally_sentinels(cand, stats, "int")
-    cand = strip_sentinels(cand, "int")
-
-    # --- step 5: exact Jaccard verify over the referenced ids only -----
-    needed: set[int] = set()
-    for b in cand.select_columns(["src_id", "dst_id"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        needed.update(b["src_id"].to_pylist())
-        needed.update(b["dst_id"].to_pylist())
+        # sentinels are globally unique per dropped band, so the tally
+        # over the raw (pre-dedup) stream is exact
+        tally_sentinels(raw, stats, "int")
 
     def _ref_docs_live(batch: pa.Table) -> pa.Table:
         # superseded ids read their fresh text from the new shard
@@ -1998,6 +2008,101 @@ def incremental_minhash_dedup_pairs(
             _ref_docs_live, batch_format="pyarrow"
         )
     )
+
+    # --- step 5: size-gated local tail ---------------------------------
+    if raw.count() <= local_pair_limit:
+        df = raw.select_columns(["src_id", "dst_id", "capped"]).to_pandas()
+        df = df[df["src_id"] >= 0]  # strip sentinels
+        # mirror dedup_pairs: keep the uncapped copy of a duplicate pair
+        df = df.sort_values("capped", kind="stable").drop_duplicates(
+            ["src_id", "dst_id"], keep="first"
+        )
+        needed_l = set(df["src_id"]) | set(df["dst_id"])
+        texts: dict[int, str] = {}
+        if needed_l:
+            need_ref = _ray.put(
+                pa.array(sorted(int(i) for i in needed_l), pa.int64())
+            )
+
+            def _flt(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.is_in(batch["doc_id"], value_set=_ray.get(need_ref))
+                )
+
+            # ONE task-only filtered scan — no actor pools, no attach
+            for b in docs_all.map_batches(
+                _flt, batch_format="pyarrow"
+            ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+                texts.update(
+                    zip(b["doc_id"].to_pylist(), b["text"].to_pylist())
+                )
+        # vectorized bitset verify over the NEEDED texts only (the
+        # collision-bounded id set — never the corpus): gram vocab +
+        # per-id masks built once, then one SWAR popcount pass over all
+        # candidate pairs. The per-pair-Python frozenset engine was the
+        # round-3 trap in a new coat — at bench scale the unselective
+        # r=4 bands emit 1e5+ candidates for a handful of true dups.
+        ids_list = sorted(int(i) for i in needed_l)
+        pos = {i: k for k, i in enumerate(ids_list)}
+        gram_ids: dict[str, int] = {}
+        sets: list[list[int]] = []
+        for i in ids_list:
+            t = texts[i]
+            gs = (
+                {t[k : k + n] for k in range(len(t) - n + 1)}
+                if len(t) >= n
+                else set()
+            )
+            row = []
+            for g in gs:
+                gi = gram_ids.get(g)
+                if gi is None:
+                    gi = len(gram_ids)
+                    gram_ids[g] = gi
+                row.append(gi)
+            sets.append(row)
+        words = max(1, (len(gram_ids) + 63) // 64)
+        masks = np.zeros((len(ids_list), words), dtype=np.uint64)
+        szs = np.zeros(len(ids_list), dtype=np.int64)
+        for k, row in enumerate(sets):
+            szs[k] = len(row)
+            if row:
+                idxs = np.asarray(row, dtype=np.int64)
+                np.bitwise_or.at(
+                    masks[k], idxs >> 6,
+                    np.uint64(1) << (idxs & 63).astype(np.uint64),
+                )
+        ai = np.fromiter(
+            (pos[int(s)] for s in df["src_id"]), dtype=np.int64, count=len(df)
+        )
+        bi = np.fromiter(
+            (pos[int(d)] for d in df["dst_id"]), dtype=np.int64, count=len(df)
+        )
+        inter = _popcount64(masks[ai] & masks[bi]).sum(axis=1)
+        union = szs[ai] + szs[bi] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= jaccard_threshold
+        src_np = df["src_id"].to_numpy(dtype=np.int64)
+        dst_np = df["dst_id"].to_numpy(dtype=np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(src_np[keep], pa.int64()),
+                    "b": pa.array(dst_np[keep], pa.int64()),
+                    "jaccard": pa.array(jac[keep], pa.float64()),
+                }
+            )
+        )
+
+    # --- distributed tail (identical output; fed from the same raw) ----
+    cand = dedup_pairs(raw, id_dtype="int").materialize()
+    cand = strip_sentinels(cand, "int")
+    needed: set[int] = set()
+    for b in cand.select_columns(["src_id", "dst_id"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        needed.update(b["src_id"].to_pylist())
+        needed.update(b["dst_id"].to_pylist())
     attached = attach_pair_sides(
         cand,
         docs_all,
@@ -3632,7 +3737,9 @@ def pmi_scores(
             out = df[["w1", "w2", "cnt"]].assign(pmi=pmi)
             return _pa_clean(out)
 
-    return pairs.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 4))
+    return pairs.map_batches(
+        _Score, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0,
+    )
 
 
 # ---------------------------------------------------------------------

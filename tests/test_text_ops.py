@@ -2114,7 +2114,17 @@ def test_incremental_minhash_matches_restricted_bruteforce(docs):
     out = incremental_minhash_dedup_pairs(
         new, ref_sigs, ref, stats=stats
     ).to_pandas()
+    # the fully-distributed tail must agree with the local tail
+    # (values too, not just the pair set)
+    out_dist = incremental_minhash_dedup_pairs(
+        new, ref_sigs, ref, local_pair_limit=0
+    ).to_pandas()
+    got_dist = {
+        (int(a), int(b)): j
+        for a, b, j in zip(out_dist["a"], out_dist["b"], out_dist["jaccard"])
+    }
     got = {(int(a), int(b)): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    assert got == got_dist
     want = _restricted_bruteforce(docs.to_pandas(), lambda i: i % 2 == 1)
     assert set(got) == set(want), (
         f"extra={sorted(set(got) - set(want))[:5]} "
@@ -2209,10 +2219,11 @@ def test_incremental_minhash_cap_subset_and_sentinels(ray_session):
     # ref rows were displaced and counted
     assert stats["dropped_rows"] > 0
 
-    # distributed-fallback parity: forcing the over-limit path must not
-    # change the output (pytest analog of the multimodal boundary test)
+    # distributed-fallback parity: forcing the over-limit paths (the
+    # probe explode AND the verify tail) must not change the output
+    # (pytest analog of the multimodal boundary test)
     out2 = incremental_minhash_dedup_pairs(
-        new, ref_sigs, ref, cap=4, local_probe_limit=0
+        new, ref_sigs, ref, cap=4, local_probe_limit=0, local_pair_limit=0
     ).to_pandas()
     got2 = {(int(a), int(b)) for a, b in zip(out2["a"], out2["b"])}
     assert got2 == got
