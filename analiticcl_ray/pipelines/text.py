@@ -2036,6 +2036,15 @@ def incremental_minhash_dedup_pairs(
                 texts.update(
                     zip(b["doc_id"].to_pylist(), b["text"].to_pylist())
                 )
+            missing = needed_l - texts.keys()
+            if missing:
+                # caller contract: ref_docs must cover every id in
+                # ref_sigs — fail loudly (the distributed tail would
+                # surface this as null-text attach rows instead)
+                raise ValueError(
+                    f"{len(missing)} candidate ids have no text in "
+                    f"new_docs/ref_docs (e.g. {sorted(missing)[:3]})"
+                )
         # vectorized bitset verify over the NEEDED texts only (the
         # collision-bounded id set — never the corpus): gram vocab +
         # per-id masks built once, then one SWAR popcount pass over all

@@ -82,12 +82,15 @@ def _seq_tag() -> str:
     from ..functions import alphabet as _alpha_mod, kernels as _kern_mod
     from ..functions import confusables as _conf_mod, contextrules as _cr_mod
     from ..pipelines import learn as _learn_mod, search as _search_mod
-    from ..pipelines import variants as _var_mod
+    from ..pipelines import text as _text_mod, variants as _var_mod
     from . import oracle_text as _self_mod
 
+    # text.py is in the set because the lexicon build rides its
+    # tokenizer (oracle_tokens) and the top_terms total order — a
+    # tokenizer edit must invalidate these tables too
     return _src_tag(
         _cfg_mod, _alpha_mod, _kern_mod, _conf_mod, _cr_mod,
-        _learn_mod, _search_mod, _var_mod, _self_mod,
+        _learn_mod, _search_mod, _text_mod, _var_mod, _self_mod,
     )
 
 
