@@ -488,7 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         a = set(zip(approx_df["query_id"], approx_df["neighbor_id"]))
         e = set(zip(exact_df["query_id"], exact_df["neighbor_id"]))
         recall = len(a & e) / max(1, len(e))
-        assert recall >= 0.95, f"{label} recall {recall:.3f} < 0.95"
+        if recall < 0.95:  # not `assert`: must survive python -O
+            raise ValueError(f"{label} recall {recall:.3f} < 0.95")
         out = approx_df.copy()
         out["recall_vs_brute"] = round(recall, 6)
         return out

@@ -462,7 +462,11 @@ def kmeans_centroids(
     between layouts). Bound: int64 sums overflow at ~9.2e9 rows per
     centroid per iteration — beyond that, split the fold into per-block
     HUGEINT-style (hi, lo) pairs; documented, not expected at 1e12 rows
-    spread over >=2^20 centroids."""
+    spread over >=2^20 centroids. Residual caveat: the per-row
+    assignment matmul (Xn @ cent.T) still relies on BLAS producing
+    identical per-row reductions across batch shapes — true on this
+    deployment (pytest-pinned) but a heterogeneous-BLAS cluster would
+    need a fixed-order dot to keep sim_q bit-stable."""
     rng = np.random.default_rng(seed)
     dim = len(embeddings.take(1)[0]["embedding"])
     cent = _normalize_rows(rng.standard_normal((nlist, dim)))
@@ -500,9 +504,15 @@ def kmeans_centroids(
             np.add.at(
                 counts, cc, b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
             )
+            # read the int64 child values DIRECTLY — _list_matrix's
+            # float64 path would silently lose exactness above 2^53
+            # per element (code-review r5), voiding the bit-identity
+            # contract long before the int64 overflow bound
+            vs = b["vsum"].combine_chunks()
+            vchunk = vs.chunk(0) if isinstance(vs, pa.ChunkedArray) else vs
+            flat = vchunk.flatten().to_numpy(zero_copy_only=False)
             np.add.at(
-                sums, cc,
-                _list_matrix(b["vsum"]).astype(np.int64),
+                sums, cc, flat.astype(np.int64, copy=False).reshape(-1, dim)
             )
         cent = _centroid_update(cent, sums, counts)
     return cent

@@ -1585,19 +1585,16 @@ def minhash_dedup_pairs(
     (probability ≈1) IDENTICAL to ngram_jaccard_pairs — checked against
     the same DuckDB oracle. The verify actor uses the bitset engine
     when the gram vocabulary (df pass, small aggregate) is bounded."""
-    import dataclasses
-
     import ray
 
     from ..stages.lsh import candidate_pairs, dedup_pairs
 
     # widen banding only when the caller left cfg at the defaults — an
     # explicit DedupConfig(bands=...) is a deliberate recall/volume
-    # trade and must not be silently overridden
-    if cfg is None:
-        cfg = DedupConfig()
-        if cfg.num_perm % 32 == 0:
-            cfg = dataclasses.replace(cfg, bands=32)
+    # trade and must not be silently overridden. ONE resolver shared
+    # with minhash_signatures / the incremental op, so a persisted
+    # index can never band differently from the symmetric op.
+    cfg = _minhash_cfg(cfg)
 
     sig = docs.select_columns(["doc_id", "text"]).map_batches(
         DocMinHash, fn_constructor_args=(cfg, n), batch_format="pyarrow",
@@ -1872,15 +1869,16 @@ def incremental_minhash_dedup_pairs(
 
     # --- step 3: fused ref side ----------------------------------------
     def _ref_fused(batch: pa.Table) -> pa.Table:
+        keys = _ray.get(probe_keys_ref)
+        if len(keys) == 0:
+            # empty probe shard: skip the ×bands explode entirely
+            return _explode(batch.slice(0, 0), 0)
         seen = _ray.get(new_id_ref)
         if len(seen):
             batch = batch.filter(
                 pc.invert(pc.is_in(batch["doc_id"], value_set=seen))
             )
         rows = _explode(batch, 0)
-        keys = _ray.get(probe_keys_ref)
-        if len(keys) == 0:
-            return rows.slice(0, 0)
         return rows.filter(pc.is_in(rows["band"], value_set=keys))
 
     rows = new_rows.union(
@@ -1918,6 +1916,11 @@ def incremental_minhash_dedup_pairs(
                         cap,
                         ratio=thr,
                     )
+                    # a doc_id duplicated WITHIN the shard must never
+                    # self-pair on this path either (the vectorized
+                    # path guards below; code-review r5)
+                    sp = s != d
+                    s, d = s[sp], d[sp]
                     srcs.append(s)
                     dsts.append(d)
                     caps.append(np.full(len(s), True))

@@ -95,11 +95,15 @@ def _seq_tag() -> str:
 
 
 def _tier_of(sf_dir: str) -> str:
-    # cache key segment: the sf tier determines the documents table
+    # cache key segment: the sf tier determines the documents table;
+    # non-standard dirs key on a path hash so two datasets can never
+    # share cache files (code-review r5)
     for t in ("0.001", "0.01", "0.1"):
         if t in sf_dir:
             return t.replace(".", "")
-    return "x"
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
 
 
 def _cached(name: str, sf_dir: str, build) -> str:

@@ -576,7 +576,11 @@ def incremental_banded_dup_pairs(
     # materialize, probe keys pulled from the banded rows). Output is
     # identical either way (pytest-locked); only the barrier count
     # differs.
-    use_local = len(local) <= local_probe_limit
+    # gate on the EXPLODED row count (len × bands) — the quantity the
+    # docstring's memory contract bounds, and the same semantics as the
+    # text-side op (code-review r5: the pre-explode gate under-enforced
+    # by a factor of `bands`)
+    use_local = len(local) * bands <= local_probe_limit
     if use_local:
         new_rows_local = (
             _band_explode(local, 1)
@@ -634,9 +638,11 @@ def incremental_banded_dup_pairs(
         # O(ref) — at steady state ref >> new and almost every ref row
         # dies here, before the shuffle.
         keys = ray.get(probe_keys_ref)
-        rows = _band_explode(_anti(batch), 0)
         if len(keys) == 0:
-            return rows.slice(0, 0)
+            # empty probe shard: skip the ×bands explode entirely
+            # (code-review r5 — a no-op ingest should cost O(1))
+            return _band_explode(batch.slice(0, 0), 0)
+        rows = _band_explode(_anti(batch), 0)
         return rows.filter(pc.is_in(rows["band"], value_set=keys))
 
     # probe side: the locally-exploded band rows re-enter Ray as
@@ -690,9 +696,11 @@ def incremental_banded_dup_pairs(
                         return_attrs=True,
                     )
                     # chain links bypass the in-chunk prefilter — apply
-                    # the same exact filter the verify stage used to
+                    # the same exact filter the verify stage used to;
+                    # an id duplicated within the shard must never
+                    # self-pair here either (code-review r5)
                     chham = hamming64(a_s, a_d).astype(np.int64)
-                    lok = chham <= max_hamming
+                    lok = (chham <= max_hamming) & (s != d)
                     srcs.append(s[lok])
                     dsts.append(d[lok])
                     hams.append(chham[lok])
