@@ -2227,3 +2227,27 @@ def test_incremental_minhash_cap_subset_and_sentinels(ray_session):
     ).to_pandas()
     got2 = {(int(a), int(b)) for a, b in zip(out2["a"], out2["b"])}
     assert got2 == got
+
+
+def test_incremental_minhash_duplicated_shard_id_never_self_pairs(ray_session):
+    """An id appearing TWICE in the new shard (retried batch) must not
+    self-pair even on the degenerate all-new salted-chunk path
+    (code-review r5)."""
+    import ray.data as rd
+
+    from analiticcl_ray.pipelines.text import (
+        incremental_minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    t = "identical boilerplate text shared by every row in this shard"
+    # 8 rows, one id duplicated; cap=2 forces every band into the
+    # all-new salted-chunk path
+    rows = [{"doc_id": i, "text": t} for i in (1, 1, 3, 5, 7, 9, 11, 13)]
+    new = rd.from_items(rows)
+    ref = rd.from_items([{"doc_id": 2, "text": "something else entirely"}])
+    ref_sigs = minhash_signatures(ref).materialize()
+    out = incremental_minhash_dedup_pairs(
+        new, ref_sigs, ref, cap=2
+    ).to_pandas()
+    assert not ((out["a"] == out["b"]).any())
