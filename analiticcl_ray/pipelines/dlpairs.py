@@ -332,7 +332,7 @@ def variants_dl(
             )
 
     scored = cand.map_batches(
-        _Scorer, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0,
+        _Scorer, batch_format="pyarrow", concurrency=(1, 4),
     )
 
     # attach candidate freq: one-sided lookup against the (bounded,
@@ -357,9 +357,7 @@ def variants_dl(
             return batch.append_column("freq", self.table["freq"].take(idx))
 
     return scored.map_batches(
-        # the class closure captures a broadcast ObjectRef -> ray#53727
-        # restart warning unless restarts are off; lineage re-runs tasks
-        _AttachFreq, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0,
+        _AttachFreq, batch_format="pyarrow", concurrency=(1, 4)
     )
 
 

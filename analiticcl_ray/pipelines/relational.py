@@ -213,7 +213,6 @@ def revenue_by_nation(
             fn_constructor_args=(cust_ref, nation_ref),
             batch_format="pyarrow",
             concurrency=concurrency,
-            max_restarts=0,  # broadcast refs in ctor args (ray#53727)
         )
         .repartition(1)
         .map_batches(_merge, batch_format="pyarrow", batch_size=None)
@@ -347,7 +346,6 @@ def shipping_priority(
         fn_constructor_args=(keys_ref, cut),
         batch_format="pyarrow",
         concurrency=concurrency,
-        max_restarts=0,  # broadcast refs in ctor args (ray#53727)
     )
 
     def _align(t: pa.Table) -> pa.Table:
@@ -521,7 +519,6 @@ def local_supplier_volume(
         fn_constructor_args=(cust_ref, lo, hi),
         batch_format="pyarrow",
         concurrency=concurrency,
-        max_restarts=0,  # broadcast refs in ctor args (ray#53727)
     )
     line_side = lineitem.select_columns(
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
@@ -530,7 +527,6 @@ def local_supplier_volume(
         fn_constructor_args=(supp_ref,),
         batch_format="pyarrow",
         concurrency=concurrency,
-        max_restarts=0,  # broadcast refs in ctor args (ray#53727)
     )
 
     both = order_side.map_batches(
@@ -652,7 +648,6 @@ def promo_revenue(
             fn_constructor_args=(part_ref, lo, hi),
             batch_format="pyarrow",
             concurrency=concurrency,
-            max_restarts=0,  # broadcast refs in ctor args (ray#53727)
         )
         .repartition(1)
         .map_batches(_final, batch_format="pandas", batch_size=None)

@@ -233,7 +233,6 @@ def run_dedup_job(
             .map_batches(
                 CaptionSignatures, fn_constructor_args=(cfg,),
                 batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
-                max_restarts=0,
             )
         )
         if cfg.use_phash_bands:
@@ -278,7 +277,6 @@ def run_dedup_job(
         substr = corpus.select_columns(["image_id", "caption"]).map_batches(
             SubstringFingerprints, fn_constructor_args=(cfg,),
             batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
-            max_restarts=0,
         )
         cands = candidate_pairs(
             band_rows.union(substr), cfg.bucket_cap, n_cogroups=n_cg
@@ -336,7 +334,6 @@ def run_dedup_job(
         cap_ok = with_cap.map_batches(
             CaptionVerifier, fn_constructor_args=(cfg,),
             batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
-            max_restarts=0,
         ).filter(expr="caption_dup == True")
 
         # 128-bit bytes-equality short-circuit + phash prune — the SAME
@@ -355,7 +352,6 @@ def run_dedup_job(
         verified = with_bytes.map_batches(
             ImageVerifier, fn_constructor_args=(cfg,),
             batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
-            max_restarts=0,
         ).filter(expr="image_dup == True").select_columns(
             ["src_id", "dst_id", "caption_score", "psnr_db", "capped"]
         ).union(exact_dups)

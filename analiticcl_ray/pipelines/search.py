@@ -802,7 +802,6 @@ def find_all_matches_formatted_ds(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        max_restarts=0,  # broadcast refs in ctor args (ray#53727)
     )
 
 
@@ -831,5 +830,4 @@ def find_all_matches_ds(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        max_restarts=0,  # broadcast refs in ctor args (ray#53727)
     )

@@ -507,10 +507,7 @@ def doc_label_join(
     return (
         doc_stats(docs)
         .select_columns(["doc_id", "n_tokens"])
-        .map_batches(
-            # closure-captured broadcast ref (ray#53727): restarts off
-            _Attach, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0,
-        )
+        .map_batches(_Attach, batch_format="pyarrow", concurrency=(1, 4))
     )
 
 
@@ -900,7 +897,7 @@ def lang_confusion(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     return (
         docs.select_columns(["doc_id", "text", "lang"])
-        .map_batches(_Confusion, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+        .map_batches(_Confusion, batch_format="pyarrow", concurrency=(1, 4))
         .repartition(1)
         .map_batches(_merge, batch_format="pyarrow", batch_size=None)
     )
@@ -3419,7 +3416,6 @@ def lm_perplexity(
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,
-        max_restarts=0,  # broadcast ref in ctor args (ray#53727)
     )
 
 
@@ -3750,7 +3746,7 @@ def pmi_scores(
             return _pa_clean(out)
 
     return pairs.map_batches(
-        _Score, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0,
+        _Score, batch_format="pyarrow", concurrency=(1, 4),
     )
 
 

@@ -383,8 +383,4 @@ def find_variants_ds(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        # broadcast ObjectRef in constructor args: restart could not
-        # succeed if the ref were lost; silence ray#53727, lineage
-        # re-runs tasks on failure
-        max_restarts=0,
     )
